@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines:
+  * normalization, tokenization, quality scoring, language ID,
+  * fingerprinting, shingling. All pure narrow maps over codegen'd
+  * built-ins — zero shuffle, so they stream through a 100 TB scan.
+  */
+object TextFunctions {
+
+  /** Canonical normalization: lower-case, strip non-alphanumerics,
+    * collapse whitespace. The anchor for exact dedup + fingerprints. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Token count (0 for empty text). */
+  def tokenCount(c: Column): Column =
+    when(length(normText(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      (length(c) - length(regexp_replace(c, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        length(c).cast("double"))
+
+  val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this", "be")
+
+  /** Fraction of tokens that are stopwords — a fluency signal used by
+    * corpus quality filters (Gopher/C4-style heuristics). */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    val hits = size(filter(toks, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length of the normalized text. */
+  def meanWordLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs, low
+    * punctuation, presence of stopwords (C4/Gopher-style). */
+  def qualityScore(c: Column): Column = {
+    val lenScore  = least(tokenCount(c).cast("double") / lit(50.0), lit(1.0))
+    val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + punctPen * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Marker stopwords per language for the n-gram-heuristic language
+    * ID (deterministic, resolves ties by language order). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "las", "una", "es"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Per-language marker-hit count. */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val toks = tokens(c)
+    size(filter(toks, t => markers.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
+  }
+
+  /** Predicted language: argmax of marker hits, 'und' when all zero.
+    * Ties resolve in LangMarkers order (en first). */
+  def langId(c: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(c, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best && best > 0, lit(lang))
+    }
+    pick.otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of normalized text (the reference uses
+    * md5 unique-ids, experiment_cleaner.py:340; here anchored on
+    * normalized content so near-identical whitespace/punct variants
+    * collapse). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Token n-gram shingles (space-joined), for MinHash / Jaccard. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array(normText(c)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+}

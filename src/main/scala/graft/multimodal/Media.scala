@@ -1,0 +1,71 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed in partition-batches (the Scala analog of
+  * a Pandas-UDF / mapInPandas batch: one decoder instantiation per
+  * partition, rows streamed through it).
+  *
+  * Reference provenance: the reference tracks and transforms images
+  * (jobs/transform/images_jpg_generation.py, imaging/) by shelling to
+  * external decoders; here the *decode step is a STUB* (no image/audio
+  * libraries in this container) with a deterministic fake, while the
+  * Spark-side plumbing — schema, binary column, batch shape,
+  * partition-level decoder lifecycle — is real and tested.
+  */
+object Media {
+
+  case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, media_type: String, byte_len: Int,
+                           width: Int, height: Int, checksum: Long)
+
+  /** Wrap a text corpus as a binary media table (simulates ingesting
+    * raw bytes; in production the payload column would come from
+    * `spark.read.format("binaryFile")`). */
+  def asMediaTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** STUB decoder: in production this would call an image/audio codec
+    * (per-partition instantiation, batch decode). The fake derives
+    * deterministic dimensions from the payload checksum so tests can
+    * assert the plumbing end-to-end. */
+  private def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Long) = {
+    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bridge)
+    var crc = 0L
+    var i = 0
+    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
+    val w = 64 + math.floorMod(crc, 1856L).toInt   // fake 64..1919
+    val h = 64 + math.floorMod(crc >> 11, 1016L).toInt
+    (w, h, crc)
+  }
+
+  /** Feature extraction over partition batches. Narrow map — no
+    * shuffle; scales linearly with input bytes. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      // per-partition decoder lifecycle would be initialized here
+      it.map { r =>
+        val (w, h, crc) = decodeStub(r.media_type, r.payload)
+        MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, crc)
+      }
+    }
+  }
+
+  /** End-to-end media pipeline: ingest → features → per-type stats. */
+  def mediaStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val feats = extractFeatures(spark, asMediaTable(documents))
+    feats.groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len").cast("long")).as("total_bytes"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"))
+      .orderBy(col("media_type"))
+  }
+}

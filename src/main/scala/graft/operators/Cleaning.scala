@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cleaning / standardization operators.
+  *
+  * Re-expresses the reference's cleaner stages Spark-first (all
+  * codegen'd built-ins, no UDFs — the reference used Python UDFs for
+  * these, which would be the slowest possible choice on a cluster):
+  *
+  *  - dictionary ID mapping        (experiment_cleaner.py:160 map_centre_ids)
+  *  - suffix truncation            (shared/utils.py:79 truncate_specimen_id)
+  *  - XML-entity unescape          (experiment_cleaner.py:213)
+  *  - drop-if-null required cols   (experiment_cleaner.py:333 drop_if_null)
+  *  - skip-list anti filters       (experiment_cleaner.py:234)
+  *  - MD5 unique-id generation     (experiment_cleaner.py:340 generate_unique_id)
+  */
+object Cleaning {
+
+  /** Map a column's values through a literal dictionary, keeping the
+    * original value when unmapped (mapping is broadcast as a literal
+    * into the plan — zero shuffle, codegen'd CASE WHEN). */
+  def mapValues(colName: String, mapping: Map[String, String],
+                keepUnmapped: Boolean = true)(df: DataFrame): DataFrame = {
+    val c = col(colName)
+    val mapped = mapping.foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, (k, v)) => acc.when(c === lit(k), lit(v))
+    }
+    df.withColumn(colName, if (keepUnmapped) mapped.otherwise(c) else mapped)
+  }
+
+  /** Truncate a legacy suffix `_XXX` from an ID column (the reference's
+    * EuroPhenome specimen/colony suffixes), only for rows matching
+    * `predicate`. */
+  def truncateSuffix(colName: String, predicate: Column)(df: DataFrame): DataFrame =
+    df.withColumn(colName,
+      when(predicate, regexp_replace(col(colName), "_[^_]*$", ""))
+        .otherwise(col(colName)))
+
+  /** Unescape XML entities left behind by upstream extraction. */
+  def unescapeXmlEntities(colName: String)(df: DataFrame): DataFrame =
+    df.withColumn(colName,
+      translate(regexp_replace(regexp_replace(regexp_replace(
+        col(colName), "&lt;", "<"), "&gt;", ">"), "&amp;", "&"), " ", " "))
+
+  /** Drop rows where any required column is null (the reference chains
+    * one `drop_if_null` per column; a single conjunctive filter is one
+    * scan instead of N). */
+  def dropRequiredNulls(required: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(required.map(col(_).isNotNull).reduce(_ && _))
+
+  /** Remove rows whose key appears in a skip list (literal list →
+    * codegen'd NOT IN; for large lists use an anti join instead). */
+  def dropSkipList(colName: String, skip: Seq[String])(df: DataFrame): DataFrame =
+    df.filter(!col(colName).isin(skip: _*))
+
+  /** Large skip list variant: broadcast anti join. */
+  def dropSkipListLarge(df: DataFrame, skipDf: DataFrame, key: String): DataFrame =
+    df.join(broadcast(skipDf), Seq(key), "left_anti")
+
+  /** Generate a deterministic unique id as md5 over the given columns,
+    * null-safe (nulls → ""), as the reference's generate_unique_id
+    * (experiment_cleaner.py:340). Uses a '|' separator so ("ab","c")
+    * and ("a","bc") don't collide — an improvement over the
+    * reference's bare concat. */
+  def withUniqueId(idCol: String, cols: Seq[String])(df: DataFrame): DataFrame =
+    df.withColumn(idCol,
+      md5(concat_ws("|", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))
+}

@@ -1,0 +1,571 @@
+package graft.queries
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-core + cleaning + derived queries (SURVEY §2 A/B/C).
+  *
+  * Oracle-parity conventions (the driver hash-compares against DuckDB):
+  *  - money/double sums are computed over exact decimals and cast to
+  *    double at the end — parallel double summation is merge-order
+  *    dependent, decimal summation is exact in both engines;
+  *  - DuckDB sum(BIGINT) returns HUGEINT → oracles cast to BIGINT;
+  *  - every query ends in a fully deterministic ORDER BY mirrored in
+  *    the oracle (NULLS FIRST to match Spark's ASC default);
+  *  - timestamps cast to DATE in outputs unless sub-day precision is
+  *    the point.
+  */
+object QueriesCore {
+  type Q = (SparkSession, String) => DataFrame
+
+  // exact-decimal money sum → double
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(18,2)")).cast("double")
+  private val revenue =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+
+  val queries: Map[String, Q] = Map(
+    // ───────────────────────── A. relational core ─────────────────────────
+    "q_agg_pricing" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_filter_project" -> ((s, d) => {
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_join_broadcast" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(revenue).cast("double").as("brand_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    "q_join_multi" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .join(t.orders, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(revenue).cast("double").as("nation_revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders.filter(col("o_totalprice") > 200000), // EXISTS
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      // skip-list drop analog (experiment_cleaner.py:234): NOT EXISTS
+      t.customer
+        .join(t.orders.filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_union_sources" -> ((s, d) => {
+      val t = Tables(s, d)
+      val high = t.orders.filter(col("o_totalprice") > 150000)
+        .withColumn("src", lit("high_value"))
+      val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("src", lit("urgent"))
+      high.unionByName(urgent)
+        .groupBy("src", "o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("src", "o_orderstatus")
+    }),
+
+    "q_distinct_dedup" -> ((s, d) => {
+      // deterministic keep-first dedup (specimen_cleaner analog):
+      // earliest order per (custkey, status), ties by orderkey
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy("o_custkey", "o_orderstatus")
+    }),
+
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("delta", col("value") - col("prev_value"))
+        .select("event_id", "user_id", "value", "prev_value", "delta")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(s, d).lineitem
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q_topk_per_group" -> ((s, d) => {
+      val t = Tables(s, d)
+      val rev = t.lineitem.join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(sum(revenue).cast("double").as("part_revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("part_revenue").desc, col("p_partkey"))
+      rev.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("p_brand", "rk", "p_partkey", "part_revenue")
+        .orderBy("p_brand", "rk")
+    }),
+
+    "q_pivot_priority" -> ((s, d) => {
+      Reshape.pivot(Seq("o_orderstatus"), "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        count(lit(1)))(Tables(s, d).orders)
+        .toDF("o_orderstatus", "n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_unpivot_measures" -> ((s, d) => {
+      // observation-mapper analog (observation_mapper.py): wide → long
+      Reshape.unpivot(Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        "measure", "value")(Tables(s, d).lineitem)
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+
+    "q_cond_agg" -> ((s, d) => {
+      Tables(s, d).orders
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("urgent_price"),
+          count(lit(1)).as("n_total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_collect_set" -> ((s, d) => {
+      // collect_set analog (stats_results_mapper.py) — sorted for
+      // determinism, string-joined for oracle comparability
+      Tables(s, d).orders
+        .groupBy("o_custkey")
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }),
+
+    // ─────────────────────── B. cleaning / standardization ───────────────────────
+    "q_clean_ids" -> ((s, d) => {
+      val segMap = Map("AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLD",
+        "FURNITURE" -> "FURN", "HOUSEHOLD" -> "HH", "MACHINERY" -> "MACH")
+      Tables(s, d).customer
+        .transform(Cleaning.mapValues("c_mktsegment", segMap))
+        .transform(Cleaning.unescapeXmlEntities("c_name"))
+        .withColumn("name_clean", upper(trim(col("c_name"))))
+        .select("c_custkey", "c_mktsegment", "name_clean")
+        .orderBy("c_custkey")
+    }),
+
+    "q_null_policy" -> ((s, d) => {
+      Tables(s, d).customer
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")))
+        .transform(Cleaning.dropRequiredNulls(Seq("c_name", "c_mktsegment")))
+        .withColumn("bal_filled", coalesce(col("bal"), lit(0.0)))
+        .withColumn("bal_was_missing", col("bal").isNull)
+        .select("c_custkey", "bal_filled", "bal_was_missing")
+        .orderBy("c_custkey")
+    }),
+
+    "q_unique_id" -> ((s, d) => {
+      Tables(s, d).orders
+        .withColumn("order_date_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .transform(Cleaning.withUniqueId("unique_id",
+          Seq("o_orderkey", "o_custkey", "order_date_str", "o_orderstatus")))
+        .select("o_orderkey", "unique_id")
+        .orderBy("o_orderkey")
+    }),
+
+    "q_regex_extract" -> ((s, d) => {
+      Tables(s, d).part
+        .withColumn("type_class", regexp_extract(col("p_type"), "^([A-Z]+)", 1))
+        .withColumn("brand_num", regexp_extract(col("p_brand"), "([0-9]+)$", 1))
+        .withColumn("name_slug", regexp_replace(lower(col("p_name")), "[^a-z0-9]+", "-"))
+        .select("p_partkey", "type_class", "brand_num", "name_slug")
+        .orderBy("p_partkey")
+    }),
+
+    "q_date_features" -> ((s, d) => {
+      Tables(s, d).orders
+        .withColumn("o_date", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          year(col("o_date")).as("order_year"),
+          month(col("o_date")).as("order_month"),
+          quarter(col("o_date")).as("order_quarter"),
+          datediff(lit("2002-01-01").cast("date"), col("o_date")).as("age_days"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ───────────────────────── C. derived / advanced ─────────────────────────
+    "q_asof_nearest" -> ((s, d) => {
+      // closest-body-weight analog (experiment_bw_age_calculator.py:291):
+      // for each click, the nearest purchase by the same user within 2h
+      val t = Tables(s, d)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOf.nearest(clicks, purchases,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("purchase_id", "purchase_value"),
+          toleranceSec = 7200L, rightTieBreak = "purchase_id")
+        .select("event_id", "user_id", "purchase_id", "purchase_value", "asof_diff_sec")
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_json_extract" -> ((s, d) => {
+      Tables(s, d).events
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .orderBy("k")
+    }),
+
+    "q_sessionize" -> ((s, d) => {
+      Sessionize.sessionStats(Tables(s, d).events, "user_id", "ts", "value", 1800L)
+        .withColumn("value_sum",
+          round(col("value_sum").cast("decimal(28,2)").cast("double"), 2))
+        .select(col("user_id"), col("session_seq"),
+          col("n_events"), col("value_sum"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q_time_bucket" -> ((s, d) => {
+      Tables(s, d).events
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    "q_skew_salted_agg" -> ((s, d) => {
+      // two-phase salted aggregation: partial by (key, salt) then final
+      // by key — identical results to a direct groupBy (the oracle), but
+      // the first shuffle spreads a hot key over 16 reducers
+      Tables(s, d).events
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,2)")).as("pv"))
+        .groupBy("user_id")
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).cast("double").as("value_sum"))
+        .orderBy("user_id")
+    }),
+
+    "q_approx_distinct" -> ((s, d) => {
+      // HLL sketch — approximate, no exact oracle (rows-only check)
+      Tables(s, d).events
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("value"), 0.01).as("approx_values"))
+        .orderBy("event_type")
+    }),
+
+    "q_struct_flatten" -> ((s, d) => {
+      // nested-struct build + recursive flatten (shared/utils.py:49)
+      val nested = Tables(s, d).customer.select(
+        col("c_custkey"),
+        struct(
+          struct(col("c_name").as("name"), col("c_mktsegment").as("segment")).as("profile"),
+          col("c_acctbal").as("balance")).as("info"))
+      Reshape.flattenStruct(nested)
+        .orderBy("c_custkey")
+    }),
+
+    "q_derived_params" -> ((s, d) => {
+      // parameter-derivator analog (experiment_parameter_derivator.py):
+      // formula-derived columns over existing measures
+      Tables(s, d).lineitem
+        .withColumn("net_price", revenue.cast("double"))
+        .withColumn("gross_price",
+          (revenue * (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)")))
+            .cast("double"))
+        .withColumn("charge_ratio",
+          round(col("gross_price") / col("l_extendedprice"), 6))
+        .select("l_orderkey", "l_linenumber", "net_price", "gross_price", "charge_ratio")
+        .orderBy("l_orderkey", "l_linenumber")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, strftime(cast(l_shipdate as date), '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS brand_revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS nation_revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_union_sources" ->
+      """SELECT src, o_orderstatus, count(*) AS n,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        |FROM (
+        | SELECT 'high_value' AS src, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 150000
+        | UNION ALL
+        | SELECT 'urgent' AS src, o_orderstatus, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_distinct_dedup" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey, strftime(cast(o_orderdate as date), '%Y-%m-%d') AS order_date
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey, o_orderstatus""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, strftime(cast(o_orderdate as date), '%Y-%m-%d') AS last_order_date, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | cast(sum(cast(l_quantity as decimal(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, cast(rk as int) AS rk, p_partkey, part_revenue FROM (
+        | SELECT p_brand, p_partkey, part_revenue,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY part_revenue DESC, p_partkey) AS rk
+        | FROM (
+        |  SELECT p_brand, p_partkey,
+        |   cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS part_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2))
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+
+    "q_pivot_priority" ->
+      """SELECT o_orderstatus,
+        | cast(count(*) FILTER (o_orderpriority = '1-URGENT') as bigint) AS n_urgent,
+        | cast(count(*) FILTER (o_orderpriority = '2-HIGH') as bigint) AS n_high,
+        | cast(count(*) FILTER (o_orderpriority = '3-MEDIUM') as bigint) AS n_medium,
+        | cast(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') as bigint) AS n_notspec,
+        | cast(count(*) FILTER (o_orderpriority = '5-LOW') as bigint) AS n_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, cast(l_quantity as double) AS value FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice', cast(l_extendedprice as double) FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', cast(l_discount as double) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        | cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "q_cond_agg" ->
+      """SELECT o_orderstatus,
+        | cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) as bigint) AS n_urgent,
+        | cast(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN cast(o_totalprice as decimal(18,2)) END) as double) AS urgent_price,
+        | count(*) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_collect_set" ->
+      """SELECT o_custkey,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_clean_ids" ->
+      """SELECT c_custkey,
+        | CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'BUILDING' THEN 'BLD'
+        |  WHEN 'FURNITURE' THEN 'FURN' WHEN 'HOUSEHOLD' THEN 'HH' WHEN 'MACHINERY' THEN 'MACH'
+        |  ELSE c_mktsegment END AS c_mktsegment,
+        | upper(trim(replace(replace(replace(c_name, '&lt;', '<'), '&gt;', '>'), '&amp;', '&'))) AS name_clean
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_null_policy" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_filled,
+        | c_acctbal < 0 AS bal_was_missing
+        |FROM customer WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_unique_id" ->
+      """SELECT o_orderkey,
+        | md5(concat_ws('|', cast(o_orderkey as varchar), cast(o_custkey as varchar),
+        |  strftime(cast(o_orderdate as date), '%Y-%m-%d'), o_orderstatus)) AS unique_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_type, '^([A-Z]+)', 1) AS type_class,
+        | regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num,
+        | regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g') AS name_slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_features" ->
+      """SELECT o_orderkey,
+        | cast(year(cast(o_orderdate as date)) as int) AS order_year,
+        | cast(month(cast(o_orderdate as date)) as int) AS order_month,
+        | cast(quarter(cast(o_orderdate as date)) as int) AS order_quarter,
+        | cast(date_diff('day', cast(o_orderdate as date), DATE '2002-01-01') as int) AS age_days
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        | purchases AS (SELECT event_id AS purchase_id, user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'),
+        | ranked AS (
+        |  SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value,
+        |   abs(epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp))) AS diff_us,
+        |   row_number() OVER (PARTITION BY c.event_id
+        |     ORDER BY abs(epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp))), p.ts, p.purchase_id) AS rn
+        |  FROM clicks c JOIN purchases p
+        |   ON p.user_id = c.user_id AND abs(epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp))) <= 7200000000)
+        |SELECT c.event_id, c.user_id, r.purchase_id, r.purchase_value,
+        |  cast(r.diff_us as double) / 1000000 AS asof_diff_sec
+        |FROM clicks c LEFT JOIN ranked r ON r.event_id = c.event_id AND r.rn = 1
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT cast(json_extract_string(props, '$.k') as int) AS k, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR epoch_us(cast(ts as timestamp)) - epoch_us(cast(lag(ts) OVER w as timestamp)) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        | SELECT user_id, ts, value,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, cast(session_seq as bigint) AS session_seq, count(*) AS n_events,
+        | round(cast(sum(cast(value as decimal(18,2))) as double), 2) AS value_sum
+        |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket,
+        | event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_struct_flatten" ->
+      """SELECT c_custkey, c_name AS info_profile_name, c_mktsegment AS info_profile_segment,
+        | c_acctbal AS info_balance
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_derived_params" ->
+      """SELECT l_orderkey, l_linenumber,
+        | cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as double) AS net_price,
+        | cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) * (cast(1 as decimal(18,2)) + cast(l_tax as decimal(18,2))) as double) AS gross_price,
+        | round(cast(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) * (cast(1 as decimal(18,2)) + cast(l_tax as decimal(18,2))) as double) / l_extendedprice, 6) AS charge_ratio
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.multimodal.Media
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis / dedup / similarity / multimodal / streaming queries
+  * (SURVEY §2 D/E) — the LLM-training-data-pipeline operator family.
+  */
+object QueriesText {
+  type Q = (SparkSession, String) => DataFrame
+
+  // DuckDB replica of TextFunctions.normText — keep in sync
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def toksSql = s"string_split($normSql, ' ')"
+
+  val queries: Map[String, Q] = Map(
+    "q_token_count" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, d) => {
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang").as("lang_actual"),
+          langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, d) => {
+      Tables(s, d).documents
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("fp")
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exact(Tables(s, d).documents, "doc_id", "text")
+        .select(col("fp"), col("doc_id").as("keep_id"), col("n_dups"))
+        .orderBy("fp")
+    }),
+
+    "q_dedup_ngram" -> ((s, d) => {
+      Dedup.ngramJaccard(Tables(s, d).documents, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_minhash" -> ((s, d) => {
+      Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 8, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, d) => {
+      Dedup.simHashDups(Tables(s, d).documents, "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_embed_norm" -> ((s, d) => {
+      Tables(s, d).embeddings
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          round(sqrt(VectorFunctions.dotHof(col("embedding"), col("embedding"))), 6)
+            .as("l2_norm"),
+          round(VectorFunctions.dotHof(col("embedding"), col("embedding")), 6)
+            .as("sq_sum"))
+        .orderBy("vec_id")
+    }),
+
+    "q_ann_bruteforce" -> ((s, d) => {
+      val t = Tables(s, d)
+      // oracle-parity path: builtin-HOF cosine (deterministic left fold)
+      Similarity.bruteForceTopK(t.embeddings,
+          t.embeddings.filter(col("vec_id") < 3), k = 5, useNative = false)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
+          k = 5, planes = 8, dim = 64)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q_media_pipeline" -> ((s, d) => {
+      Media.mediaStats(s, Tables(s, d).documents)
+    }),
+
+    "q_stream_window" -> ((s, d) => {
+      EventStream.runBatchEquivalent(s, d)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length($normSql) = 0 THEN 0 ELSE cast(len($toksSql) as int) END AS n_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text, $normSql AS norm,
+         |  CASE WHEN length($normSql) = 0 THEN 0 ELSE cast(len($toksSql) as int) END AS n_tokens,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |   ELSE cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as double) / length(text) END AS punct_ratio,
+         |  CASE WHEN len($toksSql) = 0 THEN 0.0
+         |   ELSE cast(len(list_filter($toksSql, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this','be'))) as double) / len($toksSql) END AS stop_ratio
+         | FROM documents)
+         |SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+         | round(stop_ratio, 6) AS stop_ratio,
+         | round(least(cast(n_tokens as double) / 50.0, 1.0) * 0.4
+         |  + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+         |  + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH scored AS (
+         | SELECT doc_id, lang AS lang_actual,
+         |  len(list_filter($toksSql, x -> x IN ('the','and','of','is','with'))) AS s_en,
+         |  len(list_filter($toksSql, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter($toksSql, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         |  len(list_filter($toksSql, x -> x IN ('el','los','las','una','es'))) AS s_es,
+         |  len(list_filter($toksSql, x -> x IN ('de','shi','le','zai','he'))) AS s_zh
+         | FROM documents),
+         |best AS (SELECT *, greatest(s_en, s_fr, s_de, s_es, s_zh) AS b FROM scored)
+         |SELECT doc_id, lang_actual,
+         | CASE WHEN s_en = b AND b > 0 THEN 'en'
+         |      WHEN s_fr = b AND b > 0 THEN 'fr'
+         |      WHEN s_de = b AND b > 0 THEN 'de'
+         |      WHEN s_es = b AND b > 0 THEN 'es'
+         |      WHEN s_zh = b AND b > 0 THEN 'zh'
+         |      ELSE 'und' END AS lang_pred
+         |FROM best ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id, cast(len(embedding) as int) AS dim,
+        | round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 6) AS l2_norm,
+        | round(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))), 6) AS sq_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        | pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |     p -> cast(p[1] as double) * cast(p[2] as double)))
+        |   / (sqrt(list_sum(list_transform(q.qv, x -> cast(x as double) * cast(x as double))))
+        |    * sqrt(list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))))) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, cast(rk as int) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+        | event_type, count(*) AS n_events,
+        | round(cast(sum(cast(value as decimal(28,15))) as double), 4) AS value_sum
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+}

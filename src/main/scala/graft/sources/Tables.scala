@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Typed access to the benchmark tables plus generic readers for the
+  * source formats the reference consumes (TSV/CSV with explicit schema
+  * and malformed-row dropping, JSON, parquet).
+  *
+  * Reference provenance: impc_etl/shared/utils.py:20 (extract_tsv with
+  * DROPMALFORMED), impc_etl/jobs/extract (parquet/XML/JSON extractors).
+  * XML nesting is represented here as nested parquet structs; see
+  * [[graft.operators.Reshape.flattenStruct]] for the generic flattener.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and truncate to
+    * microseconds (integer `div` — a double division would lose
+    * precision above 2^53). DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    * truncates identically. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+
+  /** TSV reader with schema + DROPMALFORMED, as the reference's
+    * extract_tsv (shared/utils.py:20). */
+  def readTsv(spark: SparkSession, path: String, schema: StructType = null,
+              header: Boolean = true): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("sep", "\t")
+      .option("mode", "DROPMALFORMED")
+    (if (schema != null) base.schema(schema) else base.option("inferSchema", "false")).csv(path)
+  }
+
+  /** CSV reader with the same malformed-drop posture. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType = null,
+              header: Boolean = true): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("mode", "DROPMALFORMED")
+    (if (schema != null) base.schema(schema) else base.option("inferSchema", "false")).csv(path)
+  }
+
+  /** JSON reader (line-delimited by default; multiline for document-style
+    * payloads like the reference's IMPReSS extracts). */
+  def readJson(spark: SparkSession, path: String, multiline: Boolean = false): DataFrame =
+    spark.read.option("multiline", multiline.toString).json(path)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming over the events table: file source → watermark
+  * → tumbling-window aggregation → sink.
+  *
+  * The same declarative plan serves batch and streaming; at scale the
+  * source becomes Kafka and the sink a partitioned parquet/Delta
+  * table — the watermark bounds state, and the window aggregation is
+  * partial-aggregated before the shuffle exactly like the batch twin.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums per event_type (bucket emitted as a
+    * formatted string for oracle dtype parity). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        cast_sum_value)
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+
+  private def cast_sum_value =
+    round(sum(col("value").cast("decimal(28,15)")).cast("double"), 4).as("value_sum")
+
+  /** Run the streaming query synchronously over a static parquet dir
+    * (memory sink), returning the final result — lets the batch
+    * correctness oracle check streaming semantics. */
+  def runBatchEquivalent(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_stream"): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the file source needs a directory; glob-filter down to events
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = windowedAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    if (q.isActive) q.stop()
+    spark.table(queryName)
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** Gap-based session windows, streaming-native (session_window). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+}
