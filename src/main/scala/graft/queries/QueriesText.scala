@@ -95,7 +95,7 @@ object QueriesText {
     "q_ann_lsh" -> ((s, d) => {
       val t = Tables(s, d)
       Similarity.lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
-          k = 5, planes = 8, dim = 64)
+          k = 5, tables = 8, planes = 4, dim = 64)
         .orderBy("query_id", "rk")
     }),
 

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CleaningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("mapValues maps known keys, keeps unmapped") {
+    val df = Seq("gmc", "h", "zzz").toDF("centre")
+    val out = Cleaning.mapValues("centre", Map("gmc" -> "HMGU", "h" -> "HARWELL"))(df)
+      .as[String].collect().toSet
+    assert(out == Set("HMGU", "HARWELL", "zzz"))
+  }
+
+  test("truncateSuffix drops last _segment only for matching rows") {
+    val df = Seq(("232328312_HRW", "europhenome"), ("ABC_123", "impc")).toDF("id", "src")
+    val out = Cleaning.truncateSuffix("id", col("src") === "europhenome")(df)
+      .select("id").as[String].collect().toSet
+    assert(out == Set("232328312", "ABC_123"))
+  }
+
+  test("unescapeXmlEntities replaces lt/gt/amp") {
+    val df = Seq("Foo&lt;tm1a&gt;&amp;x").toDF("c")
+    assert(Cleaning.unescapeXmlEntities("c")(df).as[String].head() == "Foo<tm1a>&x")
+  }
+
+  test("dropRequiredNulls drops any-null rows; uniqueId deterministic and null-safe") {
+    val df = Seq((Some("a"), Some("b")), (None, Some("b")), (Some("a"), None))
+      .toDF("x", "y")
+    assert(Cleaning.dropRequiredNulls(Seq("x", "y"))(df).count() == 1)
+    val ids = Seq(("a", "b"), ("a", "b"), ("ab", ""))
+      .toDF("x", "y")
+      .transform(Cleaning.withUniqueId("uid", Seq("x", "y")))
+      .select("uid").as[String].collect()
+    assert(ids(0) == ids(1))      // same inputs → same id
+    assert(ids(0) != ids(2))      // separator prevents ("a","b") == ("ab","")
+  }
+}
+
+class ReshapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("unpivot wide→long preserves values") {
+    val df = Seq((1L, 2.0, 3.0)).toDF("id", "m1", "m2")
+    val out = Reshape.unpivot(Seq("id"), Seq("m1", "m2"))(df)
+      .orderBy("key").as[(Long, String, Double)].collect()
+    assert(out.toSeq == Seq((1L, "m1", 2.0), (1L, "m2", 3.0)))
+  }
+
+  test("flattenStruct flattens nested structs with path names") {
+    val df = Seq((1, ("n", (5.0, "s")))).toDF("id", "a")
+      .select(col("id"), struct(col("a._1").as("name"),
+        struct(col("a._2._1").as("bal"), col("a._2._2").as("seg")).as("inner")).as("info"))
+    val out = Reshape.flattenStruct(df)
+    assert(out.columns.toSeq == Seq("id", "info_name", "info_inner_bal", "info_inner_seg"))
+    assert(out.count() == 1)
+  }
+
+  test("collectSortedSet returns sorted distinct array") {
+    val df = Seq((1, "b"), (1, "a"), (1, "b")).toDF("k", "v")
+    val out = Reshape.collectSortedSet(Seq("k"), "v", "vals")(df)
+      .select("vals").as[Seq[String]].head()
+    assert(out == Seq("a", "b"))
+  }
+}
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("nearest picks closest within tolerance, both directions, null outside") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),   // purchase 100 @11:30 (30m back) vs 101 @13:00 (60m fwd) → 100
+      (2L, 10L, ts("2024-01-01 12:50:00")),   // 101 @13:00 is 10m fwd → 101
+      (3L, 11L, ts("2024-01-01 12:00:00")),   // other user, no events → null
+      (4L, 10L, ts("2024-01-05 00:00:00")))   // > tolerance from all → null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 11:30:00"), 5.0),
+      (101L, 10L, ts("2024-01-01 13:00:00"), 7.0))
+      .toDF("purchase_id", "user_id", "ts", "purchase_value")
+
+    val rows = AsOf.nearest(left, right, "user_id", "user_id", "ts", "ts",
+        Seq("purchase_id", "purchase_value"), 7200L, "purchase_id")
+      .orderBy("event_id").collect()
+    assert(rows(0).getAs[Long]("purchase_id") == 100L)
+    assert(rows(0).getAs[Double]("asof_diff_sec") == 1800.0)
+    assert(rows(1).getAs[Long]("purchase_id") == 101L)
+    assert(rows(1).getAs[Double]("asof_diff_sec") == 600.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("purchase_id")))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("purchase_id")))
+  }
+
+  test("equidistant tie resolves backward (earlier right row)") {
+    val left = Seq((1L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (200L, 1L, ts("2024-01-01 11:00:00"), 1.0),
+      (201L, 1L, ts("2024-01-01 13:00:00"), 2.0)).toDF("purchase_id", "user_id", "ts", "purchase_value")
+    val r = AsOf.nearest(left, right, "user_id", "user_id", "ts", "ts",
+      Seq("purchase_id"), 7200L, "purchase_id").collect().head
+    assert(r.getAs[Long]("purchase_id") == 200L)
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("gap > threshold starts a new session") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 1.0),   // same session (10m gap)
+      (1L, ts("2024-01-01 11:30:00"), 1.0),   // new session (80m gap)
+      (2L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val out = Sessionize.sessionStats(df, "user_id", "ts", "value", 1800L)
+      .orderBy("user_id", "session_seq").collect()
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("n_events") == 1)
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenCount and normalization collapse punctuation/whitespace") {
+    val df = Seq("Hello,   WORLD!! ", "", "one two three").toDF("text")
+    val out = df.select(TextFunctions.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(out == Seq(2, 0, 3))
+  }
+
+  test("fingerprint is invariant to case/punct/extra spaces") {
+    val df = Seq("The cat, sat.", "the  CAT sat", "a dog").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq("the cat and the dog of it is with",
+      "le chat et la mer les des", "xyzzy qwerty").toDF("text")
+    val out = df.select(TextFunctions.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "fr", "und"))
+  }
+
+  test("qualityScore in [0,1], higher for fluent text") {
+    val good = "the cat sat on the mat and it was a good day for all of the cats " * 2
+    val bad = "@@@@ #### !!!! %%%%"
+    val df = Seq(good, bad).toDF("text")
+    val s = df.select(TextFunctions.qualityScore(col("text"))).as[Double].collect()
+    assert(s.forall(x => x >= 0.0 && x <= 1.0) && s(0) > s(1))
+  }
+
+  test("shingles produce n-grams in order") {
+    val out = Seq("a b c d").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE QUICK  brown fox, jumps over the lazy dog near the river bank today"), // exact dup of 1 after norm
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup of 1
+    (4L, "completely different content about spark engines and distributed shuffles ok"),
+    (5L, "another unrelated document mentioning embeddings vectors and cosine metrics"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses normalized duplicates keeping min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    val dup = out.filter(col("n_dups") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance 0 for exact normalized dup") {
+    val sigs = Dedup.withSimHash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 10)
+  }
+
+  test("ngram jaccard near-dups score high for small edits") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", shingleN = 2, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("FloatVecDot matches HOF dot and plain math") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val native = df.select(VectorFunctions.vecDot(col("a"), col("b"))).as[Double].head()
+    val hof = df.select(VectorFunctions.dotHof(col("a"), col("b"))).as[Double].head()
+    assert(native == 32.0 && hof == 32.0)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(emb, q, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, 5).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // bucketing is approximate: require non-trivial overlap and same-bucket sanity
+    assert(lsh.nonEmpty && (lsh & bf).nonEmpty)
+  }
+}
+
+class MediaStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("media pipeline: binary plumbing + deterministic stub features") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val feats = graft.multimodal.Media.extractFeatures(
+      spark, graft.multimodal.Media.asMediaTable(docs))
+    val f = feats.filter(col("media_id") === 0).collect().head
+    assert(f.byte_len > 0 && f.width >= 64 && f.width < 1920)
+    // determinism
+    val f2 = graft.multimodal.Media.extractFeatures(
+      spark, graft.multimodal.Media.asMediaTable(docs))
+      .filter(col("media_id") === 0).collect().head
+    assert(f == f2)
+  }
+
+  test("streaming windowed agg equals batch equivalent") {
+    val streamed = graft.streaming.EventStream
+      .runBatchEquivalent(spark, SparkTestSession.sfDir, "t_stream")
+      .collect()
+    val batch = graft.queries.QueriesText.queries("q_stream_window") // same code path
+    val tbl = graft.sources.Tables(spark, SparkTestSession.sfDir).events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(28,15)")).cast("double"), 4).as("value_sum"))
+      .orderBy("bucket_start", "event_type").collect()
+    assert(streamed.map(_.toString).toSeq == tbl.map(_.toString).toSeq)
+  }
+}
+
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}
