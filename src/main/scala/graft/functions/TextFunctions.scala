@@ -90,11 +90,17 @@ object TextFunctions {
     * collapse). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Token n-gram shingles (space-joined), for MinHash / Jaccard. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array(normText(c)))
+  /** Token n-gram shingles over a MATERIALIZED tokens column (pass a
+    * column reference, not `tokens(text)` — Catalyst does not
+    * common-subexpression-eliminate through higher-order-function
+    * lambdas, so an inline expression would re-run the whole regex
+    * normalization once per shingle index: O(n²) per document). */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** Convenience one-shot form — only for tiny inputs / tests; real
+    * pipelines should materialize tokens first (see shinglesOfTokens). */
+  def shingles(c: Column, n: Int): Column = shinglesOfTokens(tokens(c), n)
 }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   *  - brute-force: exact cosine top-k against a SMALL broadcast query
   *    set (queries × corpus narrow map — no shuffle until top-k)
-  *  - LSH (random hyperplanes): the scale path — corpus shuffles once
-  *    by bucket id; queries probe only their own bucket.
+  *  - LSH (random hyperplanes, multi-table): the scale path — corpus
+  *    shuffles once by (table, bucket); queries probe their buckets.
+  *
+  * Hot loop is the native FloatVecDot Catalyst expression; norms are
+  * computed once per side, never per pair.
   */
 object Similarity {
 
@@ -19,18 +22,17 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      useNative: Boolean = true): DataFrame = {
+    def dot(a: Column, b: Column) =
+      if (useNative) VectorFunctions.vecDot(a, b) else VectorFunctions.dotHof(a, b)
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__cn", sqrt(dot(col(vecCol), col(vecCol))))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val cos =
-      if (useNative) VectorFunctions.cosine(col("__qv"), col(vecCol))
-      else {
-        val d  = VectorFunctions.dotHof(col("__qv"), col(vecCol))
-        val nq = VectorFunctions.normHof(col("__qv"))
-        val nc = VectorFunctions.normHof(col(vecCol))
-        when(nq === 0 || nc === 0, lit(0.0)).otherwise(d / (nq * nc))
-      }
-    val scored = corpus.crossJoin(broadcast(q))
+      .withColumn("__qn", sqrt(dot(col("__qv"), col("__qv"))))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col(idCol))
-      .withColumn("cosine", cos)
+      .withColumn("cosine",
+        when(col("__cn") === 0 || col("__qn") === 0, lit(0.0))
+          .otherwise(dot(col("__qv"), col(vecCol)) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w))
@@ -39,28 +41,25 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
 
-  /** Sign bit of the vector against deterministic pseudo-random
-    * hyperplane `p` (components derived from xxhash64(p, dim index)
-    * mapped to [-1, 1]). */
-  private def planeBit(vecCol: String, p: Int, dim: Int): Column = {
-    val dot = aggregate(
-      zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)), (x, i) => {
-        val h = xxhash64(lit(p), i)
-        val r = (pmod(h, lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
-        x.cast("double") * r
-      }),
-      lit(0.0), (acc, v) => acc + v)
-    when(dot > 0, lit(1L)).otherwise(lit(0L))
+  /** Deterministic pseudo-random hyperplane `p` (seeded PRNG — stable
+    * across runs and JVMs). */
+  private def planeVec(p: Int, dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(0x5DEECE66DL * (p + 1) + 11L)
+    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
   }
 
   /** Multi-table random-hyperplane LSH: `tables` independent bucket
-    * ids, each from `planes` sign bits. Output rows are exploded per
-    * table — (table, bucket) is the shuffle key at scale. */
+    * ids, each from `planes` sign bits (sign = native dot against a
+    * literal plane vector — codegen'd, no per-element lambdas).
+    * Output rows are exploded per table — (table, bucket) is the
+    * shuffle key at scale. */
   def withLshBuckets(df: DataFrame, vecCol: String, tables: Int, planes: Int,
                      dim: Int): DataFrame = {
     val bucketForTable = (t: Int) =>
-      (0 until planes).map(b => planeBit(vecCol, t * planes + b, dim) * (1L << b))
-        .reduce(_ + _)
+      (0 until planes).map { b =>
+        val plane = typedlit(planeVec(t * planes + b, dim))
+        when(VectorFunctions.vecDot(col(vecCol), plane) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
     df.withColumn("lsh", explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), bucketForTable(t).as("bucket"))): _*)))
       .select(df.columns.map(col) :+ col("lsh.tbl") :+ col("lsh.bucket"): _*)

@@ -86,9 +86,10 @@ object QueriesText {
 
     "q_ann_bruteforce" -> ((s, d) => {
       val t = Tables(s, d)
-      // oracle-parity path: builtin-HOF cosine (deterministic left fold)
+      // native FloatVecDot folds left-to-right exactly like the
+      // oracle's sequential list_sum — bit-identical doubles
       Similarity.bruteForceTopK(t.embeddings,
-          t.embeddings.filter(col("vec_id") < 3), k = 5, useNative = false)
+          t.embeddings.filter(col("vec_id") < 3), k = 5, useNative = true)
         .orderBy("query_id", "rk")
     }),
 
