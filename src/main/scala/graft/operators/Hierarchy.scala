@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy / transitive-closure operators.
+  *
+  * Reference provenance: jobs/extract/ontology_hierarchy_extractor.py —
+  * the reference walks ontology parent edges to produce, per term, its
+  * ancestor chain (intermediate terms, top-level terms). Re-expressed
+  * as an iterative self-join to fixpoint (each round doubles nothing:
+  * it extends paths by one edge; rounds = max depth, each one shuffle
+  * on the frontier only).
+  */
+object Hierarchy {
+
+  /** Ancestor closure of an edge table (child, parent): returns
+    * (node, ancestor, depth>=1) for every ancestor reachable via
+    * parent edges. `maxDepth` bounds runaway cycles.
+    *
+    * Scale: each iteration joins the current frontier (paths that
+    * extended last round) against the edge table — broadcast when the
+    * edge table is dimension-sized, shuffle-join otherwise. Work per
+    * round is O(|frontier|), not O(|closure|).
+    */
+  def ancestors(edges: DataFrame, childCol: String, parentCol: String,
+                maxDepth: Int = 20): DataFrame = {
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
+      .filter(col("anc").isNotNull)
+      .withColumn("depth", lit(1))
+    var closure = e
+    var frontier = e
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.anc") === col("e.node"))
+        .select(col("f.node").as("node"), col("e.anc").as("anc"),
+          (col("f.depth") + 1).as("depth"))
+      frontier = next
+      closure = closure.unionByName(next)
+      d += 1
+    }
+    closure.dropDuplicates("node", "anc")
+  }
+
+  /** Root (top-level ancestor) per node: the ancestor at max depth. */
+  def roots(closureDf: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("depth").desc, col("anc"))
+    closureDf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("anc").as("root"), col("depth").as("root_depth"))
+  }
+}
