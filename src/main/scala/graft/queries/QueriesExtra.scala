@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Hierarchy
+import graft.operators.{Diff, Hierarchy, Reshape}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -12,6 +12,76 @@ object QueriesExtra {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+
+    "q_dataset_diff" -> ((s, d) => {
+      // data-release diff (jobs/compare/dr_diff.py analog):
+      // old = pre-1999 orders, new = 1996+ orders with F-status prices
+      // restated — classify keys added/removed/changed/unchanged
+      val t = Tables(s, d)
+      def priceStr(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(18,2)").cast("string")
+      val old = t.orders.filter(year(col("o_orderdate")) < 1999)
+        .select(col("o_orderkey"), priceStr(col("o_totalprice")).as("price_str"),
+          col("o_orderstatus"))
+      val nw = t.orders.filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey"),
+          priceStr(when(col("o_orderstatus") === "F",
+            col("o_totalprice") * 2).otherwise(col("o_totalprice"))).as("price_str"),
+          col("o_orderstatus"))
+      Diff.snapshotDiff(old, nw, "o_orderkey", Seq("price_str", "o_orderstatus"))
+        .groupBy("diff_status").agg(count(lit(1)).as("n"))
+        .orderBy("diff_status")
+    }),
+
+    "q_group_stats" -> ((s, d) => {
+      // stats-pipeline input analog: per-group n/mean/stddev, stddev
+      // from exact decimal sums (parallel Welford merges are
+      // order-dependent; this is deterministic)
+      val t = Tables(s, d)
+      val sDec  = sum(col("value").cast("decimal(28,2)")).cast("double")
+      val sqDec = sum((col("value").cast("decimal(18,2)") *
+        col("value").cast("decimal(18,2)"))).cast("double")
+      t.events.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sDec.as("__s"), sqDec.as("__sq"))
+        .select(col("event_type"), col("n"),
+          round(col("__s") / col("n"), 6).as("mean_value"),
+          round(sqrt((col("__sq") - col("__s") * col("__s") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_value"))
+        .orderBy("event_type")
+    }),
+
+    "q_observations" -> ((s, d) => {
+      // observation-mapper analog (jobs/load/observation_mapper.py):
+      // wide experiment rows -> long typed observation rows, numeric
+      // and categorical parameters unioned with type tags
+      val t = Tables(s, d)
+      val num = Reshape.unpivot(Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          "parameter", "data_point")(t.lineitem)
+        .withColumn("observation_type", lit("unidimensional"))
+        .withColumn("text_value", lit(null).cast("string"))
+      val cat = t.lineitem.selectExpr("l_orderkey", "l_linenumber",
+          "stack(2, 'l_returnflag', l_returnflag, 'l_linestatus', l_linestatus) as (parameter, text_value)")
+        .withColumn("observation_type", lit("categorical"))
+        .withColumn("data_point", lit(null).cast("double"))
+      num.unionByName(cat)
+        .select("l_orderkey", "l_linenumber", "parameter", "observation_type",
+          "data_point", "text_value")
+        .orderBy("l_orderkey", "l_linenumber", "parameter")
+    }),
+
+    "q_doc_json" -> ((s, d) => {
+      // solr/mongo document-mapper analog: nested doc struct -> JSON
+      val t = Tables(s, d)
+      t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"),
+          to_json(struct(
+            col("c_custkey").as("customer_id"),
+            col("c_name").as("name"),
+            col("c_mktsegment").as("segment"),
+            col("n_name").as("nation"))).as("doc"))
+        .orderBy("c_custkey")
+    }),
     "q_left_join" -> ((s, d) => {
       // enrich-with-fallback (cross_ref_helper.py pattern): customers
       // LEFT JOIN their order rollup, absent → zeros
@@ -85,6 +155,53 @@ object QueriesExtra {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q_dataset_diff" ->
+      """WITH old AS (
+        | SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,2)) as varchar) AS price_str, o_orderstatus
+        | FROM orders WHERE year(cast(o_orderdate as date)) < 1999),
+        |nw AS (
+        | SELECT o_orderkey,
+        |  cast(cast(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2 ELSE o_totalprice END as decimal(18,2)) as varchar) AS price_str,
+        |  o_orderstatus
+        | FROM orders WHERE year(cast(o_orderdate as date)) >= 1996),
+        |oldh AS (SELECT o_orderkey AS k, md5(concat_ws('|', price_str, o_orderstatus)) AS h FROM old),
+        |newh AS (SELECT o_orderkey AS k, md5(concat_ws('|', price_str, o_orderstatus)) AS h FROM nw)
+        |SELECT CASE WHEN oldh.k IS NULL THEN 'added'
+        |            WHEN newh.k IS NULL THEN 'removed'
+        |            WHEN oldh.h <> newh.h THEN 'changed'
+        |            ELSE 'unchanged' END AS diff_status, count(*) AS n
+        |FROM oldh FULL OUTER JOIN newh ON oldh.k = newh.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_group_stats" ->
+      """SELECT event_type, count(*) AS n,
+        | round(cast(sum(cast(value as decimal(28,2))) as double) / count(*), 6) AS mean_value,
+        | round(sqrt((cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double)
+        |   - cast(sum(cast(value as decimal(28,2))) as double) * cast(sum(cast(value as decimal(28,2))) as double) / count(*))
+        |   / (count(*) - 1)), 6) AS stddev_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_observations" ->
+      """SELECT l_orderkey, l_linenumber, parameter, observation_type, data_point, text_value FROM (
+        | SELECT l_orderkey, l_linenumber, 'l_quantity' AS parameter, 'unidimensional' AS observation_type,
+        |  cast(l_quantity as double) AS data_point, cast(NULL as varchar) AS text_value FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_extendedprice', 'unidimensional', cast(l_extendedprice as double), NULL FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', 'unidimensional', cast(l_discount as double), NULL FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_returnflag', 'categorical', NULL, l_returnflag FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_linestatus', 'categorical', NULL, l_linestatus FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, parameter""".stripMargin,
+
+    "q_doc_json" ->
+      """SELECT c_custkey,
+        | to_json(struct_pack(customer_id := c_custkey, name := c_name,
+        |   segment := c_mktsegment, nation := n_name)) AS doc
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     "q_left_join" ->
       """SELECT c_custkey,
         | cast(coalesce(n_orders, 0) as bigint) AS n_orders,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -49,6 +49,33 @@ object EventStream {
     if (q.isActive) q.stop()
     spark.table(queryName)
       .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  /** Per-user running state maintained with flatMapGroupsWithState:
+    * emits a row whenever a user's cumulative value crosses another
+    * multiple of `threshold` (custom stateful streaming logic the
+    * built-in aggregations can't express). */
+  def thresholdAlerts(spark: SparkSession, events: DataFrame,
+                      threshold: Double = 1000.0): Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
+          var total = state.getOption.getOrElse(0.0)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          rows.foreach { case (_, eventId, v) =>
+            val before = (total / threshold).toLong
+            total += v
+            if ((total / threshold).toLong > before) out += ((user, eventId, total))
+          }
+          state.update(total)
+          out.iterator
+      }
   }
 
   /** Gap-based session windows, streaming-native (session_window). */

@@ -78,3 +78,35 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(n > 0)
   }
 }
+
+class DiffStateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val nw  = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val m = graft.operators.Diff.snapshotDiff(old, nw, "k", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("flatMapGroupsWithState threshold alerts fire at multiples") {
+    val events = Seq(
+      (1L, 10L, 600.0), (1L, 11L, 600.0),   // crosses 1000 at event 11
+      (1L, 12L, 900.0),                      // crosses 2000 at event 12
+      (2L, 20L, 100.0))                      // never crosses
+      .toDF("user_id", "event_id", "value")
+    val out = graft.streaming.EventStream.thresholdAlerts(spark, events, 1000.0)
+      .collect().toSet
+    assert(out.map(t => (t._1, t._2)) == Set((1L, 11L), (1L, 12L)))
+  }
+
+  test("Hierarchy.ancestors walks a chain to the root") {
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L)).toDF("child", "parent")
+    val anc = graft.operators.Hierarchy.ancestors(edges, "child", "parent")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(anc == Set((4L, 3L, 1), (4L, 2L, 2), (4L, 1L, 3),
+      (3L, 2L, 1), (3L, 1L, 2), (2L, 1L, 1)))
+  }
+}
