@@ -59,6 +59,38 @@ object Media {
     }
   }
 
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** STUB frame sampler: every `stride`-th "frame" of a video payload
+    * (in production: ffmpeg seek + decode per partition batch). Fake
+    * frames are deterministic byte-slices so the fan-out shape
+    * (1 row → n frames) and downstream schema are real. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4,
+                   maxFrames: Int = 8): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.as[MediaRow].filter((r: MediaRow) => r.media_type == "video")
+      .flatMap { r =>
+        // ??? <- real decoder goes here
+        val nFrames = math.min(maxFrames, math.max(1, r.payload.length / 32))
+        (0 until nFrames by stride).map { i =>
+          val slice = r.payload.slice(i * 32, math.min(r.payload.length, i * 32 + 32))
+          var crc = 0L
+          slice.foreach(b => crc = crc * 31 + (b & 0xff))
+          FrameSample(r.media_id, i, crc)
+        }
+      }
+  }
+
+  /** STUB resize: rewrites the metadata to the target box preserving
+    * aspect ratio (in production: a codec resize over the payload).
+    * Pure column math — stays in whole-stage codegen. */
+  def resizeMeta(features: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
+    features
+      .withColumn("resized_w", floor(col("width") * scale).cast("int"))
+      .withColumn("resized_h", floor(col("height") * scale).cast("int"))
+  }
+
   /** End-to-end media pipeline: ingest → features → per-type stats. */
   def mediaStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     val feats = extractFeatures(spark, asMediaTable(documents))

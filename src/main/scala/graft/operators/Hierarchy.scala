@@ -25,21 +25,32 @@ object Hierarchy {
     */
   def ancestors(edges: DataFrame, childCol: String, parentCol: String,
                 maxDepth: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Edges are joined every round and frontiers are re-materialized by
+    // the emptiness check — persist both (frontier lineage would
+    // otherwise deepen each round and recompute from scratch).
     val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
       .filter(col("anc").isNotNull)
       .withColumn("depth", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var closure = e
     var frontier = e
     var d = 1
-    while (d < maxDepth && !frontier.isEmpty) {
+    var done = false
+    while (d < maxDepth && !done) {
       val next = frontier.alias("f")
         .join(e.alias("e"), col("f.anc") === col("e.node"))
         .select(col("f.node").as("node"), col("e.anc").as("anc"),
           (col("f.depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      done = next.isEmpty
       frontier = next
-      closure = closure.unionByName(next)
+      if (!done) closure = closure.unionByName(next)
       d += 1
     }
+    // Frontier caches stay resident until evicted (LRU) or the caller
+    // clears them — unpersisting here would force the returned plan to
+    // recompute the whole join chain per referenced round.
     closure.dropDuplicates("node", "anc")
   }
 

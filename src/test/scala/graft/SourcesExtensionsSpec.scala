@@ -110,3 +110,35 @@ class DiffStateSpec extends AnyFunSuite {
       (3L, 2L, 1), (3L, 1L, 2), (2L, 1L, 1)))
   }
 }
+
+class DeriveMediaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("Derive.applyFormulas evaluates SQL formulas in order") {
+    val df = Seq((10.0, 4.0)).toDF("a", "b")
+    val out = graft.operators.Derive.applyFormulas(df,
+      Seq("sum_ab" -> "a + b", "ratio" -> "sum_ab / b"))
+    val r = out.head()
+    assert(r.getDouble(2) == 14.0 && r.getDouble(3) == 3.5)
+  }
+
+  test("media frame sampling fans out video rows deterministically") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val media = graft.multimodal.Media.asMediaTable(docs)
+    val frames = graft.multimodal.Media.sampleFrames(spark, media)
+    val f = frames.collect()
+    assert(f.nonEmpty && f.forall(_.frame_idx % 4 == 0))
+    val again = graft.multimodal.Media.sampleFrames(spark, media).collect()
+    assert(f.toSet == again.toSet)
+  }
+
+  test("resizeMeta preserves aspect ratio within bounds") {
+    val feats = Seq((1L, 1920, 1080), (2L, 100, 50)).toDF("media_id", "width", "height")
+    val out = graft.multimodal.Media.resizeMeta(feats, 256, 256)
+      .select("media_id", "resized_w", "resized_h")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L)._1 <= 256 && out(1L)._2 <= 256)
+    assert(out(2L) == ((100, 50))) // already inside the box: untouched
+  }
+}
