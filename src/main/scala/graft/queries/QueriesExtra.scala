@@ -102,7 +102,7 @@ object QueriesExtra {
       val t = Tables(s, d)
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"), "left")
-        .join(t.customer, col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left")
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
         .groupBy(coalesce(col("n_name"), lit("unknown")).as("nation"),
           coalesce(col("o_orderstatus"), lit("unknown")).as("status"))

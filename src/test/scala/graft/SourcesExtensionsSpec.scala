@@ -142,3 +142,54 @@ class DeriveMediaSpec extends AnyFunSuite {
     assert(out(2L) == ((100, 50))) // already inside the box: untouched
   }
 }
+
+class ScaleTechniquesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables between JVMs but the files
+    // remain — clear the stale managed locations
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    t.orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    t.lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the sort-merge path (tiny test tables would broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val joined =
+      try spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      finally {}
+    val plan = joined.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // co-located bucketed join: no Exchange below the join
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected SortMergeJoin in:\n$plan")
+    assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning(l_orderkey"),
+      "bucketed join should not reshuffle on the join key")
+    assert(joined.count() > 0)
+  }
+
+  test("driver-side sketches: bloom filter and count-min over a column") {
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val bloom = t.orders.stat.bloomFilter("o_custkey", 1000, 0.03)
+    assert(bloom.mightContain(t.orders.select("o_custkey").head().getLong(0)))
+    assert(!bloom.mightContain(-999999L))
+    val cms = t.orders.stat.countMinSketch("o_orderstatus", 0.01, 0.95, 42)
+    assert(cms.estimateCount("O") > 0)
+  }
+}
