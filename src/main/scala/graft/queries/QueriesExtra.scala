@@ -82,6 +82,24 @@ object QueriesExtra {
             col("n_name").as("nation"))).as("doc"))
         .orderBy("c_custkey")
     }),
+    "q_union_drift" -> ((s, d) => {
+      // schema-drift union (standardize_threei_schema analog): legacy
+      // slice lacks columns the new slice has; unionByName with
+      // allowMissingColumns null-fills them
+      val t = Tables(s, d)
+      val legacy = t.orders.filter(year(col("o_orderdate")) < 1997)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val modern = t.orders.filter(year(col("o_orderdate")) >= 1997)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      legacy.unionByName(modern, allowMissingColumns = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("modern_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_left_join" -> ((s, d) => {
       // enrich-with-fallback (cross_ref_helper.py pattern): customers
       // LEFT JOIN their order rollup, absent → zeros
@@ -202,6 +220,18 @@ object QueriesExtra {
         |   segment := c_mktsegment, nation := n_name)) AS doc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_union_drift" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | cast(count(o_orderpriority) as bigint) AS n_with_priority,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS modern_price
+        |FROM (
+        | SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority, NULL AS o_totalprice
+        | FROM orders WHERE year(cast(o_orderdate as date)) < 1997
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        | FROM orders WHERE year(cast(o_orderdate as date)) >= 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_left_join" ->
       """SELECT c_custkey,
         | cast(coalesce(n_orders, 0) as bigint) AS n_orders,
