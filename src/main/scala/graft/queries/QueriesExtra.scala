@@ -82,6 +82,24 @@ object QueriesExtra {
             col("n_name").as("nation"))).as("doc"))
         .orderBy("c_custkey")
     }),
+    "q_window_range" -> ((s, d) => {
+      // RANGE-frame window: per supplier, rolling 30-day quantity sum
+      // keyed by ship day (value-range frame, not row frame)
+      val t = Tables(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+        .rangeBetween(-30, 0)
+      t.lineitem
+        .withColumn("ship_day",
+          datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
+        .groupBy("l_suppkey", "ship_day")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("day_qty"))
+        .withColumn("qty_30d", sum(col("day_qty")).over(w).cast("double"))
+        .select(col("l_suppkey"), col("ship_day"), col("day_qty").cast("double").as("day_qty"),
+          col("qty_30d"))
+        .orderBy("l_suppkey", "ship_day")
+    }),
+
     "q_union_drift" -> ((s, d) => {
       // schema-drift union (standardize_threei_schema analog): legacy
       // slice lacks columns the new slice has; unionByName with
@@ -220,6 +238,18 @@ object QueriesExtra {
         |   segment := c_mktsegment, nation := n_name)) AS doc
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
+    "q_window_range" ->
+      """WITH daily AS (
+        | SELECT l_suppkey,
+        |  date_diff('day', DATE '1995-01-01', cast(l_shipdate as date)) AS ship_day,
+        |  sum(cast(l_quantity as decimal(18,2))) AS day_qty
+        | FROM lineitem GROUP BY 1,2)
+        |SELECT l_suppkey, cast(ship_day as int) AS ship_day,
+        | cast(day_qty as double) AS day_qty,
+        | cast(sum(day_qty) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) as double) AS qty_30d
+        |FROM daily ORDER BY l_suppkey, ship_day""".stripMargin,
+
     "q_union_drift" ->
       """SELECT o_orderstatus, count(*) AS n,
         | cast(count(o_orderpriority) as bigint) AS n_with_priority,

@@ -193,3 +193,49 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(cms.estimateCount("O") > 0)
   }
 }
+
+class XmlExtractionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("XML experiment extraction -> explode parameters (reference extract path)") {
+    val dir = Files.createTempDirectory("graft_xml").toFile
+    val f = new java.io.File(dir, "experiments.xml")
+    Files.writeString(f.toPath,
+      """<centreProcedureSet>
+        |  <experiment experimentID="E1" dateOfExperiment="2020-01-02">
+        |    <specimenID>S1</specimenID>
+        |    <procedure procedureID="IMPC_CBC_001">
+        |      <simpleParameter parameterID="IMPC_CBC_003_001"><value>12.5</value></simpleParameter>
+        |      <simpleParameter parameterID="IMPC_CBC_004_001"><value>7.2</value></simpleParameter>
+        |    </procedure>
+        |  </experiment>
+        |  <experiment experimentID="E2" dateOfExperiment="2020-02-03">
+        |    <specimenID>S2</specimenID>
+        |    <procedure procedureID="IMPC_GRS_001">
+        |      <simpleParameter parameterID="IMPC_GRS_008_001"><value>30.1</value></simpleParameter>
+        |    </procedure>
+        |  </experiment>
+        |</centreProcedureSet>""".stripMargin)
+
+    val xml = spark.read.format("xml")
+      .option("rowTag", "experiment")
+      .load(f.getAbsolutePath)
+
+    // experiment attrs + nested procedure struct -> long observation rows
+    val obs = xml.select(
+        col("_experimentID").as("experiment_id"),
+        col("specimenID").as("specimen_id"),
+        col("procedure._procedureID").as("procedure_id"),
+        explode(col("procedure.simpleParameter")).as("p"))
+      .select(col("experiment_id"), col("specimen_id"), col("procedure_id"),
+        col("p._parameterID").as("parameter_id"),
+        col("p.value").cast("double").as("data_point"))
+
+    val rows = obs.orderBy("experiment_id", "parameter_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("experiment_id") == "E1")
+    assert(rows(0).getAs[Double]("data_point") == 12.5)
+    assert(rows(2).getAs[String]("procedure_id") == "IMPC_GRS_001")
+  }
+}
