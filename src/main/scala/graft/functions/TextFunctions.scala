@@ -84,6 +84,30 @@ object TextFunctions {
     pick.otherwise(lit("und"))
   }
 
+  // ── tokens-column variants ──────────────────────────────────────
+  // For hot paths: compute `tokens(text)` ONCE into a column and feed
+  // it here — the inline forms above re-evaluate the regex
+  // normalization inside each HOF lambda (no CSE through lambdas).
+
+  def tokenCountOfTokens(toks: Column): Column =
+    when(size(toks) === 1 && element_at(toks, 1) === "", lit(0)).otherwise(size(toks))
+
+  def stopwordRatioOfTokens(toks: Column): Column = {
+    val hits = size(filter(toks, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  def langIdOfTokens(toks: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) =>
+      (lang, size(filter(toks, t => ms.foldLeft(lit(false))((acc, s) => acc || t === lit(s)))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best && best > 0, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
   /** Content fingerprint: md5 of normalized text (the reference uses
     * md5 unique-ids, experiment_cleaner.py:340; here anchored on
     * normalized content so near-identical whitespace/punct variants

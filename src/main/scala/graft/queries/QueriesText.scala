@@ -23,24 +23,34 @@ object QueriesText {
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, d) => {
       Tables(s, d).documents
-        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), tokenCountOfTokens(col("__toks")).as("n_tokens"))
         .orderBy("doc_id")
     }),
 
     "q_text_quality" -> ((s, d) => {
+      // tokens materialized once (HOF lambdas don't CSE), quality
+      // assembled from the same raw components as the oracle
       Tables(s, d).documents
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
         .select(col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
-          round(punctRatio(col("text")), 6).as("punct_ratio"),
-          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
-          qualityScore(col("text")).as("quality"))
+          tokenCountOfTokens(col("__toks")).as("n_tokens"),
+          punctRatio(col("text")).as("__punct"),
+          stopwordRatioOfTokens(col("__toks")).as("__stop"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("__punct"), 6).as("punct_ratio"),
+          round(col("__stop"), 6).as("stop_ratio"),
+          round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
+            + greatest(lit(0.0), lit(1.0) - col("__punct") * 5.0) * 0.3
+            + least(col("__stop") * 5.0, lit(1.0)) * 0.3, 6).as("quality"))
         .orderBy("doc_id")
     }),
 
     "q_lang_id" -> ((s, d) => {
       Tables(s, d).documents
-        .select(col("doc_id"), col("lang").as("lang_actual"),
-          langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"), col("lang").as("lang_actual"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("lang_actual"),
+          langIdOfTokens(col("__toks")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
