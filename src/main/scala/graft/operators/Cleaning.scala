@@ -30,13 +30,37 @@ object Cleaning {
     df.withColumn(colName, if (keepUnmapped) mapped.otherwise(c) else mapped)
   }
 
-  /** Truncate a legacy suffix `_XXX` from an ID column (the reference's
+  /** Truncate a legacy suffix from an ID column (the reference's
     * EuroPhenome specimen/colony suffixes), only for rows matching
-    * `predicate`. */
-  def truncateSuffix(colName: String, predicate: Column)(df: DataFrame): DataFrame =
-    df.withColumn(colName,
-      when(predicate, regexp_replace(col(colName), "_[^_]*$", ""))
-        .otherwise(col(colName)))
+    * `predicate`. Known multi-segment suffixes (e.g. "_MRC_Harwell",
+    * shared/utils.py:79) are stripped whole; otherwise the last
+    * `_segment` is dropped. */
+  def truncateSuffix(colName: String, predicate: Column,
+                     knownSuffixes: Seq[String] = Seq("_MRC_Harwell"))
+                    (df: DataFrame): DataFrame = {
+    val c = col(colName)
+    val stripped = knownSuffixes.foldLeft(when(lit(false), c)) { (acc, sfx) =>
+      acc.when(c.endsWith(sfx), expr(s"substring(`$colName`, 1, length(`$colName`) - ${sfx.length})"))
+    }.otherwise(regexp_replace(c, "_[^_]*$", ""))
+    df.withColumn(colName, when(predicate, stripped).otherwise(c))
+  }
+
+  /** Genetic-background string from a background-strain id (the
+    * reference's strain name mapping, tests/unit/test_colony_cleaner
+    * .py:10): the full id is dictionary-mapped when known (composite
+    * legacy ids), else split on `_`/`;`/`.` separators, each
+    * component mapped, joined with " * ". */
+  def geneticBackground(c: Column, mapper: Map[String, String]): Column = {
+    val whole = mapper.foldLeft(when(lit(false), lit(null: String))) {
+      case (acc, (k, v)) => acc.when(c === lit(k), lit(v))
+    }
+    val mapPart: Column => Column = p =>
+      mapper.foldLeft(when(lit(false), lit(null: String))) {
+        case (acc, (k, v)) => acc.when(p === lit(k), lit(v))
+      }.otherwise(p)
+    val split_mapped = array_join(transform(split(c, "[_;.]"), mapPart), " * ")
+    when(c.isNull, lit(null: String)).otherwise(coalesce(whole, split_mapped))
+  }
 
   /** Unescape XML entities left behind by upstream extraction. */
   def unescapeXmlEntities(colName: String)(df: DataFrame): DataFrame =

@@ -22,6 +22,27 @@ class CleaningSpec extends AnyFunSuite {
     assert(out == Set("232328312", "ABC_123"))
   }
 
+  test("truncateSuffix strips known multi-segment suffixes whole (reference test_truncate_europhenome_experiments)") {
+    val df = Seq(
+      ("30173140_HMGU", "europhenome"),
+      ("RUSSET/16.2b_4615141_MRC_Harwell", "europhenome"),
+      ("848974_1687897", "impc")).toDF("id", "src")
+    val out = Cleaning.truncateSuffix("id", col("src") === "europhenome")(df)
+      .select("id").as[String].collect().toSet
+    assert(out == Set("30173140", "RUSSET/16.2b_4615141", "848974_1687897"))
+  }
+
+  test("geneticBackground maps composite ids whole, else per-component") {
+    val mapper = Map(
+      "Balb/c" -> "BALB/c", "129S2" -> "129S2/SvPas",
+      "B6J.129S2" -> "129S2", "B6NTac" -> "C57BL/6NTac")
+    val df = Seq("STRAIN1_STRAIN2", "STRAIN1;STRAIN2", "Balb/c.129S2",
+      "B6J.129S2", "OTHERSTRAIN").toDF("s")
+    val out = df.select(Cleaning.geneticBackground(col("s"), mapper)).as[String].collect().toSeq
+    assert(out == Seq("STRAIN1 * STRAIN2", "STRAIN1 * STRAIN2",
+      "BALB/c * 129S2/SvPas", "129S2", "OTHERSTRAIN"))
+  }
+
   test("unescapeXmlEntities replaces lt/gt/amp") {
     val df = Seq("Foo&lt;tm1a&gt;&amp;x").toDF("c")
     assert(Cleaning.unescapeXmlEntities("c")(df).as[String].head() == "Foo<tm1a>&x")
