@@ -84,6 +84,25 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_embed" -> ((s, d) => {
+      // embedding-cosine near-dup: candidate pairs blocked by a coarse
+      // cluster key (label) — never all-pairs — then exact cosine.
+      // Threshold is domain-tuned; 0.42 exercises the tail of this
+      // synthetic corpus (true dups would sit near 1.0).
+      val t = Tables(s, d)
+      val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
+      val na = sqrt(VectorFunctions.vecDot(col("emb_a"), col("emb_a")))
+      val nb = sqrt(VectorFunctions.vecDot(col("emb_b"), col("emb_b")))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", dot / (na * nb))
+        .filter(col("cosine") >= 0.42)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_embed_norm" -> ((s, d) => {
       Tables(s, d).embeddings
         .select(col("vec_id"), size(col("embedding")).as("dim"),
@@ -166,6 +185,18 @@ object QueriesText {
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_embed" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(
+        |  list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> cast(x[1] as double) * cast(x[2] as double)))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> cast(x[1] as double) * cast(x[2] as double)))
+        |  / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double))))
+        |   * sqrt(list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, cast(len(embedding) as int) AS dim,
