@@ -114,6 +114,23 @@ object TextFunctions {
     * collapse). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and punct runs
+    * as separate tokens (GPT-2-style regex simplified to an RE2-safe
+    * subset — no lookaheads, so the exact pattern is portable to the
+    * oracle). */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Polynomial rolling hash over the token stream (the brief's
+    * document fingerprint): h = (h * 31 + tokenHash) mod 2^40 —
+    * order-sensitive, unlike the md5 set fingerprint, so reordered
+    * documents get different fingerprints. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      pmod(pmod(acc, lit(1099511627776L)) * 31 + pmod(xxhash64(t), lit(1048576L)),
+        lit(1099511627776L)))
+
   /** Token n-gram shingles over a MATERIALIZED tokens column (pass a
     * column reference, not `tokens(text)` — Catalyst does not
     * common-subexpression-eliminate through higher-order-function

@@ -54,6 +54,26 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_token_bpe" -> ((s, d) => {
+      // BPE-ish regex pre-tokenization counts (letters/digits/punct
+      // runs) alongside whitespace token counts
+      Tables(s, d).documents
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          tokenCountOfTokens(col("__toks")).as("n_ws_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint_rolling" -> ((s, d) => {
+      // order-sensitive rolling-hash fingerprint (no oracle: no shared
+      // hash primitive with DuckDB; semantics spec'd in ScalaTest)
+      Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), rollingFingerprint(col("__toks")).as("rolling_fp"))
+        .orderBy("doc_id")
+    }),
+
     "q_fingerprint" -> ((s, d) => {
       Tables(s, d).documents
         .groupBy(fingerprint(col("text")).as("fp"))
@@ -177,6 +197,12 @@ object QueriesText {
          |      WHEN s_zh = b AND b > 0 THEN 'zh'
          |      ELSE 'und' END AS lang_pred
          |FROM best ORDER BY doc_id""".stripMargin,
+
+    "q_token_bpe" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length($normSql) = 0 THEN 0 ELSE cast(len($toksSql) as int) END AS n_ws_tokens,
+         | cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) as int) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc

@@ -160,3 +160,28 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 }
+
+class TokenizerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("BPE-ish tokenization splits letter/digit/punct runs") {
+    val df = Seq("hello world42!? ok", "").toDF("text")
+    val out = df.select(TextFunctions.bpeTokens(col("text"))).as[Seq[String]].collect()
+    assert(out(0) == Seq("hello", "world", "42", "!?", "ok"))
+    assert(out(1).isEmpty)
+  }
+
+  test("rolling fingerprint is order-sensitive, md5 fingerprint is not") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .select(col("text"), TextFunctions.tokens(col("text")).as("toks"))
+    val roll = df.select(TextFunctions.rollingFingerprint(col("toks"))).as[Long].collect()
+    assert(roll(0) != roll(1)) // different order → different rolling hash
+    val same = Seq("alpha beta", "ALPHA beta.").toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(same(0) == same(1)) // set/normalized fingerprint ignores case+punct
+    // determinism across evaluations
+    val again = df.select(TextFunctions.rollingFingerprint(col("toks"))).as[Long].collect()
+    assert(roll.toSeq == again.toSeq)
+  }
+}
