@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS into duplicate CLUSTERS (pick one
+  * survivor per component). Large-corpus dedup pipelines end with
+  * exactly this.
+  *
+  * Algorithm: iterative min-label propagation (each round every node
+  * adopts the smallest label among itself and its neighbors) to a
+  * fixpoint. Rounds ≤ graph diameter; each round is one shuffle of
+  * (node, label) by node id. Near-dup graphs are forests of tiny
+  * cliques — diameter is small, so this converges in 2-4 rounds at
+  * any corpus size (the hard large-diameter case would call for
+  * alternating large/small-star steps, same join shape).
+  */
+object Components {
+
+  /** @param edges (id_a, id_b) undirected pairs
+    * @return (node, component) — component = min node id reachable */
+  def connectedComponents(edges: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(col("src").as("node"))
+      .distinct()
+      .withColumn("component", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var changed = 1L
+    var i = 0
+    while (i < maxIter && changed > 0) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbor = sym.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("component"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Collapse near-dup pairs to per-component survivors:
+    * (component, survivor_id = min id, n_members). */
+  def dedupClusters(edges: DataFrame, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame =
+    connectedComponents(edges, aCol, bCol)
+      .groupBy("component")
+      .agg(min(col("node")).as("survivor_id"), count(lit(1)).as("n_members"))
+}

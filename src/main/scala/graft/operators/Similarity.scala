@@ -65,6 +65,48 @@ object Similarity {
       .select(df.columns.map(col) :+ col("lsh.tbl") :+ col("lsh.bucket"): _*)
   }
 
+  /** IVF (inverted-file) ANN: corpus is clustered into `nlist`
+    * KMeans cells; a query probes only its `nprobe` nearest
+    * centroids' cells and brute-forces within them. The classic
+    * scale path when recall must be tunable independently of hash
+    * luck: cells shuffle once by cell id, centroids broadcast.
+    * Deterministic for a fixed seed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val fc = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+      .fit(fc)
+    val cells = model.transform(fc).select(col(idCol), col(vecCol), col("__cell"))
+
+    // nprobe nearest centroids per query (centroids are tiny: local math)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probed = q.withColumn("__cell", explode({
+      val dists = centroids.map { case (cv, ci) =>
+        struct(VectorFunctions.vecDot(col("__qv"), typedlit(cv))
+          .multiply(-1).as("negdot"), lit(ci).as("cell"))
+      }
+      slice(array_sort(array(dists: _*)), 1, nprobe).getField("cell")
+    }))
+
+    val cand = cells.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .dropDuplicates("query_id", idCol)
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
   /** Multi-table LSH ANN: a query's candidates are the union of its
     * buckets across all tables (dedup'd), then exact cosine top-k on
     * the candidates. More tables → higher recall; more planes →

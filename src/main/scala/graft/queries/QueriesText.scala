@@ -149,6 +149,47 @@ object QueriesText {
         .orderBy("query_id", "rk")
     }),
 
+    "q_dedup_clusters" -> ((s, d) => {
+      // near-dup pairs -> connected components -> survivor per cluster
+      // (the end product of a corpus dedup pipeline)
+      val pairs = Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.6)
+      graft.operators.Components.dedupClusters(pairs)
+        .orderBy("component")
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
+          k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q_corpus_filter" -> ((s, d) => {
+      // composed curation pipeline: language-consistency + quality
+      // + exact-dedup canonical flags -> per-language keep/drop counts
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("__toks"))
+        .withColumn("__fp", fingerprint(col("text")))
+        .withColumn("lang_ok", langIdOfTokens(col("__toks")) === col("lang"))
+        .withColumn("q_ok",
+          least(tokenCountOfTokens(col("__toks")).cast("double") / 50.0, lit(1.0)) * 0.4
+            + greatest(lit(0.0), lit(1.0) - punctRatio(col("text")) * 5.0) * 0.3
+            + least(stopwordRatioOfTokens(col("__toks")) * 5.0, lit(1.0)) * 0.3 >= 0.5)
+      val canon = docs.groupBy("__fp").agg(min(col("doc_id")).as("__keep_id"))
+      docs.join(canon, "__fp")
+        .withColumn("is_canonical", col("doc_id") === col("__keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_canonical") && col("lang_ok") && col("q_ok"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("n_dup_dropped"),
+          sum(when(col("is_canonical") && !col("lang_ok"), 1L).otherwise(0L)).as("n_lang_dropped"),
+          sum(when(col("is_canonical") && col("lang_ok") && !col("q_ok"), 1L)
+            .otherwise(0L)).as("n_quality_dropped"))
+        .orderBy("lang")
+    }),
+
     "q_media_pipeline" -> ((s, d) => {
       Media.mediaStats(s, Tables(s, d).documents)
     }),
@@ -242,6 +283,41 @@ object QueriesText {
         | ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, cast(rk as int) AS rk
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q_corpus_filter" ->
+      s"""WITH base AS (
+         | SELECT doc_id, lang, md5($normSql) AS fp,
+         |  CASE WHEN length($normSql) = 0 THEN 0 ELSE cast(len($toksSql) as int) END AS n_tokens,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |   ELSE cast(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) as double) / length(text) END AS punct_ratio,
+         |  CASE WHEN len($toksSql) = 0 THEN 0.0
+         |   ELSE cast(len(list_filter($toksSql, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this','be'))) as double) / len($toksSql) END AS stop_ratio,
+         |  len(list_filter($toksSql, x -> x IN ('the','and','of','is','with'))) AS s_en,
+         |  len(list_filter($toksSql, x -> x IN ('le','la','et','les','des'))) AS s_fr,
+         |  len(list_filter($toksSql, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         |  len(list_filter($toksSql, x -> x IN ('el','los','las','una','es'))) AS s_es,
+         |  len(list_filter($toksSql, x -> x IN ('de','shi','le','zai','he'))) AS s_zh
+         | FROM documents),
+         |flags AS (
+         | SELECT doc_id, lang, fp,
+         |  (CASE WHEN s_en = greatest(s_en,s_fr,s_de,s_es,s_zh) AND greatest(s_en,s_fr,s_de,s_es,s_zh) > 0 THEN 'en'
+         |        WHEN s_fr = greatest(s_en,s_fr,s_de,s_es,s_zh) AND greatest(s_en,s_fr,s_de,s_es,s_zh) > 0 THEN 'fr'
+         |        WHEN s_de = greatest(s_en,s_fr,s_de,s_es,s_zh) AND greatest(s_en,s_fr,s_de,s_es,s_zh) > 0 THEN 'de'
+         |        WHEN s_es = greatest(s_en,s_fr,s_de,s_es,s_zh) AND greatest(s_en,s_fr,s_de,s_es,s_zh) > 0 THEN 'es'
+         |        WHEN s_zh = greatest(s_en,s_fr,s_de,s_es,s_zh) AND greatest(s_en,s_fr,s_de,s_es,s_zh) > 0 THEN 'zh'
+         |        ELSE 'und' END) = lang AS lang_ok,
+         |  (least(cast(n_tokens as double) / 50.0, 1.0) * 0.4
+         |   + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.3
+         |   + least(stop_ratio * 5.0, 1.0) * 0.3) >= 0.5 AS q_ok
+         | FROM base),
+         |canon AS (SELECT fp, min(doc_id) AS keep_id FROM flags GROUP BY 1)
+         |SELECT lang, count(*) AS n_docs,
+         | cast(sum(CASE WHEN is_canonical AND lang_ok AND q_ok THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         | cast(sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) as bigint) AS n_dup_dropped,
+         | cast(sum(CASE WHEN is_canonical AND NOT lang_ok THEN 1 ELSE 0 END) as bigint) AS n_lang_dropped,
+         | cast(sum(CASE WHEN is_canonical AND lang_ok AND NOT q_ok THEN 1 ELSE 0 END) as bigint) AS n_quality_dropped
+         |FROM (SELECT f.*, f.doc_id = c.keep_id AS is_canonical FROM flags f JOIN canon c USING (fp))
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_window" ->
       """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket_start,

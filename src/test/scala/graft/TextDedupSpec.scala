@@ -185,3 +185,30 @@ class TokenizerSpec extends AnyFunSuite {
     assert(roll.toSeq == again.toSeq)
   }
 }
+
+class ComponentsIvfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connected components merges chained pairs into one cluster") {
+    // 1-2, 2-3 chain plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = graft.operators.Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    val clusters = graft.operators.Components.dedupClusters(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(clusters == Set((1L, 1L, 3L), (10L, 10L, 2L)))
+  }
+
+  test("IVF ANN finds neighbors with decent recall vs brute force") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val bf = graft.operators.Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.operators.Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty && (ivf & bf).nonEmpty)
+  }
+}
