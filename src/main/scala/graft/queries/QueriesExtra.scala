@@ -118,6 +118,21 @@ object QueriesExtra {
         .orderBy("o_orderstatus")
     }),
 
+    "q_metadata_group" -> ((s, d) => {
+      // metadata-group fingerprint (observation_mapper.py computes
+      // metadataGroup = md5 of the sorted metadata values): group rows
+      // sharing identical experimental context
+      val t = Tables(s, d)
+      t.events
+        .withColumn("kv", concat_ws("=", col("event_type"),
+          get_json_object(col("props"), "$.k")))
+        .groupBy("user_id")
+        .agg(md5(array_join(sort_array(collect_set(col("kv"))), "|"))
+          .as("metadata_group"),
+          countDistinct(col("kv")).as("n_distinct_kv"))
+        .orderBy("user_id")
+    }),
+
     "q_left_join" -> ((s, d) => {
       // enrich-with-fallback (cross_ref_helper.py pattern): customers
       // LEFT JOIN their order rollup, absent → zeros
@@ -260,6 +275,13 @@ object QueriesExtra {
         | UNION ALL
         | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders WHERE year(cast(o_orderdate as date)) >= 1997)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_metadata_group" ->
+      """SELECT user_id,
+        | md5(string_agg(DISTINCT kv, '|' ORDER BY kv)) AS metadata_group,
+        | count(DISTINCT kv) AS n_distinct_kv
+        |FROM (SELECT user_id, concat_ws('=', event_type, json_extract_string(props, '$.k')) AS kv FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_left_join" ->

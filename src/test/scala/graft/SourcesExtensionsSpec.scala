@@ -239,3 +239,33 @@ class XmlExtractionSpec extends AnyFunSuite {
     assert(rows(2).getAs[String]("procedure_id") == "IMPC_GRS_001")
   }
 }
+
+class StreamJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("stream-stream join: clicks enriched with purchases inside the time bound") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet").schema
+    def stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(SparkTestSession.sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_join").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    if (q.isActive) q.stop()
+    val n = spark.table("ss_join").count()
+    assert(n > 0) // sf0.001 events contain click->purchase sequences within the hour
+  }
+}
