@@ -32,19 +32,25 @@ object Components {
       .withColumn("component", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var changed = 1L
+    // Labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence metric — one cheap aggregate per round
+    // instead of a join-and-count.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("component"))).head().getLong(0)
+
+    var prevSum = labelSum(labels)
     var i = 0
-    while (i < maxIter && changed > 0) {
+    var done = false
+    while (i < maxIter && !done) {
       // each node adopts min(own label, neighbors' labels)
       val viaNeighbor = sym.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("component"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val s = labelSum(next)
+      done = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

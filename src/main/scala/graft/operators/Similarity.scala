@@ -79,7 +79,7 @@ object Similarity {
 
     val fc = corpus.select(col(idCol), col(vecCol))
       .withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__features").setPredictionCol("__cell")
       .fit(fc)
     val cells = model.transform(fc).select(col(idCol), col(vecCol), col("__cell"))
