@@ -118,6 +118,18 @@ object QueriesExtra {
         .orderBy("o_orderstatus")
     }),
 
+    "q_ntile" -> ((s, d) => {
+      // quartile bucketing per nation by account balance (ntile)
+      val t = Tables(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t.customer
+        .withColumn("bal_quartile", ntile(4).over(w))
+        .select(col("c_custkey"), col("c_nationkey"), col("bal_quartile"))
+        .orderBy("c_custkey")
+    }),
+
     "q_metadata_group" -> ((s, d) => {
       // metadata-group fingerprint (observation_mapper.py computes
       // metadataGroup = md5 of the sorted metadata values): group rows
@@ -276,6 +288,11 @@ object QueriesExtra {
         | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders WHERE year(cast(o_orderdate as date)) >= 1997)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_custkey, c_nationkey,
+        | cast(ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) as int) AS bal_quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_metadata_group" ->
       """SELECT user_id,
