@@ -36,7 +36,7 @@ object Components {
     // decreasing convergence metric — one cheap aggregate per round
     // instead of a join-and-count.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("component"))).head().getLong(0)
+      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
 
     var prevSum = labelSum(labels)
     var i = 0

@@ -139,9 +139,12 @@ object QueriesExtra {
         .withColumn("kv", concat_ws("=", col("event_type"),
           get_json_object(col("props"), "$.k")))
         .groupBy("user_id")
-        .agg(md5(array_join(sort_array(collect_set(col("kv"))), "|"))
-          .as("metadata_group"),
-          countDistinct(col("kv")).as("n_distinct_kv"))
+        // one collect_set serves both outputs — a separate
+        // countDistinct would add a second expand+aggregate pass
+        .agg(sort_array(collect_set(col("kv"))).as("__kvs"))
+        .select(col("user_id"),
+          md5(array_join(col("__kvs"), "|")).as("metadata_group"),
+          size(col("__kvs")).cast("long").as("n_distinct_kv"))
         .orderBy("user_id")
     }),
 

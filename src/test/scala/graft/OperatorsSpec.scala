@@ -149,3 +149,29 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("n_events") == 1)
   }
 }
+
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("operators tolerate empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashLsh(emptyDocs, "doc_id", "text").count() == 0)
+
+    val emptyEvents = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("user_id", "ts", "value")
+    assert(Sessionize.sessionStats(emptyEvents, "user_id", "ts", "value", 1800L).count() == 0)
+
+    val left = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val emptyRight = Seq.empty[(Long, Long, java.sql.Timestamp, Double)]
+      .toDF("purchase_id", "user_id", "ts", "purchase_value")
+    val asof = AsOf.nearest(left, emptyRight, "user_id", "user_id", "ts", "ts",
+      Seq("purchase_id"), 3600L, "purchase_id")
+    assert(asof.count() == 1 && asof.head().isNullAt(asof.head().fieldIndex("purchase_id")))
+
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.operators.Components.connectedComponents(emptyEdges).count() == 0)
+  }
+}
