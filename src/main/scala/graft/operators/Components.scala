@@ -34,9 +34,12 @@ object Components {
 
     // Labels only ever decrease, so the label sum is a strictly
     // decreasing convergence metric — one cheap aggregate per round
-    // instead of a join-and-count.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    // instead of a join-and-count. Summed as decimal(38,0): a Long sum
+    // of 64-bit hash ids would overflow (throw under ANSI, or wrap and
+    // falsely report convergence).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
 
     var prevSum = labelSum(labels)
     var i = 0
@@ -48,12 +51,16 @@ object Components {
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)
-      done = s == prevSum
+      val s = labelSum(next)   // also eagerly materializes next's cache
+      done = s.compareTo(prevSum) == 0
       prevSum = s
+      labels.unpersist()       // superseded round: next is materialized
       labels = next
       i += 1
     }
+    if (!done) System.err.println(
+      s"[graft] connectedComponents: maxIter=$maxIter reached before fixpoint — " +
+        "labels may be unconverged (component chains longer than maxIter hops)")
     labels
   }
 
