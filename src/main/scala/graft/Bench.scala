@@ -21,9 +21,12 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan (a count() would let Catalyst
       // prune every computed column out of narrow queries)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); -1.0 }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

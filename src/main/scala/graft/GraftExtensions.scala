@@ -26,9 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"minhash_sig requires exactly 2 arguments (array<string>, numHashes), got ${children.size}")
         val n = children(1) match {
           case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Number].intValue()
+          case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "minhash_sig: numHashes must be a constant integer, not a column")
         }
         MinHashSig(children.head, n)
       }))

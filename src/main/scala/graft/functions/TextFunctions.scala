@@ -49,14 +49,20 @@ object TextFunctions {
         size(toks).cast("double"))
   }
 
+  /** Composite quality score in [0,1] from PRE-COMPUTED raw components
+    * — the single definition of the weights/thresholds (keep the
+    * oracle SQL replicas in QueriesText in sync). */
+  def qualityScoreOf(nTokens: Column, punct: Column, stop: Column): Column =
+    least(nTokens.cast("double") / 50.0, lit(1.0)) * 0.4 +
+      greatest(lit(0.0), lit(1.0) - punct * 5.0) * 0.3 +
+      least(stop * 5.0, lit(1.0)) * 0.3
+
   /** Composite quality score in [0,1]: rewards mid-length docs, low
-    * punctuation, presence of stopwords (C4/Gopher-style). */
-  def qualityScore(c: Column): Column = {
-    val lenScore  = least(tokenCount(c).cast("double") / lit(50.0), lit(1.0))
-    val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
-    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    round((lenScore * 0.4 + punctPen * 0.3 + stopScore * 0.3), 6)
-  }
+    * punctuation, presence of stopwords (C4/Gopher-style). Convenience
+    * form over raw text — hot paths should materialize tokens and use
+    * qualityScoreOf. */
+  def qualityScore(c: Column): Column =
+    round(qualityScoreOf(tokenCount(c), punctRatio(c), stopwordRatio(c)), 6)
 
   /** Marker stopwords per language for the n-gram-heuristic language
     * ID (deterministic, resolves ties by language order). */

@@ -63,11 +63,16 @@ object AsOf {
       .unionByName(rhs)
 
     // Right rows sort before left rows at equal time (__side 0 < 1) so a
-    // same-instant observation is visible to the backward scan.
-    val ord = Window.partitionBy(col("__k"))
+    // same-instant observation is visible to the backward scan. Tie-break
+    // among equal-timestamp right rows is the MINIMUM rightTieBreak in
+    // both directions: the backward scan takes the LAST row of its frame
+    // (so ties order DESC), the forward scan takes the FIRST (ties ASC).
+    val backOrd = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col(s"__p.$rightTieBreak").desc)
+    val fwdOrd = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col(s"__p.$rightTieBreak"))
-    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd  = ord.rowsBetween(0, Window.unboundedFollowing)
+    val back = backOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd  = fwdOrd.rowsBetween(0, Window.unboundedFollowing)
 
     val withCand = unioned
       .withColumn("__bp", last(col("__p"), ignoreNulls = true).over(back))

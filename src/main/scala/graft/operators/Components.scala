@@ -58,6 +58,7 @@ object Components {
       labels = next
       i += 1
     }
+    sym.unpersist() // labels is materialized; the edge cache is dead weight
     if (!done) System.err.println(
       s"[graft] connectedComponents: maxIter=$maxIter reached before fixpoint — " +
         "labels may be unconverged (component chains longer than maxIter hops)")

@@ -78,9 +78,13 @@ object Dedup {
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // persisted: the banding branch and the Jaccard-verify branch both
+    // read it — without the cache the tokenize+shingle+minhash scan
+    // (the dominant narrow stage) runs twice
     val sig = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
       .withColumn("minhash", minhashSig(col("__sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col(idCol),
         explode(array((0 until bands).map(b =>
@@ -123,6 +127,7 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates = docs sharing their minimum shingle hash (a 1-hash
     // MinHash: P[shared min] ≈ jaccard, so real near-dups gate in and
     // unrelated docs land in distinct buckets) within a length band

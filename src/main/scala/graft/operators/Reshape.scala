@@ -17,11 +17,20 @@ object Reshape {
   /** Wide→long unpivot of `valueCols` keeping `idCols`, producing
     * (idCols..., `keyName`, `valueName`). Narrow op — no shuffle:
     * each input row yields |valueCols| output rows via a single
-    * generate (stack). */
+    * generate (stack).
+    *
+    * @param castTo unify mixed-typed measures by casting each to this
+    *   type; None leaves values as-is (the columns must then share a
+    *   type, e.g. categorical string parameters — forcing a double
+    *   cast there would throw under ANSI mode). */
   def unpivot(idCols: Seq[String], valueCols: Seq[String],
-              keyName: String = "key", valueName: String = "value")
+              keyName: String = "key", valueName: String = "value",
+              castTo: Option[String] = Some("double"))
              (df: DataFrame): DataFrame = {
-    val stackArgs = valueCols.map(c => s"'$c', cast(`$c` as double)").mkString(", ")
+    val stackArgs = valueCols.map { c =>
+      val v = castTo.map(t => s"cast(`$c` as $t)").getOrElse(s"`$c`")
+      s"'$c', $v"
+    }.mkString(", ")
     df.selectExpr(
       (idCols :+ s"stack(${valueCols.size}, $stackArgs) as (`$keyName`, `$valueName`)"): _*)
   }

@@ -84,13 +84,18 @@ object Similarity {
       .fit(fc)
     val cells = model.transform(fc).select(col(idCol), col(vecCol), col("__cell"))
 
-    // nprobe nearest centroids per query (centroids are tiny: local math)
+    // nprobe nearest centroids per query (centroids are tiny: local
+    // math). Nearness must match the assignment metric (Euclidean):
+    // argmin ||q-c||^2 = argmax(dot(q,c) - ||c||^2/2), so rank by that
+    // score — probing by raw dot product would skip the right cells
+    // whenever centroid norms differ.
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat)).zipWithIndex
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val probed = q.withColumn("__cell", explode({
       val dists = centroids.map { case (cv, ci) =>
-        struct(VectorFunctions.vecDot(col("__qv"), typedlit(cv))
-          .multiply(-1).as("negdot"), lit(ci).as("cell"))
+        val cNorm2 = cv.map(x => x.toDouble * x.toDouble).sum
+        struct((VectorFunctions.vecDot(col("__qv"), typedlit(cv)) - lit(cNorm2 / 2.0))
+          .multiply(-1).as("negscore"), lit(ci).as("cell"))
       }
       slice(array_sort(array(dists: _*)), 1, nprobe).getField("cell")
     }))

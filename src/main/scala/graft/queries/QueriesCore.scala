@@ -289,9 +289,13 @@ object QueriesCore {
     }),
 
     "q_sessionize" -> ((s, d) => {
-      Sessionize.sessionStats(Tables(s, d).events, "user_id", "ts", "value", 1800L)
-        .withColumn("value_sum",
-          round(col("value_sum").cast("decimal(28,2)").cast("double"), 2))
+      // value pre-cast to decimal so the per-session sum is exact
+      // (summing raw doubles is merge-order dependent and diverges
+      // from the oracle's per-value decimal cast)
+      val ev = Tables(s, d).events
+        .withColumn("value", col("value").cast("decimal(18,2)"))
+      Sessionize.sessionStats(ev, "user_id", "ts", "value", 1800L)
+        .withColumn("value_sum", round(col("value_sum").cast("double"), 2))
         .select(col("user_id"), col("session_seq"),
           col("n_events"), col("value_sum"))
         .orderBy("user_id", "session_seq")
@@ -486,8 +490,8 @@ object QueriesCore {
 
     "q_null_policy" ->
       """SELECT c_custkey,
-        | CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_filled,
-        | c_acctbal < 0 AS bal_was_missing
+        | CASE WHEN c_acctbal < 0 OR c_acctbal IS NULL THEN 0.0 ELSE c_acctbal END AS bal_filled,
+        | (c_acctbal < 0 OR c_acctbal IS NULL) AS bal_was_missing
         |FROM customer WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL
         |ORDER BY c_custkey""".stripMargin,
 

@@ -40,9 +40,8 @@ object QueriesText {
         .select(col("doc_id"), col("n_tokens"),
           round(col("__punct"), 6).as("punct_ratio"),
           round(col("__stop"), 6).as("stop_ratio"),
-          round(least(col("n_tokens").cast("double") / 50.0, lit(1.0)) * 0.4
-            + greatest(lit(0.0), lit(1.0) - col("__punct") * 5.0) * 0.3
-            + least(col("__stop") * 5.0, lit(1.0)) * 0.3, 6).as("quality"))
+          round(qualityScoreOf(col("n_tokens"), col("__punct"), col("__stop")), 6)
+            .as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -173,9 +172,8 @@ object QueriesText {
         .withColumn("__fp", fingerprint(col("text")))
         .withColumn("lang_ok", langIdOfTokens(col("__toks")) === col("lang"))
         .withColumn("q_ok",
-          least(tokenCountOfTokens(col("__toks")).cast("double") / 50.0, lit(1.0)) * 0.4
-            + greatest(lit(0.0), lit(1.0) - punctRatio(col("text")) * 5.0) * 0.3
-            + least(stopwordRatioOfTokens(col("__toks")) * 5.0, lit(1.0)) * 0.3 >= 0.5)
+          qualityScoreOf(tokenCountOfTokens(col("__toks")), punctRatio(col("text")),
+            stopwordRatioOfTokens(col("__toks"))) >= 0.5)
       val canon = docs.groupBy("__fp").agg(min(col("doc_id")).as("__keep_id"))
       docs.join(canon, "__fp")
         .withColumn("is_canonical", col("doc_id") === col("__keep_id"))

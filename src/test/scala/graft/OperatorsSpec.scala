@@ -118,6 +118,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(rows(3).fieldIndex("purchase_id")))
   }
 
+  test("duplicate-timestamp right rows resolve to MIN tie-break id, both directions") {
+    // two purchases at the same instant before the click, two at the
+    // same instant after — nearest is backward; among the equal-ts
+    // backward pair the smaller purchase_id must win (oracle order:
+    // diff, ts, purchase_id)
+    val left = Seq(
+      (1L, 1L, ts("2024-01-01 12:00:00")),
+      (2L, 2L, ts("2024-01-01 12:00:00")))  // user 2: only forward candidates
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (301L, 1L, ts("2024-01-01 11:00:00"), 1.0),
+      (300L, 1L, ts("2024-01-01 11:00:00"), 1.0),
+      (402L, 2L, ts("2024-01-01 13:00:00"), 1.0),
+      (401L, 2L, ts("2024-01-01 13:00:00"), 1.0))
+      .toDF("purchase_id", "user_id", "ts", "purchase_value")
+    val rows = AsOf.nearest(left, right, "user_id", "user_id", "ts", "ts",
+        Seq("purchase_id"), 7200L, "purchase_id")
+      .orderBy("event_id").collect()
+    assert(rows(0).getAs[Long]("purchase_id") == 300L) // backward min id
+    assert(rows(1).getAs[Long]("purchase_id") == 401L) // forward min id
+  }
+
   test("equidistant tie resolves backward (earlier right row)") {
     val left = Seq((1L, 1L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
     val right = Seq(
