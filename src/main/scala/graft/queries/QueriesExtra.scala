@@ -118,6 +118,21 @@ object QueriesExtra {
         .orderBy("o_orderstatus")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // every purchase within ±2h of each click (bucketed range join:
+      // equi-join on (user, time cell) — no nested-loop blowup)
+      val t = Tables(s, d)
+      val clicks = t.events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      graft.operators.RangeJoin.timeRangeJoin(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", 7200L)
+        .select(col("click_id"), col("purchase_id"), col("range_diff_sec"))
+        .orderBy("click_id", "purchase_id")
+    }),
+
     "q_ntile" -> ((s, d) => {
       // quartile bucketing per nation by account balance (ntile)
       val t = Tables(s, d)
@@ -291,6 +306,15 @@ object QueriesExtra {
         | SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
         | FROM orders WHERE year(cast(o_orderdate as date)) >= 1997)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        | cast(epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp)) as double) / 1000000 AS range_diff_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        | JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON p.user_id = c.user_id
+        |  AND abs(epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(c.ts as timestamp))) <= 7200000000
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_ntile" ->
       """SELECT c_custkey, c_nationkey,
