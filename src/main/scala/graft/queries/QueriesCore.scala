@@ -142,9 +142,11 @@ object QueriesCore {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
         .rowsBetween(Window.unboundedPreceding, 0)
+      // long-cents in the window (see q_window_range): exact for the
+      // bounded quantity magnitudes and ~2x faster than decimal
       Tables(s, d).lineitem
         .withColumn("running_qty",
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"))
+          sum(round(col("l_quantity") * 100).cast("long")).over(w) / 100.0)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),

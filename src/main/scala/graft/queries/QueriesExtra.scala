@@ -89,14 +89,19 @@ object QueriesExtra {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
         .rangeBetween(-30, 0)
+      // long-cents instead of decimal inside the window: decimal window
+      // aggregation is ~2x slower (no codegen), and day-level quantity
+      // sums are magnitude-bounded so the long representation is exact;
+      // cents/100.0 lands on the same double as the oracle's
+      // decimal-sum-cast (same rational value)
       t.lineitem
         .withColumn("ship_day",
           datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date")))
         .groupBy("l_suppkey", "ship_day")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("day_qty"))
-        .withColumn("qty_30d", sum(col("day_qty")).over(w).cast("double"))
-        .select(col("l_suppkey"), col("ship_day"), col("day_qty").cast("double").as("day_qty"),
-          col("qty_30d"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("day_cents"))
+        .withColumn("qty_30d", sum(col("day_cents")).over(w) / 100.0)
+        .select(col("l_suppkey"), col("ship_day"),
+          (col("day_cents") / 100.0).as("day_qty"), col("qty_30d"))
         .orderBy("l_suppkey", "ship_day")
     }),
 
