@@ -34,12 +34,7 @@ object TextFunctions {
 
   /** Fraction of tokens that are stopwords — a fluency signal used by
     * corpus quality filters (Gopher/C4-style heuristics). */
-  def stopwordRatio(c: Column): Column = {
-    val toks = tokens(c)
-    val hits = size(filter(toks, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(hits.cast("double") / size(toks).cast("double"))
-  }
+  def stopwordRatio(c: Column): Column = stopwordRatioOfTokens(tokens(c))
 
   /** Mean token length of the normalized text. */
   def meanWordLen(c: Column): Column = {
@@ -73,22 +68,18 @@ object TextFunctions {
     "es" -> Seq("el", "los", "las", "una", "es"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  /** Per-language marker-hit count. */
-  def langScore(c: Column, markers: Seq[String]): Column = {
-    val toks = tokens(c)
-    size(filter(toks, t => markers.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
-  }
+  /** Per-language marker-hit count (occurrences, not distinct — each
+    * marker token counts every time it appears). `isin` compiles to a
+    * single In/InSet membership test per token instead of an equality
+    * chain. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers: _*)))
 
   /** Predicted language: argmax of marker hits, 'und' when all zero.
-    * Ties resolve in LangMarkers order (en first). */
-  def langId(c: Column): Column = {
-    val scored = LangMarkers.map { case (lang, ms) => (lang, langScore(c, ms)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scored.foldLeft(when(lit(false), lit("und"))) {
-      case (acc, (lang, s)) => acc.when(s === best && best > 0, lit(lang))
-    }
-    pick.otherwise(lit("und"))
-  }
+    * Ties resolve in LangMarkers order (en first). Convenience form —
+    * hot paths should materialize [[langScoresOfTokens]] into a column
+    * and argmax with [[langIdOfScores]] (see the CSE note below). */
+  def langId(c: Column): Column = langIdOfTokens(tokens(c))
 
   // ── tokens-column variants ──────────────────────────────────────
   // For hot paths: compute `tokens(text)` ONCE into a column and feed
@@ -99,20 +90,38 @@ object TextFunctions {
     when(size(toks) === 1 && element_at(toks, 1) === "", lit(0)).otherwise(size(toks))
 
   def stopwordRatioOfTokens(toks: Column): Column = {
-    val hits = size(filter(toks, t => StopWords.foldLeft(lit(false))((acc, s) => acc || t === lit(s))))
+    // 20-element isin crosses the optimizer's InSet threshold: one
+    // hash-set probe per token instead of 20 chained equalities
+    val hits = size(filter(toks, t => t.isin(StopWords: _*)))
     when(size(toks) === 0, lit(0.0))
       .otherwise(hits.cast("double") / size(toks).cast("double"))
   }
 
-  def langIdOfTokens(toks: Column): Column = {
-    val scored = LangMarkers.map { case (lang, ms) =>
-      (lang, size(filter(toks, t => ms.foldLeft(lit(false))((acc, s) => acc || t === lit(s)))))
-    }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldLeft(when(lit(false), lit("und"))) {
-      case (acc, (lang, s)) => acc.when(s === best && best > 0, lit(lang))
+  /** All five language scores bundled as one struct column. Hot paths
+    * materialize THIS in a projection, then argmax over the struct
+    * fields with [[langIdOfScores]] in the next projection — Catalyst
+    * does not common-subexpression-eliminate through HOF lambdas, so
+    * an inline argmax re-evaluates every score expression wherever the
+    * `when` chain references it (~3x plan cost, VERDICT r1). */
+  def langScoresOfTokens(toks: Column): Column =
+    struct(LangMarkers.map { case (lang, ms) =>
+      size(filter(toks, t => t.isin(ms: _*))).as(s"s_$lang")
+    }: _*)
+
+  /** Argmax over a MATERIALIZED [[langScoresOfTokens]] struct column:
+    * struct-field reads are cheap, so re-references in the tie-break
+    * chain cost nothing. Ties resolve in LangMarkers order. */
+  def langIdOfScores(scores: Column): Column = {
+    val s = LangMarkers.map { case (lang, _) => (lang, scores.getField(s"s_$lang")) }
+    val best = s.map(_._2).reduce((a, b) => greatest(a, b))
+    s.foldLeft(when(lit(false), lit("und"))) {
+      case (acc, (lang, sc)) => acc.when(sc === best && best > 0, lit(lang))
     }.otherwise(lit("und"))
   }
+
+  /** One-shot language ID over a tokens column — inline form; prefer
+    * materializing langScoresOfTokens on hot paths (see its note). */
+  def langIdOfTokens(toks: Column): Column = langIdOfScores(langScoresOfTokens(toks))
 
   /** Content fingerprint: md5 of normalized text (the reference uses
     * md5 unique-ids, experiment_cleaner.py:340; here anchored on

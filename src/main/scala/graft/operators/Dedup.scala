@@ -119,6 +119,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Embedding-cosine near-dup pairs with CAPPED block-key candidate
+    * generation: candidates only form inside a (blockCol) bucket, and
+    * buckets larger than `maxBlock` are dropped (the same discipline
+    * as every other generator here — an unbounded hot block, e.g. one
+    * dominant language label at corpus scale, would otherwise go
+    * quadratic). Only (block, id) rides the candidate shuffle; the
+    * wide embedding vectors are re-joined by id for surviving pairs.
+    * Returns (id_a < id_b, cosine >= threshold). */
+  def embedCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+                  threshold: Double, maxBlock: Int = 1000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val pairs = pairsFromBuckets(df.select(col(blockCol), col(idCol)),
+      Seq(blockCol), idCol, maxBlock)
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"))
+    val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
+    val na = sqrt(VectorFunctions.vecDot(col("emb_a"), col("emb_a")))
+    val nb = sqrt(VectorFunctions.vecDot(col("emb_b"), col("emb_b")))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** n-gram Jaccard near-dup with candidate gating: only documents in
     * the same (token-count bucket, min-shingle-hash band) are
     * compared — a cheap literal analog of prefix filtering. */

@@ -46,10 +46,16 @@ object QueriesText {
     }),
 
     "q_lang_id" -> ((s, d) => {
+      // tokens, then the 5 scores, each materialized ONCE per row —
+      // the argmax in the final projection reads cheap struct fields
+      // (inline scores re-evaluate per `when` reference: no CSE
+      // through HOF lambdas)
       Tables(s, d).documents
         .select(col("doc_id"), col("lang").as("lang_actual"), tokens(col("text")).as("__toks"))
         .select(col("doc_id"), col("lang_actual"),
-          langIdOfTokens(col("__toks")).as("lang_pred"))
+          langScoresOfTokens(col("__toks")).as("__ls"))
+        .select(col("doc_id"), col("lang_actual"),
+          langIdOfScores(col("__ls")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -105,20 +111,12 @@ object QueriesText {
 
     "q_dedup_embed" -> ((s, d) => {
       // embedding-cosine near-dup: candidate pairs blocked by a coarse
-      // cluster key (label) — never all-pairs — then exact cosine.
+      // cluster key (label) through the CAPPED bucket generator — a hot
+      // block at corpus scale is dropped, never allowed to go O(m²).
       // Threshold is domain-tuned; 0.42 exercises the tail of this
       // synthetic corpus (true dups would sit near 1.0).
-      val t = Tables(s, d)
-      val e = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
-      val na = sqrt(VectorFunctions.vecDot(col("emb_a"), col("emb_a")))
-      val nb = sqrt(VectorFunctions.vecDot(col("emb_b"), col("emb_b")))
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", dot / (na * nb))
-        .filter(col("cosine") >= 0.42)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      Dedup.embedCosine(Tables(s, d).embeddings, "vec_id", "embedding",
+          blockCol = "label", threshold = 0.42, maxBlock = 1000)
         .orderBy("id_a", "id_b")
     }),
 
@@ -170,7 +168,8 @@ object QueriesText {
       val docs = Tables(s, d).documents
         .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("__toks"))
         .withColumn("__fp", fingerprint(col("text")))
-        .withColumn("lang_ok", langIdOfTokens(col("__toks")) === col("lang"))
+        .withColumn("__ls", langScoresOfTokens(col("__toks")))
+        .withColumn("lang_ok", langIdOfScores(col("__ls")) === col("lang"))
         .withColumn("q_ok",
           qualityScoreOf(tokenCountOfTokens(col("__toks")), punctRatio(col("text")),
             stopwordRatioOfTokens(col("__toks"))) >= 0.5)

@@ -82,6 +82,22 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("embedCosine finds in-block near-dups and CAPS oversized blocks") {
+    // block "a": two near-identical vectors + one orthogonal
+    val small = Seq(
+      (1L, Array(1f, 0f, 0f), "a"), (2L, Array(0.99f, 0.01f, 0f), "a"),
+      (3L, Array(0f, 1f, 0f), "a"), (4L, Array(1f, 0f, 0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embedCosine(small, "vec_id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))                      // in-block only, above threshold
+    // a hot block larger than maxBlock yields ZERO candidate pairs —
+    // the cap that keeps one dominant label from going quadratic
+    val hot = (0L until 50L).map(i => (i, Array(1f, 0f), "hot")).toDF("vec_id", "embedding", "label")
+    assert(Dedup.embedCosine(hot, "vec_id", "embedding", "label",
+      threshold = 0.0, maxBlock = 10).count() == 0)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
