@@ -1,19 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
+/** Perf harness: executes every query's FULL plan (noop sink — a
+  * count() would let Catalyst prune computed columns) and prints ONE
+  * JSON line. Each query runs SPARK_GRAFT_ITERS times (default 2) and
+  * reports the per-query MINIMUM — single-shot numbers at local[32]
+  * carry 2-3x sandbox-contention noise (VERDICT r1), the min is the
+  * stable signal. Failures are excluded from the total and surfaced
+  * in a `failed` field instead of silently shrinking it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val spark = GraftSession.local()
     // Warm codegen + OS page cache so the alphabetically-first queries
     // aren't charged the session startup and cold-read costs that every
     // later query gets for free.
@@ -23,20 +22,29 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink executes the FULL plan (a count() would let Catalyst
-      // prune every computed column out of narrow queries)
-      val elapsed =
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-              (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); -1.0 }
-      name -> elapsed
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val elapsed =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); -1.0 }
+        // drop caches a query may have left behind so iterations and
+        // queries are isolated (operators self-clean, belt-and-braces)
+        spark.catalog.clearCache()
+        elapsed
+      }
+      val ok = times.filter(_ >= 0)
+      val best = if (ok.nonEmpty) ok.min else -1.0
+      System.err.println(f"[bench] $name%-24s " +
+        (if (best >= 0) f"$best%8.2f s  (min of ${ok.size})" else "FAILED"))
+      name -> best
     }
+    val failed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

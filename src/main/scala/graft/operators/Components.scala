@@ -62,7 +62,12 @@ object Components {
     if (!done) System.err.println(
       s"[graft] connectedComponents: maxIter=$maxIter reached before fixpoint — " +
         "labels may be unconverged (component chains longer than maxIter hops)")
-    labels
+    // Checkpoint the final labels (eager — reads straight from the
+    // still-warm cache) and release the cache: callers get a stable,
+    // lineage-free result and no persisted RDD outlives the call.
+    val result = labels.localCheckpoint()
+    labels.unpersist()
+    result
   }
 
   /** Collapse near-dup pairs to per-component survivors:

@@ -93,7 +93,13 @@ object Dedup {
       .select(col(idCol), col("lsh.band"), col("lsh.bh"))
 
     val pairs = pairsFromBuckets(banded, Seq("band", "bh"), idCol, maxBucket)
-    verifyJaccard(pairs, sig.select(col(idCol), col("__sh")), idCol, threshold)
+    // materialize the (tiny) verified pairs eagerly, then release the
+    // signature cache — it must not outlive the call (a long session
+    // running many dedups would otherwise accumulate executor memory)
+    val result = verifyJaccard(pairs, sig.select(col(idCol), col("__sh")),
+      idCol, threshold).localCheckpoint()
+    sig.unpersist()
+    result
   }
 
   /** 64-bit SimHash signature column (one-pass native expression). */
@@ -159,6 +165,8 @@ object Dedup {
       (size(col("__sh")) / 10).cast("int").as("lenb"),
       array_min(transform(col("__sh"), s => xxhash64(s))).as("pref"))
     val pairs = pairsFromBuckets(gated, Seq("lenb", "pref"), idCol, maxBucket)
-    verifyJaccard(pairs, sh, idCol, threshold)
+    val result = verifyJaccard(pairs, sh, idCol, threshold).localCheckpoint()
+    sh.unpersist() // see minHashLsh: the shingle cache must not outlive the call
+    result
   }
 }

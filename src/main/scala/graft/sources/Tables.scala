@@ -23,12 +23,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and truncate to
-    * microseconds (integer `div` — a double division would lose
-    * precision above 2^53). DuckDB's TIMESTAMP_NS → TIMESTAMP cast
-    * truncates identically. */
+    * reader rejects; read nanos as long (legacy conf, set ONCE in
+    * [[graft.GraftSession]] — a getter must not mutate shared session
+    * state) and truncate to microseconds (integer `div` — a double
+    * division would lose precision above 2^53). DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast truncates identically. */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.GraftSession)")
     table("events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -33,8 +33,10 @@ object EventStream {
     * correctness oracle check streaming semantics. */
   def runBatchEquivalent(spark: SparkSession, sfDir: String,
                          queryName: String = "graft_stream"): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet — see Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.ts is TIMESTAMP(NANOS) parquet — conf set once in
+    // GraftSession (see Tables.events)
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the file source needs a directory; glob-filter down to events
     val stream = spark.readStream.schema(schema)
@@ -68,7 +70,10 @@ object EventStream {
         (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[Double]) =>
           var total = state.getOption.getOrElse(0.0)
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-          rows.foreach { case (_, eventId, v) =>
+          // flatMapGroupsWithState does not guarantee intra-batch row
+          // order: fold in event_id order so the event attributed to a
+          // threshold crossing is stable across replays/batch splits
+          rows.toSeq.sortBy(_._2).foreach { case (_, eventId, v) =>
             val before = (total / threshold).toLong
             total += v
             if ((total / threshold).toLong > before) out += ((user, eventId, total))
