@@ -63,6 +63,17 @@ object Hierarchy {
     result
   }
 
+  /** Per-node ancestor ARRAYS — the reference's actual product shape
+    * (ontology_hierarchy_extractor.py:181 emits per-term arrays of
+    * intermediate/top-level ancestors, not pairs): sorted distinct
+    * ancestor ids, their count, and the chain depth. One shuffle over
+    * the closure; collect_set partial-aggregates map-side. */
+  def ancestorArrays(closureDf: DataFrame): DataFrame =
+    closureDf.groupBy("node")
+      .agg(sort_array(collect_set(col("anc"))).as("ancestors"),
+        count(lit(1)).as("n_anc"),
+        max(col("depth")).as("max_depth"))
+
   /** Root (top-level ancestor) per node: the ancestor at max depth. */
   def roots(closureDf: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Diff, Hierarchy, Reshape}
+import graft.operators.{Diff, Hierarchy, Joins, Reshape}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,6 +224,99 @@ object QueriesExtra {
         .orderBy("event_type")
     }),
 
+    "q_doc_assembly" -> ((s, d) => {
+      // wide-document assembly, the reference's dominant loader pattern:
+      // parallel per-entity arrays zipped into raw_data structs
+      // (stats_results_mapper.py:999 arrays_zip), exploded NULL-PRESERVING
+      // so entities with no rows keep a row (observation_mapper.py:894
+      // explode_outer), plus a map-typed column probed by key.
+      val t = Tables(s, d)
+      // pre-aggregate per (order, linenumber): the synthetic data has
+      // duplicate linenumbers, and the zipped arrays / map keys need
+      // one entry per line
+      val hot = t.lineitem.filter(col("l_quantity") > 45)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("price"))
+      // sort-collect ONE struct array, then split into parallel arrays —
+      // collect_list order is nondeterministic after a shuffle, sorting
+      // by the struct (ln first) pins it
+      val perOrder = hot.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+          col("qty"), col("price")))).as("__rows"))
+        .select(col("l_orderkey"),
+          col("__rows.ln").as("ln"),
+          col("__rows.qty").as("qty"),
+          col("__rows.price").as("price"))
+      t.orders.select(col("o_orderkey"), col("o_orderstatus"))
+        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .withColumn("raw_data", arrays_zip(col("ln"), col("qty"), col("price")))
+        .withColumn("line_map", map_from_arrays(col("ln"), col("qty")))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          explode_outer(col("raw_data")).as("r"),
+          element_at(col("line_map"), lit(1)).as("line1_qty"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("r.ln").cast("int").as("line_no"),
+          col("r.qty").as("qty"), col("r.price").as("price"),
+          col("line1_qty"))
+        .orderBy(col("o_orderkey"), col("line_no").asc_nulls_first)
+    }),
+
+    "q_ancestor_arrays" -> ((s, d) => {
+      // per-node ancestor arrays — the hierarchy product's real shape
+      // (ontology_hierarchy_extractor.py:181); string-joined for oracle
+      // dtype parity (see q_collect_set)
+      val t = Tables(s, d)
+      val edges = t.orders.filter(col("o_orderkey") >= 10)
+        .select(col("o_orderkey").as("child"),
+          (col("o_orderkey") / 10).cast("long").as("parent"))
+      Hierarchy.ancestorArrays(
+          Hierarchy.ancestors(edges, "child", "parent", maxDepth = 10))
+        .select(col("node"),
+          array_join(transform(col("ancestors"), a => a.cast("string")), ",")
+            .as("anc_path"),
+          col("n_anc").cast("int").as("n_anc"),
+          col("max_depth"))
+        .orderBy("node")
+    }),
+
+    "q_fallback_join" -> ((s, d) => {
+      // fallback-key cross-reference (specimen_cross_ref.py:130 /
+      // cross_ref_helper.py): orders match a primary customer registry
+      // on custkey; the unmatched remainder retries a legacy registry
+      // on a derived legacy key; leftovers are 'none'
+      val t = Tables(s, d)
+      val prim = t.customer.filter(col("c_acctbal") > 100)
+        .select(col("c_custkey").as("pk"), col("c_name").as("matched_name"))
+      val sec = t.customer.filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("sk"), col("c_name").as("matched_name"))
+      val left = t.orders.select(col("o_orderkey"), col("o_custkey"),
+        (col("o_custkey") % 500).as("legacy_key"))
+      Joins.fallbackJoin(left, prim, ("o_custkey", "pk"), sec, ("legacy_key", "sk"))
+        .select(col("o_orderkey"), col("match_source"),
+          coalesce(col("matched_name"), lit("unmatched")).as("matched_name"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_xml_observations" -> ((s, d) => {
+      // XML as a first-class source (the reference's primary input,
+      // xml_extraction_helper.py:51): suppliers round-trip through
+      // row-tagged XML, read back with readXml, then aggregate; the
+      // oracle runs on the original parquet — any read/write skew
+      // (types, nulls, escaping) breaks the hash
+      val t = Tables(s, d)
+      val xmlDir = s"${sys.props("java.io.tmpdir")}/graft_xml_${Integer.toHexString(d.hashCode)}"
+      val slice = t.supplier.select("s_suppkey", "s_nationkey", "s_acctbal")
+      Tables.writeXml(slice, xmlDir, rowTag = "supplier")
+      // explicit schema: XML inference widens int32 to long (and costs
+      // a full extra pass) — pin the parquet slice's schema instead
+      Tables.readXml(s, xmlDir, rowTag = "supplier", schema = slice.schema)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("s_nationkey")
+    }),
+
     "q_fuzzy_match" -> ((s, d) => {
       // fuzzy standardization against a small reference vocabulary
       // (the reference matches legacy colony/strain names to tracked
@@ -379,6 +472,54 @@ object QueriesExtra {
         | round(quantile_cont(value, 0.9), 6) AS p90_value,
         | count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_assembly" ->
+      """WITH hot AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS price
+        | FROM lineitem WHERE l_quantity > 45 GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.o_orderstatus,
+        | cast(h.l_linenumber as int) AS line_no, h.qty, h.price,
+        | h1.qty AS line1_qty
+        |FROM orders o
+        | LEFT JOIN hot h ON o.o_orderkey = h.l_orderkey
+        | LEFT JOIN (SELECT l_orderkey, qty FROM hot WHERE l_linenumber = 1) h1
+        |   ON o.o_orderkey = h1.l_orderkey
+        |ORDER BY o_orderkey, line_no NULLS FIRST""".stripMargin,
+
+    "q_ancestor_arrays" ->
+      """WITH RECURSIVE edges AS (
+        | SELECT o_orderkey AS child, o_orderkey // 10 AS parent
+        | FROM orders WHERE o_orderkey >= 10),
+        |anc AS (
+        | SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+        | UNION ALL
+        | SELECT a.node, e.parent, a.depth + 1
+        | FROM anc a JOIN edges e ON a.anc = e.child)
+        |SELECT node,
+        | array_to_string(list_sort(list(DISTINCT anc)), ',') AS anc_path,
+        | cast(count(DISTINCT anc) as int) AS n_anc,
+        | cast(max(depth) as int) AS max_depth
+        |FROM anc GROUP BY node ORDER BY node""".stripMargin,
+
+    "q_fallback_join" ->
+      """WITH prim AS (SELECT c_custkey AS pk, c_name AS p_name FROM customer WHERE c_acctbal > 100),
+        |sec AS (SELECT c_custkey AS sk, c_name AS s_name FROM customer WHERE c_custkey < 500)
+        |SELECT o_orderkey,
+        | CASE WHEN p.pk IS NOT NULL THEN 'primary'
+        |      WHEN s.sk IS NOT NULL THEN 'secondary'
+        |      ELSE 'none' END AS match_source,
+        | coalesce(p.p_name, s.s_name, 'unmatched') AS matched_name
+        |FROM orders o
+        | LEFT JOIN prim p ON o.o_custkey = p.pk
+        | LEFT JOIN sec s ON p.pk IS NULL AND (o.o_custkey % 500) = s.sk
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_xml_observations" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | cast(sum(cast(s_acctbal as decimal(18,2))) as double) AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fuzzy_match" ->
       """WITH scored AS (

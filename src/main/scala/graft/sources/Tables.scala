@@ -65,4 +65,22 @@ object Tables {
     * payloads like the reference's IMPReSS extracts). */
   def readJson(spark: SparkSession, path: String, multiline: Boolean = false): DataFrame =
     spark.read.option("multiline", multiline.toString).json(path)
+
+  /** XML reader (Spark 4's built-in XML source) with the reference's
+    * extraction posture — rowTag selects the repeating element,
+    * empty-string elements read as null, FAILFAST by default
+    * (xml_extraction_helper.py:51: rowTag/nullValue/mode options). */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+              schema: StructType = null, nullValue: String = "",
+              mode: String = "FAILFAST"): DataFrame = {
+    val base = spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("nullValue", nullValue)
+      .option("mode", mode)
+    (if (schema != null) base.schema(schema) else base).load(path)
+  }
+
+  /** XML writer twin (round-trips through readXml). */
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
 }

@@ -198,6 +198,49 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 }
 
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fallbackJoin: primary wins, misses retry secondary, rest none") {
+    val left = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("id", "k1", "k2")
+    val prim = Seq((10L, "p10")).toDF("pk", "name")
+    val sec = Seq((200L, "s200"), (10L, "never-reached")).toDF("sk", "name")
+    val out = graft.operators.Joins
+      .fallbackJoin(left, prim, ("k1", "pk"), sec, ("k2", "sk"))
+      .select("id", "match_source", "name").as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("primary", "p10"))   // matched on k1, secondary NOT consulted
+    assert(out(2L) == ("secondary", "s200"))
+    assert(out(3L)._1 == "none" && out(3L)._2 == null)
+  }
+
+  test("ancestorArrays aggregates the closure into per-node arrays") {
+    val edges = Seq((111L, 11L), (11L, 1L)).toDF("child", "parent")
+    val closure = graft.operators.Hierarchy.ancestors(edges, "child", "parent")
+    val arr = graft.operators.Hierarchy.ancestorArrays(closure)
+      .as[(Long, Seq[Long], Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(arr(111L) == ((111L, Seq(1L, 11L), 2L, 2)))
+    assert(arr(11L) == ((11L, Seq(1L), 1L, 1)))
+  }
+
+  test("readXml round-trips rows including null handling") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_xml_spec"
+    val df = Seq((1L, "alpha", 1.5), (2L, null, -0.25), (3L, "", 0.0))
+      .toDF("id", "name", "score")
+    graft.sources.Tables.writeXml(df, dir, rowTag = "row")
+    val back = graft.sources.Tables.readXml(spark, dir, rowTag = "row")
+      .select("id", "name", "score").as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    assert(back.length == 3)
+    assert(back(0) == ((1L, "alpha", 1.5)))
+    // both missing and empty-string elements surface as null (nullValue="")
+    assert(back(1)._2 == null && back(2)._2 == null)
+    assert(back(1)._3 == -0.25)
+  }
+}
+
 class CacheHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
