@@ -63,6 +63,54 @@ object Hierarchy {
     result
   }
 
+  /** Ancestor closure by PATH DOUBLING: O(log depth) rounds instead of
+    * O(depth). Each round joins the closure with itself (ancestor of
+    * ancestor), so after k rounds every path up to length 2^k is
+    * present; (node, anc) pairs keep their MINIMUM path length, which
+    * also makes the depth deterministic on diamond DAGs (the linear
+    * walk keeps an arbitrary one).
+    *
+    * Scale trade-off vs [[ancestors]]: the linear walk shuffles only
+    * the frontier each round (best for shallow, wide hierarchies —
+    * most ontologies); doubling shuffles the whole closure per round
+    * but needs exponentially fewer rounds (best when depth is large —
+    * deep taxonomies, long dependency chains — where round-count,
+    * i.e. job-scheduling latency, dominates).
+    */
+  def ancestorsDoubling(edges: DataFrame, childCol: String, parentCol: String,
+                        maxDepth: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
+      .filter(col("anc").isNotNull)
+      .withColumn("depth", lit(1))
+    var closure = e.persist(StorageLevel.MEMORY_AND_DISK)
+    var size = closure.count()
+    var reach = 1L
+    var done = false
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](closure)
+    while (!done && reach < maxDepth) {
+      val doubled = closure.alias("a")
+        .join(closure.alias("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.depth") + col("b.depth")).as("depth"))
+      val next = closure.unionByName(doubled)
+        .groupBy("node", "anc").agg(min(col("depth")).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
+      val nextSize = next.count()
+      done = nextSize == size // no new reachable pairs => fixpoint
+      size = nextSize
+      closure = next
+      reach *= 2
+    }
+    if (!done) System.err.println(
+      s"[graft] Hierarchy.ancestorsDoubling: maxDepth=$maxDepth reached before " +
+        "fixpoint — the closure may be truncated (cycle or deeper hierarchy)")
+    val result = closure.localCheckpoint()
+    cached.foreach(_.unpersist())
+    result
+  }
+
   /** Per-node ancestor ARRAYS — the reference's actual product shape
     * (ontology_hierarchy_extractor.py:181 emits per-term arrays of
     * intermediate/top-level ancestors, not pairs): sorted distinct

@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Depth batch: reference patterns surfaced by the round-1 audit that
+  * the first 64 queries didn't exercise — conditional distinct
+  * counting, zip_with element-wise folds, when/otherwise cascades,
+  * source-file provenance, CUBE grouping, and two further LLM-corpus
+  * signals (repetition quality, vocabulary stats).
+  *
+  * Oracle-parity conventions follow QueriesCore.scala's scaladoc
+  * (decimal-exact sums, NULLS FIRST ordering, int/bigint casts).
+  */
+object QueriesDepth {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_cond_distinct" -> ((s, d) => {
+      // per-group conditional DISTINCT counts — the reference's
+      // male/female mutant specimen counting pattern:
+      // size(collect_set(when(cond, id))) per group
+      // (stats_results_mapper.py:325–344)
+      val t = Tables(s, d)
+      t.orders.groupBy("o_orderstatus")
+        .agg(
+          size(collect_set(when(col("o_orderpriority") === "1-URGENT",
+            col("o_custkey")))).as("n_urgent_cust"),
+          size(collect_set(when(col("o_orderpriority") === "5-LOW",
+            col("o_custkey")))).as("n_low_cust"),
+          size(collect_set(col("o_orderpriority"))).as("n_prio"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q_zip_weighted" -> ((s, d) => {
+      // element-wise combine of parallel arrays via zip_with + fold —
+      // the reference pairs parallel id/term arrays the same way
+      // (impc_api_mapper.py:535, impc_kg_mapper.py:19). Money is held
+      // as long cents so the fold is exact and partitioning-independent
+      // (cents × cents = 1e-4 dollar² units, well inside long range).
+      // Arrays are materialized as columns BEFORE the zip_with/aggregate
+      // projection: Catalyst does not CSE through HOF lambdas.
+      val t = Tables(s, d)
+      val sorted = t.lineitem
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            round(col("l_quantity") * 100).cast("long").as("qc"),
+            round(col("l_extendedprice") * 100).cast("long").as("pc")).as("r"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .select(col("l_orderkey"), col("rs.qc").as("qcs"), col("rs.pc").as("pcs"))
+      sorted
+        .select(col("l_orderkey"), size(col("qcs")).as("n_items"),
+          aggregate(zip_with(col("qcs"), col("pcs"), (q, p) => q * p),
+            lit(0L), (acc, x) => acc + x).as("rev_c4"))
+        .orderBy("l_orderkey")
+    }),
+
+    "q_flag_cascade" -> ((s, d) => {
+      // multi-branch when/otherwise classification with least/greatest
+      // clamping — the reference's significance-flag cascades
+      // (stats_results_mapper.py:393–468, F.least/F.greatest)
+      val t = Tables(s, d)
+      val tp = col("o_totalprice")
+      t.orders.select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT" && tp > 200000, "critical")
+            .when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+            .when(tp > 250000, "jumbo")
+            .otherwise("standard").as("tier"),
+          // floor, not round: round(double, 2) differs between engines
+          // at representational halves (Spark rounds the decimal string,
+          // DuckDB the binary double) — floor is exact on both
+          least(greatest(floor(tp / 1000.0), lit(10.0)), lit(300.0)).as("score"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_file_provenance" -> ((s, d) => {
+      // source-file provenance column — the reference stamps every
+      // extracted row with its originating file
+      // (xml_extraction_helper.py:56 `_sourceFile` = input_file_name()).
+      // Scale: a pure narrow map; the basename extraction is a string
+      // op per row, grouped with map-side partial agg.
+      val t = Tables(s, d)
+      t.orders
+        .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .groupBy("src_file")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("src_file")
+    }),
+
+    "q_cube" -> ((s, d) => {
+      // CUBE over (status, priority) — completes the grouping-sets
+      // family next to q_rollup (the reference's stats-input mapper
+      // aggregates the same slice at several grouping levels,
+      // stats_pipeline_input_mapper.py). grouping_id() disambiguates
+      // NULL-as-rollup from NULL-as-value.
+      val t = Tables(s, d)
+      t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_gopher_quality" -> ((s, d) => {
+      // repetition/shape quality signals (Gopher-style corpus rules):
+      // duplicate-token ratio, mean and max word length, keep flag.
+      // tokens materialized once as a column — Catalyst does not CSE
+      // through HOF lambdas, so every signal reuses the same array.
+      import graft.functions.TextFunctions
+      val t = Tables(s, d)
+      val base = t.documents.select(col("doc_id"),
+        TextFunctions.normText(col("text")).as("norm"))
+        .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
+        .select(col("doc_id"), col("norm"), col("toks"),
+          size(col("toks")).as("n_tok"))
+      base.select(col("doc_id"), col("n_tok"),
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+            / col("n_tok").cast("double"), 6).as("dup_tok_ratio"),
+          round((length(col("norm")) - (col("n_tok") - 1)).cast("double")
+            / col("n_tok").cast("double"), 6).as("mean_word_len"),
+          array_max(transform(col("toks"), t => length(t))).as("max_word_len"))
+        .withColumn("keep",
+          col("dup_tok_ratio") <= 0.8 && col("mean_word_len").between(3.0, 10.0))
+        .orderBy("doc_id")
+    }),
+
+    "q_sample_stratified" -> ((s, d) => {
+      // stratified downsampling for corpus balancing (seeded sampleBy):
+      // over-represented strata are thinned to a target fraction — the
+      // standard rebalancing step before LLM training-data mixing.
+      // Rows-only (per-row Bernoulli draws aren't SQL-replicable);
+      // SamplingSpec asserts strata membership, determinism, and rates.
+      // Scale: narrow per-partition Bernoulli filter, zero shuffle
+      // before the (tiny) per-stratum count.
+      val t = Tables(s, d)
+      val fractions = (0 to 4).map(_ -> 1.0).toMap ++ (5 to 9).map(_ -> 0.3).toMap
+      t.embeddings.stat.sampleBy("label", fractions, seed = 42L)
+        .groupBy("label").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("label")
+    }),
+
+    "q_vocab_stats" -> ((s, d) => {
+      // corpus vocabulary statistics: token → frequency + doc frequency.
+      // The canonical word-count shuffle: explode streams through the
+      // scan, groupBy partial-aggregates map-side; at 100 TB the reduce
+      // side is bounded by |vocab|, not corpus size.
+      import graft.functions.TextFunctions
+      val t = Tables(s, d)
+      t.documents
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("tok")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_cond_distinct" ->
+      """SELECT o_orderstatus,
+        | cast(count(DISTINCT CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END) as int) AS n_urgent_cust,
+        | cast(count(DISTINCT CASE WHEN o_orderpriority = '5-LOW' THEN o_custkey END) as int) AS n_low_cust,
+        | cast(count(DISTINCT o_orderpriority) as int) AS n_prio
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zip_weighted" ->
+      """SELECT l_orderkey, cast(count(*) as int) AS n_items,
+        | cast(sum(cast(round(l_quantity*100) as bigint)
+        |        * cast(round(l_extendedprice*100) as bigint)) as bigint) AS rev_c4
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_flag_cascade" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000 THEN 'critical'
+        |      WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'expedite'
+        |      WHEN o_totalprice > 250000 THEN 'jumbo'
+        |      ELSE 'standard' END AS tier,
+        | least(greatest(floor(o_totalprice/1000.0), 10.0), 300.0) AS score
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_file_provenance" ->
+      """SELECT 'orders.parquet' AS src_file, count(*) AS n_rows,
+        | cast(count(DISTINCT o_orderkey) as bigint) AS n_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | cast(GROUPING(o_orderstatus, o_orderpriority) as int) AS gid,
+        | count(*) AS n,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_gopher_quality" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, norm, string_split(norm, ' ') AS tk FROM base)
+        |SELECT doc_id, cast(len(tk) as int) AS n_tok,
+        | round(1.0 - len(list_distinct(tk)) / cast(len(tk) as double), 6) AS dup_tok_ratio,
+        | round((length(norm) - (len(tk) - 1)) / cast(len(tk) as double), 6) AS mean_word_len,
+        | cast(list_max(list_transform(tk, x -> length(x))) as int) AS max_word_len,
+        | (round(1.0 - len(list_distinct(tk)) / cast(len(tk) as double), 6) <= 0.8
+        |  AND round((length(norm) - (len(tk) - 1)) / cast(len(tk) as double), 6) BETWEEN 3.0 AND 10.0) AS keep
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_stats" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+        | FROM documents)
+        |SELECT tok, count(*) AS n, cast(count(DISTINCT doc_id) as bigint) AS n_docs
+        |FROM toks WHERE length(tok) > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

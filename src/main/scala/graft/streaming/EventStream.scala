@@ -83,6 +83,23 @@ object EventStream {
       }
   }
 
+  /** Streaming deduplication with bounded state: duplicates of a key
+    * arriving within the watermark are dropped, and state for keys
+    * older than the watermark is expired (dropDuplicatesWithinWatermark
+    * — without it, dedup state grows without bound on an infinite
+    * stream). The batch twin is a plain dropDuplicates. */
+  def streamDedup(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream enrichment against a static dimension (stream-static join):
+    * the dimension is broadcast to every task each micro-batch, so no
+    * state is kept and no shuffle of the stream side occurs. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Gap-based session windows, streaming-native (session_window). */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -241,6 +241,87 @@ class JoinsSpec extends AnyFunSuite {
   }
 }
 
+class DepthOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("ancestorsDoubling matches the linear walk on a chain") {
+    val edges = Seq((4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L)).toDF("c", "p")
+    val lin = Hierarchy.ancestors(edges, "c", "p")
+      .as[(Long, Long, Int)].collect().toSet
+    val dbl = Hierarchy.ancestorsDoubling(edges, "c", "p")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dbl == lin)
+    assert(dbl.contains((4L, 0L, 4)))
+  }
+
+  test("ancestorsDoubling keeps MIN depth on a diamond DAG") {
+    // 3 -> {2a, 2b} -> 1 plus a shortcut 3 -> 1: min path length is 1
+    val edges = Seq((3L, 21L), (3L, 22L), (21L, 1L), (22L, 1L), (3L, 1L))
+      .toDF("c", "p")
+    val m = Hierarchy.ancestorsDoubling(edges, "c", "p")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((3L, 1L)) == 1)
+    assert(m((3L, 21L)) == 1 && m((21L, 1L)) == 1)
+  }
+
+  test("stratified sampleBy keeps full strata intact and thins the rest deterministically") {
+    val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "label")
+    val fr = Map(0 -> 1.0, 1 -> 0.3, 2 -> 0.0)
+    val s1 = df.stat.sampleBy("label", fr, 7L)
+    val s2 = df.stat.sampleBy("label", fr, 7L)
+    assert(s1.collect().toSeq == s2.collect().toSeq) // seeded => deterministic
+    val counts = s1.groupBy("label").count().as[(Int, Long)].collect().toMap
+    assert(counts(0) == 500)                   // fraction 1.0 keeps all
+    assert(counts.get(2).isEmpty)              // fraction 0.0 drops all
+    assert(!counts.contains(3))                // unlisted strata dropped
+    assert(counts(1) > 50 && counts(1) < 450)  // thinned, not empty/full
+  }
+}
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.streaming.Trigger
+
+  private def runStream(out: org.apache.spark.sql.DataFrame, name: String) = {
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    spark.table(name)
+  }
+
+  test("streamDedup drops in-watermark duplicates with bounded state") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_sdedup_src"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Seq((1L, 0), (1L, 5), (2L, 10), (2L, 10), (3L, 20))
+      .map { case (id, m) => (id, new java.sql.Timestamp(base + m * 60000L)) }
+    rows.toDF("event_id", "ts").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = runStream(
+      graft.streaming.EventStream.streamDedup(stream, Seq("event_id")), "t_sdedup")
+      .select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // one survivor per key
+  }
+
+  test("enrichWithDim broadcast-joins a static dimension into the stream") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_senrich_src"
+    Seq((1L, 10), (2L, 20), (3L, 99)).toDF("event_id", "code")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq((10, "view"), (20, "click")).toDF("dim_code", "label")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val got = runStream(
+      graft.streaming.EventStream.enrichWithDim(stream, dim, "code", "dim_code"),
+      "t_senrich")
+      .select("event_id", "label").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "view", 2L -> "click", 3L -> null))
+  }
+}
+
 class CacheHygieneSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
