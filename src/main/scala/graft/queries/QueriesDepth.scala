@@ -128,6 +128,47 @@ object QueriesDepth {
         .orderBy("doc_id")
     }),
 
+    "q_variant_extract" -> ((s, d) => {
+      // semi-structured props via Spark 4's VARIANT type — the scale
+      // path for JSON at 100 TB: parse once into a shredded columnar
+      // encoding, then typed path extraction (vs per-row string
+      // re-parsing with get_json_object, cf. q_json_extract).
+      val t = Tables(s, d)
+      t.events
+        .select(parse_json(col("props")).as("v"),
+          col("value").cast("decimal(18,2)").as("dv"))
+        .select(try_variant_get(col("v"), "$.k", "int").as("k"), col("dv"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("dv")).cast("double").as("value_sum"))
+        .orderBy("k")
+    }),
+
+    "q_wide_doc" -> ((s, d) => {
+      // flagship wide-document assembly — the reference's Solr/Mongo
+      // doc mappers built as one nested JSON doc per entity: dims
+      // broadcast in, per-customer order array sort-collected as
+      // structs, money as long cents (double JSON formatting differs
+      // across engines), single to_json at the end
+      // (impc_api_mapper.py:535, solr doc mappers, q_doc_json's big
+      // sibling). Scale: one shuffle (groupBy custkey); the doc build
+      // itself is a narrow map.
+      val t = Tables(s, d)
+      val orders = t.orders.select(col("o_custkey"),
+        struct(col("o_orderkey").as("id"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("tp_c")).as("o"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o"))).as("orders"),
+          count(lit(1)).as("n_orders"))
+      t.customer
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("n_orders"),
+          to_json(struct(col("c_custkey").as("id"), col("c_name").as("name"),
+            col("n_name").as("nation"), col("orders"))).as("doc"))
+        .orderBy("c_custkey")
+    }),
+
     "q_sample_stratified" -> ((s, d) => {
       // stratified downsampling for corpus balancing (seeded sampleBy):
       // over-represented strata are thinned to a target fraction — the
@@ -210,6 +251,27 @@ object QueriesDepth {
         | (round(1.0 - len(list_distinct(tk)) / cast(len(tk) as double), 6) <= 0.8
         |  AND round((length(norm) - (len(tk) - 1)) / cast(len(tk) as double), 6) BETWEEN 3.0 AND 10.0) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_variant_extract" ->
+      """SELECT cast(json_extract(props, '$.k') as int) AS k, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as double) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_wide_doc" ->
+      """WITH o AS (
+        | SELECT o_custkey,
+        |  list(struct_pack(id := o_orderkey, st := o_orderstatus,
+        |                   tp_c := cast(round(o_totalprice*100) as bigint))
+        |       ORDER BY o_orderkey, o_orderstatus, cast(round(o_totalprice*100) as bigint)) AS orders,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, o.n_orders,
+        | to_json(struct_pack(id := c.c_custkey, name := c.c_name,
+        |                     nation := n.n_name, orders := o.orders)) AS doc
+        |FROM customer c
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH toks AS (

@@ -59,6 +59,20 @@ class SourcesSpec extends AnyFunSuite {
       Tables(spark, SparkTestSession.sfDir).orders.count())
   }
 
+  test("ORC round-trips with predicate pushdown to the scan") {
+    val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val orders = Tables(spark, SparkTestSession.sfDir).orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_orderkey") === 42L)
+    // the filter must reach the ORC scan, not sit in a post-scan Filter only
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)"),
+      s"no pushed filter in ORC scan:\n$scan")
+  }
+
   test("binaryFile source reads opaque blobs with metadata") {
     val df = spark.read.format("binaryFile")
       .load(s"${SparkTestSession.sfDir}/documents.parquet")
