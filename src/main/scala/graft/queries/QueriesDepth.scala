@@ -128,6 +128,21 @@ object QueriesDepth {
         .orderBy("doc_id")
     }),
 
+    "q_scd2" -> ((s, d) => {
+      // SCD2 versioned history over the event stream: per user, runs
+      // of unchanged event_type with validity intervals — the
+      // warehouse-grade generalization of the reference's per-release
+      // snapshot diffing (operators/Scd2.scala).
+      val t = Tables(s, d)
+      graft.operators.Scd2.history(
+          t.events.select("user_id", "ts", "event_id", "event_type"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          attrCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from_us"), col("valid_to_us"), col("n_snapshots"))
+        .orderBy("user_id", "version")
+    }),
+
     "q_variant_extract" -> ((s, d) => {
       // semi-structured props via Spark 4's VARIANT type — the scale
       // path for JSON at 100 TB: parse once into a shredded columnar
@@ -251,6 +266,28 @@ object QueriesDepth {
         | (round(1.0 - len(list_distinct(tk)) / cast(len(tk) as double), 6) <= 0.8
         |  AND round((length(norm) - (len(tk) - 1)) / cast(len(tk) as double), 6) BETWEEN 3.0 AND 10.0) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH marked AS (
+        | SELECT user_id, event_type, cast(ts as timestamp) AS tts, event_id,
+        |  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |       THEN 1 ELSE 0 END AS chg
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id)),
+        |runs AS (
+        | SELECT user_id, event_type,
+        |  cast(sum(chg) OVER (PARTITION BY user_id ORDER BY tts, event_id) as bigint) AS version,
+        |  tts
+        | FROM marked),
+        |agg AS (
+        | SELECT user_id, version, event_type,
+        |  epoch_us(min(tts)) AS valid_from_us,
+        |  count(*) AS n_snapshots
+        | FROM runs GROUP BY 1, 2, 3)
+        |SELECT user_id, version, event_type, valid_from_us,
+        | lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+        | n_snapshots
+        |FROM agg ORDER BY user_id, version""".stripMargin,
 
     "q_variant_extract" ->
       """SELECT cast(json_extract(props, '$.k') as int) AS k, count(*) AS n,

@@ -265,6 +265,25 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(m((3L, 21L)) == 1 && m((21L, 1L)) == 1)
   }
 
+  test("Scd2.history collapses snapshots into null-safe versioned runs") {
+    val snaps = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"),      // run 1: a×2
+      (1L, 300L, 3L, null), (1L, 400L, 4L, null),    // run 2: null×2 (null-safe)
+      (1L, 500L, 5L, "a"),                           // run 3: back to a
+      (2L, 100L, 6L, "x"))
+      .toDF("k", "ts_us", "id", "attr")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val h = Scd2.history(snaps, Seq("k"), "ts", Seq("attr"), Seq("id"))
+      .select("k", "version", "attr", "valid_from_us", "valid_to_us", "n_snapshots")
+      .as[(Long, Long, String, Long, Option[Long], Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(h.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSeq == Seq(
+      (1L, 1L, "a", 100L, Some(300L), 2L),
+      (1L, 2L, null, 300L, Some(500L), 2L),
+      (1L, 3L, "a", 500L, None, 1L),
+      (2L, 1L, "x", 100L, None, 1L)))
+  }
+
   test("stratified sampleBy keeps full strata intact and thins the rest deterministically") {
     val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "label")
     val fr = Map(0 -> 1.0, 1 -> 0.3, 2 -> 0.0)
