@@ -128,6 +128,23 @@ object QueriesDepth {
         .orderBy("doc_id")
     }),
 
+    "q_weighted_mean" -> ((s, d) => {
+      // custom typed Aggregator (functions/Aggregators.scala): exact
+      // weighted mean with long-integer state — partial-agg friendly
+      // (map-side combine) and bit-stable under any partitioning,
+      // unlike a double-state running mean
+      val t = Tables(s, d)
+      val wm = udaf(graft.functions.Aggregators.WeightedMeanCents)
+      t.lineitem
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("vc"),
+          round(col("l_quantity") * 100).cast("long").as("wc"))
+        .groupBy("l_returnflag")
+        .agg(round(wm(col("vc"), col("wc")), 6).as("w_mean_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_scd2" -> ((s, d) => {
       // SCD2 versioned history over the event stream: per user, runs
       // of unchanged event_type with validity intervals — the
@@ -266,6 +283,15 @@ object QueriesDepth {
         | (round(1.0 - len(list_distinct(tk)) / cast(len(tk) as double), 6) <= 0.8
         |  AND round((length(norm) - (len(tk) - 1)) / cast(len(tk) as double), 6) BETWEEN 3.0 AND 10.0) AS keep
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        | round(cast(sum(cast(round(l_extendedprice*100) as bigint)
+        |               * cast(round(l_quantity*100) as bigint)) as double)
+        |       / cast(sum(cast(round(l_quantity*100) as bigint)) as double)
+        |       / 100.0, 6) AS w_mean_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scd2" ->
       """WITH marked AS (

@@ -198,6 +198,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "30KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // one hot key carrying ~99% of the left side
+      val left = (0 until 60000).map(i => (if (i % 100 == 0) (i % 7).toLong + 1 else 0L, i))
+        .toDF("k", "payload")
+      val right = (0L until 8L).map(k => (k, s"dim_$k")).toDF("rk", "name")
+      val joined = left.join(right, col("k") === col("rk"))
+      // collect() drives THIS QueryExecution so the adaptive final plan
+      // is inspectable (count() would plan a separate execution)
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (plan:\n${plan.take(2000)})")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("driver-side sketches: bloom filter and count-min over a column") {
     val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
     val bloom = t.orders.stat.bloomFilter("o_custkey", 1000, 0.03)
