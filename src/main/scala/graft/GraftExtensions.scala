@@ -17,6 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: HOF dot-product pattern → native FloatVecDot
+    // (plans/VecDotRewrite.scala)
+    ext.injectOptimizerRule(graft.plans.VecDotRewrite)
+
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

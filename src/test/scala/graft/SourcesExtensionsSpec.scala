@@ -19,6 +19,25 @@ class ExtensionsSpec extends AnyFunSuite {
     val sh = spark.sql("SELECT simhash64(array('a','b','c')) AS h").as[Long].head()
     assert(sh != 0L)
   }
+
+  test("VecDotRewrite replaces the HOF dot product with native FloatVecDot") {
+    import graft.functions.VectorFunctions
+    // parquet-backed input: literal rows get constant-folded into a
+    // LocalRelation before the plan can be inspected
+    val emb = graft.sources.Tables(spark, SparkTestSession.sfDir).embeddings
+    val df = emb.select(col("vec_id"),
+      VectorFunctions.dotHof(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("floatvecdot"),
+      s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"),
+      s"HOF form survived optimization:\n$optimized")
+    // same values as the explicitly-native path (exact: same fold order)
+    val native = emb.select(col("vec_id"),
+      VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    assert(df.orderBy("vec_id").as[(Long, Double)].collect().toSeq ==
+      native.orderBy("vec_id").as[(Long, Double)].collect().toSeq)
+  }
 }
 
 class SourcesSpec extends AnyFunSuite {
