@@ -100,6 +100,16 @@ object EventStream {
                     streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** foreachBatch sink: per-micro-batch custom write with the batchId
+    * made available for idempotence (re-delivered batches can be
+    * skipped or overwritten by id — the standard exactly-once recipe
+    * for sinks without transactional append). */
+  def sinkForeachBatch(df: DataFrame)(write: (DataFrame, Long) => Unit) =
+    df.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     batchId: Long) => write(batch, batchId))
+      .trigger(Trigger.AvailableNow())
+
   /** Gap-based session windows, streaming-native (session_window). */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

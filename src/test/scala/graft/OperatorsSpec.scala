@@ -326,6 +326,25 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 2L, 3L)) // one survivor per key
   }
 
+  test("foreachBatch sink writes partitioned batches keyed by batchId") {
+    val srcDir = s"${sys.props("java.io.tmpdir")}/graft_feb_src"
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_feb_out"
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = graft.streaming.EventStream.sinkForeachBatch(stream) { (batch, id) =>
+      seen += id
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_$id") // idempotent by id
+    }.start()
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    assert(seen.nonEmpty)
+    val total = seen.map(id => spark.read.parquet(s"$outDir/batch_$id").count()).sum
+    assert(total == 3L)
+  }
+
   test("enrichWithDim broadcast-joins a static dimension into the stream") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_senrich_src"
     Seq((1L, 10), (2L, 20), (3L, 99)).toDF("event_id", "code")
