@@ -216,6 +216,29 @@ object QueriesDepth {
         .orderBy("label")
     }),
 
+    "q_pii_scrub" -> ((s, d) => {
+      // PII redaction pass — the corpus-hygiene step every training
+      // pipeline needs before text ships: pattern-redact emails and
+      // long digit runs, count redactions. Patterns kept to the
+      // Java-regex ∩ RE2 common subset so the oracle replicates them.
+      // Scale: pure narrow map, streams through the scan.
+      // (Synthetic corpus has no PII — a deterministic contact line is
+      // appended per doc so the redactor has real work on every row.)
+      val t = Tables(s, d)
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+      val digits = "[0-9]{6,}"
+      t.documents
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555"), col("doc_id"), lit("1234567")).as("full"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("full"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("full"), lit(digits), lit(0))).as("n_digit_runs"),
+          length(regexp_replace(regexp_replace(col("full"), email, "[EMAIL]"),
+            digits, "[NUM]")).as("scrubbed_len"))
+        .orderBy("doc_id")
+    }),
+
     "q_vocab_stats" -> ((s, d) => {
       // corpus vocabulary statistics: token → frequency + doc frequency.
       // The canonical word-count shuffle: explode streams through the
@@ -335,6 +358,17 @@ object QueriesDepth {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH src AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or call 555' || doc_id || '1234567' AS f
+        | FROM documents)
+        |SELECT doc_id,
+        | cast(len(regexp_extract_all(f, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) as int) AS n_emails,
+        | cast(len(regexp_extract_all(f, '[0-9]{6,}')) as int) AS n_digit_runs,
+        | cast(length(regexp_replace(regexp_replace(f, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'), '[0-9]{6,}', '[NUM]', 'g')) as int) AS scrubbed_len
+        |FROM src ORDER BY doc_id""".stripMargin,
 
     "q_vocab_stats" ->
       """WITH toks AS (

@@ -196,6 +196,24 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(graft.operators.Components.connectedComponents(emptyEdges).count() == 0)
   }
+
+  test("round-2 operators tolerate empty inputs") {
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("c", "p")
+    assert(Hierarchy.ancestorsDoubling(emptyEdges, "c", "p").count() == 0)
+    assert(Hierarchy.ancestorArrays(
+      Hierarchy.ancestors(emptyEdges, "c", "p")).count() == 0)
+
+    val emptySnaps = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("k", "ts", "id", "attr")
+    assert(Scd2.history(emptySnaps, Seq("k"), "ts", Seq("attr"), Seq("id")).count() == 0)
+
+    val left = Seq((1L, 10L, 20L)).toDF("id", "k1", "k2")
+    val emptyReg = Seq.empty[(Long, String)].toDF("pk", "name")
+    val emptyReg2 = Seq.empty[(Long, String)].toDF("sk", "name")
+    val fb = Joins.fallbackJoin(left, emptyReg, ("k1", "pk"), emptyReg2, ("k2", "sk"))
+    assert(fb.count() == 1 &&
+      fb.select("match_source").head().getString(0) == "none")
+  }
 }
 
 class JoinsSpec extends AnyFunSuite {
