@@ -216,6 +216,22 @@ object QueriesDepth {
         .orderBy("label")
     }),
 
+    "q_merge_upsert" -> ((s, d) => {
+      // incremental MERGE: a change set (modified balances for every
+      // 10th customer + re-keyed new customers) upserted into the
+      // customer snapshot (operators/Merge.scala — anti-join + union,
+      // one shuffle per side, not full-outer + per-column coalesce)
+      val t = Tables(s, d)
+      val base = t.customer.select("c_custkey", "c_name", "c_acctbal")
+      val updates = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", round(col("c_acctbal") + 1000.0, 2))
+        .unionByName(base.filter(col("c_custkey") % 97 === 3)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+          .withColumn("c_name", concat(lit("NEW-"), col("c_name"))))
+      graft.operators.Merge.upsert(base, updates, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
     "q_pii_scrub" -> ((s, d) => {
       // PII redaction pass — the corpus-hygiene step every training
       // pipeline needs before text ships: pattern-redact emails and
@@ -357,6 +373,20 @@ object QueriesDepth {
         |FROM customer c
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |updates AS (
+        | SELECT c_custkey, c_name, round(c_acctbal + 1000.0, 2) AS c_acctbal
+        | FROM base WHERE c_custkey % 10 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW-' || c_name, c_acctbal
+        | FROM base WHERE c_custkey % 97 = 3)
+        |SELECT * FROM (
+        | SELECT b.* FROM base b ANTI JOIN updates u ON b.c_custkey = u.c_custkey
+        | UNION ALL
+        | SELECT * FROM updates)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_pii_scrub" ->

@@ -283,6 +283,25 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(m((3L, 21L)) == 1 && m((21L, 1L)) == 1)
   }
 
+  test("Merge.upsert replaces matched keys and appends new ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val updates = Seq((2L, "b2", 99.0), (9L, "new", 1.0)).toDF("k", "name", "bal")
+    val out = Merge.upsert(target, updates, Seq("k"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 99.0),
+      (3L, "c", 30.0), (9L, "new", 1.0)))
+  }
+
+  test("Merge.applyChanges honors deletes and upserts") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq((2L, "b2", "upsert"), (3L, null.asInstanceOf[String], "delete"),
+      (4L, "d", "upsert")).toDF("k", "v", "_op")
+    val out = Merge.applyChanges(target, changes, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
   test("Scd2.history collapses snapshots into null-safe versioned runs") {
     val snaps = Seq(
       (1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"),      // run 1: a×2

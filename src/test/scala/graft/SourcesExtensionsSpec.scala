@@ -217,6 +217,16 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("top-k window filter plans the WindowGroupLimit fast path") {
+    // rank()<=k must become a per-partition group limit BEFORE the
+    // shuffle (partial WindowGroupLimit), not a full sort + filter —
+    // at 100 TB this is the difference between shuffling k rows per
+    // group and shuffling everything
+    val plan = graft.SparkEntry.queries("q_topk_per_group")(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     import spark.implicits._
     val conf = spark.conf
