@@ -216,6 +216,31 @@ object QueriesDepth {
         .orderBy("label")
     }),
 
+    "q_derive_runtime" -> ((s, d) => {
+      // runtime formula engine (operators/Derive.scala — the
+      // reference's IMPReSS-formula derivator analog): formulas arrive
+      // as STRINGS at runtime, Catalyst parses them into the same
+      // codegen'd plan as hand-written columns; later formulas
+      // reference earlier derived ones.
+      val t = Tables(s, d)
+      graft.operators.Derive.applyFormulas(
+          t.lineitem.select("l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_discount", "l_tax"),
+          Seq(
+            "net" -> "l_extendedprice * (1 - l_discount)",
+            "charge" -> "net * (1 + l_tax)",
+            "is_premium" -> "charge > 100000"))
+        .select("l_orderkey", "l_linenumber", "net", "charge", "is_premium")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_stream_sessions" -> ((s, d) => {
+      // streaming session_window agg (gap-merge) — oracle-checked
+      // against batch gap-sessionization SQL; second oracle-checked
+      // streaming entry next to q_stream_window
+      graft.streaming.EventStream.runSessionEquivalent(s, d)
+    }),
+
     "q_merge_upsert" -> ((s, d) => {
       // incremental MERGE: a change set (modified balances for every
       // 10th customer + re-keyed new customers) upserted into the
@@ -374,6 +399,31 @@ object QueriesDepth {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_derive_runtime" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1 - l_discount) AS net,
+        | (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS charge,
+        | ((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) > 100000 AS is_premium
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_stream_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, cast(ts as timestamp) AS tts,
+        |  CASE WHEN lag(cast(ts as timestamp)) OVER w IS NULL
+        |         OR epoch_us(cast(ts as timestamp))
+        |            - epoch_us(lag(cast(ts as timestamp)) OVER w) >= 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp))),
+        |s AS (
+        | SELECT user_id, tts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tts) AS seq
+        | FROM flagged)
+        |SELECT strftime(min(tts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | user_id, count(*) AS n_events
+        |FROM s GROUP BY user_id, seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -53,6 +53,36 @@ object EventStream {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** Streaming session windows over the events table, run to
+    * completion on a static dir (memory sink) — session_window's
+    * gap-merge semantics line up with batch gap-sessionization, so the
+    * result is oracle-checkable against the same SQL as q_sessionize.
+    * Session starts keep microsecond precision (event-time anchored). */
+  def runSessionEquivalent(spark: SparkSession, sfDir: String,
+                           gap: String = "30 minutes",
+                           queryName: String = "graft_sessions"): DataFrame = {
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        col("user_id"), col("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    if (q.isActive) q.stop()
+    spark.table(queryName).orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Per-user running state maintained with flatMapGroupsWithState:
     * emits a row whenever a user's cumulative value crosses another
     * multiple of `threshold` (custom stateful streaming logic the
