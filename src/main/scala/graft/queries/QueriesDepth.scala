@@ -216,6 +216,21 @@ object QueriesDepth {
         .orderBy("label")
     }),
 
+    "q_set_ops" -> ((s, d) => {
+      // relational set operators — the reference thins skip-lists and
+      // compares releases with subtract/intersect/exceptAll
+      // (dr_diff.py, experiment_cleaner.py): INTERSECT (set) over
+      // distinct keys, EXCEPT ALL (bag) keeping multiplicity
+      val t = Tables(s, d)
+      val a = t.orders.select(col("o_custkey").as("custkey"))
+      val b = t.customer.filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      a.intersect(b).withColumn("tag", lit("intersect"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("except_all")))
+        .select("tag", "custkey")
+        .orderBy("tag", "custkey")
+    }),
+
     "q_derive_runtime" -> ((s, d) => {
       // runtime formula engine (operators/Derive.scala — the
       // reference's IMPReSS-formula derivator analog): formulas arrive
@@ -399,6 +414,18 @@ object QueriesDepth {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'intersect' AS tag, custkey FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | INTERSECT
+        | SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |UNION ALL
+        |SELECT 'except_all' AS tag, custkey FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY tag, custkey""".stripMargin,
 
     "q_derive_runtime" ->
       """SELECT l_orderkey, l_linenumber,

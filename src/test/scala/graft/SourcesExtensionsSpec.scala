@@ -78,6 +78,20 @@ class SourcesSpec extends AnyFunSuite {
       Tables(spark, SparkTestSession.sfDir).orders.count())
   }
 
+  test("repartition/coalesce control output file counts") {
+    // output-file sizing — the knob the reference turns constantly
+    // (23 repartition / 14 coalesce call sites): at 100 TB, file count
+    // = write parallelism and downstream scan granularity
+    val base = Files.createTempDirectory("graft_files").toFile.getAbsolutePath
+    val df = Tables(spark, SparkTestSession.sfDir).orders.limit(1000)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    df.repartition(4).write.mode("overwrite").parquet(s"$base/r4")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$base/c1")
+    assert(parts(s"$base/r4") == 4)
+    assert(parts(s"$base/c1") == 1)
+  }
+
   test("ORC round-trips with predicate pushdown to the scan") {
     val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
     val orders = Tables(spark, SparkTestSession.sfDir).orders

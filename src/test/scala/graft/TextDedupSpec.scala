@@ -149,6 +149,31 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(f == f2)
   }
 
+  test("composed multimodal pipeline: decode stub -> feature vector -> LSH buckets") {
+    // the end-to-end shape a media dedup pipeline takes at scale:
+    // binary column -> partition-batched feature extraction -> a float
+    // feature vector -> LSH bucketing for candidate generation. The
+    // decode is the documented sandbox stub; everything downstream is
+    // the real Spark plumbing.
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet").limit(64)
+    val feats = graft.multimodal.Media.extractFeatures(
+      spark, graft.multimodal.Media.asMediaTable(docs))
+    val vecs = feats.toDF().select(col("media_id"),
+      array(col("byte_len").cast("float"), col("width").cast("float"),
+        col("height").cast("float"),
+        (col("checksum") % 1000L).cast("float")).as("feature_vec"))
+    val bucketed = graft.operators.Similarity
+      .withLshBuckets(vecs, "feature_vec", tables = 2, planes = 4, dim = 4)
+    val rows = bucketed.select("media_id", "tbl", "bucket").collect()
+    assert(rows.length == 64 * 2)                       // one row per (media, table)
+    assert(rows.map(_.getLong(0)).distinct.length == 64)
+    // determinism: hyperplanes are seeded — same buckets on re-run
+    val again = graft.operators.Similarity
+      .withLshBuckets(vecs, "feature_vec", tables = 2, planes = 4, dim = 4)
+      .select("media_id", "tbl", "bucket").collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("streaming windowed agg equals batch equivalent") {
     val streamed = graft.streaming.EventStream
       .runBatchEquivalent(spark, SparkTestSession.sfDir, "t_stream")
