@@ -321,6 +321,28 @@ class DepthOpsSpec extends AnyFunSuite {
       (2L, 1L, "x", 100L, None, 1L)))
   }
 
+  test("seeded randomSplit partitions a corpus into disjoint covering train/val sets") {
+    val df = (0 until 5000).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val Array(train, eval) = df.randomSplit(Array(0.9, 0.1), seed = 7L)
+    val (tn, en) = (train.count(), eval.count())
+    assert(tn + en == 5000)                       // covering
+    assert(train.intersect(eval).count() == 0)    // disjoint
+    assert(en > 250 && en < 750)                  // ~10% ± slack
+    // deterministic: same seed => same split
+    val Array(train2, _) = df.randomSplit(Array(0.9, 0.1), seed = 7L)
+    assert(train.exceptAll(train2).count() == 0 && tn == train2.count())
+  }
+
+  test("profiling: summary() and freqItems over a table") {
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val s = t.orders.select("o_totalprice").summary("count", "min", "max", "50%")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(s("count").toLong > 0 && s("min").toDouble < s("max").toDouble)
+    val fi = t.orders.stat.freqItems(Seq("o_orderstatus"), 0.4)
+      .head().getSeq[String](0)
+    assert(fi.contains("O") || fi.contains("F")) // the two dominant statuses
+  }
+
   test("stratified sampleBy keeps full strata intact and thins the rest deterministically") {
     val df = (0 until 2000).map(i => (i.toLong, i % 4)).toDF("id", "label")
     val fr = Map(0 -> 1.0, 1 -> 0.3, 2 -> 0.0)
