@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Upsert: rows of `updates` replace same-key rows of `target`;
-    * new keys are appended. Schemas must match by name. */
+    * new keys are appended. Schemas must match by name; `updates`
+    * must be unique per key (duplicate change rows would all land —
+    * dedupe the change set first, e.g. keep-latest by a ts column). */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     target.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
