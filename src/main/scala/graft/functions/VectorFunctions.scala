@@ -31,20 +31,40 @@ case class FloatVecDot(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    FloatVecDot.dot(x, y)
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (FloatVecDot.hasNullElement(x) || FloatVecDot.hasNullElement(y)) null
+    else FloatVecDot.dot(x.toFloatArray(), y.toFloatArray())
   }
 
+  // null ELEMENTS yield null (matching the zip_with/aggregate HOF form,
+  // where a null product poisons the fold) instead of toFloatArray()
+  // throwing — required for VecDotRewrite to be a safe substitution
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.FloatVecDot.dot($a.toFloatArray(), $b.toFloatArray());")
+      s"""
+         |if (graft.functions.FloatVecDot.hasNullElement($a) ||
+         |    graft.functions.FloatVecDot.hasNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.FloatVecDot.dot($a.toFloatArray(), $b.toFloatArray());
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object FloatVecDot {
+  /** Any null element? (cheap scan; embeddings are dense in practice,
+    * so this is one predictable branch per element). */
+  def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
   /** Tight primitive loop, JIT-vectorizable. */
   def dot(x: Array[Float], y: Array[Float]): Double = {
     val n = math.min(x.length, y.length)

@@ -136,7 +136,11 @@ object Dedup {
   def embedCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
                   threshold: Double, maxBlock: Int = 1000): DataFrame = {
     import graft.functions.VectorFunctions
-    val pairs = pairsFromBuckets(df.select(col(blockCol), col(idCol)),
+    // NULL block keys never pair (groupBy would otherwise collect all
+    // NULL-labeled rows into ONE bucket — the equi-join semantics this
+    // generator replaces exclude NULLs)
+    val pairs = pairsFromBuckets(
+      df.select(col(blockCol), col(idCol)).filter(col(blockCol).isNotNull),
       Seq(blockCol), idCol, maxBlock)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"))

@@ -18,26 +18,34 @@ object Joins {
     * ('primary' | 'secondary' | 'none').
     *
     * `primary` and `secondary` must carry identically-named payload
-    * columns (the two branches are unioned) and be unique per key, and
-    * key column names must not collide with `left`'s.
+    * columns (coalesced per column, primary wins) and be unique per
+    * key, and key column names must not collide with `left`'s.
     *
-    * Scale: two shuffles, the second only over the shrinking unmatched
-    * remainder — never a second full pass over the matched rows.
+    * Scale: a SINGLE pass over `left` — two chained left joins, the
+    * secondary's condition gated on the primary miss — rather than
+    * filter-and-union of the first join's output, which would
+    * materialize that join twice (ReuseExchange dedups shuffles, not
+    * the join work above them).
     */
   def fallbackJoin(left: DataFrame,
                    primary: DataFrame, primaryKeys: (String, String),
                    secondary: DataFrame, secondaryKeys: (String, String)): DataFrame = {
     val (lpk, rpk) = primaryKeys
     val (lsk, rsk) = secondaryKeys
-    val j1 = left.join(primary, col(lpk) === col(rpk), "left")
-    val hit = j1.filter(col(rpk).isNotNull)
-      .withColumn("match_source", lit("primary"))
-      .drop(rpk)
-    val miss = j1.filter(col(rpk).isNull).select(left.columns.map(col): _*)
-    val retried = miss.join(secondary, col(lsk) === col(rsk), "left")
+    val payload = primary.columns.filterNot(_ == rpk).toSeq
+    require(secondary.columns.filterNot(_ == rsk).toSet == payload.toSet,
+      "primary and secondary must carry identically-named payload columns")
+    val p = payload.foldLeft(primary)((df, c) => df.withColumnRenamed(c, s"__p_$c"))
+    val s = payload.foldLeft(secondary)((df, c) => df.withColumnRenamed(c, s"__s_$c"))
+    left
+      .join(p, col(lpk) === col(rpk), "left")
+      .join(s, col(rpk).isNull && col(lsk) === col(rsk), "left")
       .withColumn("match_source",
-        when(col(rsk).isNotNull, lit("secondary")).otherwise(lit("none")))
-      .drop(rsk)
-    hit.unionByName(retried)
+        when(col(rpk).isNotNull, lit("primary"))
+          .when(col(rsk).isNotNull, lit("secondary"))
+          .otherwise(lit("none")))
+      .select(left.columns.map(col) ++
+        payload.map(c => coalesce(col(s"__p_$c"), col(s"__s_$c")).as(c)) :+
+        col("match_source"): _*)
   }
 }

@@ -27,11 +27,15 @@ object Merge {
 
   /** Change-data-capture apply: `changes` carries `opCol` with
     * 'upsert' or 'delete'. Deletes remove the key from the target;
-    * upserts replace/insert. */
+    * everything else (including a malformed NULL op) is treated as an
+    * upsert — the null-SAFE comparison matters: a plain `=!= "delete"`
+    * filter is NULL for NULL ops, which would drop the row from the
+    * upsert set while its key still anti-joins the target row away,
+    * silently deleting it. */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
                    opCol: String = "_op"): DataFrame = {
     val touched = changes.select(keys.map(col): _*).distinct()
-    val ups = changes.filter(col(opCol) =!= "delete").drop(opCol)
+    val ups = changes.filter(!(col(opCol) <=> "delete")).drop(opCol)
     target.join(touched, keys, "left_anti").unionByName(ups)
   }
 }

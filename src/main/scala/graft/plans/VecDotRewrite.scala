@@ -16,11 +16,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * Semantics note: both forms fold pairwise products left-to-right
   * into a 0.0 accumulator, so results are bit-identical for
-  * equal-length vectors. For RAGGED pairs the HOF form yields null
-  * (zip_with pads with null) while the native form dots the common
-  * prefix — a dot product of unequal dims is undefined, and the rule
-  * takes the pragmatic reading. Registered via GraftExtensions
-  * (injectOptimizerRule).
+  * equal-length vectors; null ELEMENTS yield null in both (FloatVecDot
+  * null-checks elements precisely so this substitution is safe). For
+  * RAGGED pairs the HOF form yields null (zip_with pads with null)
+  * while the native form dots the common prefix — a dot product of
+  * unequal dims is undefined, and the rule takes the pragmatic
+  * reading. Registered via GraftExtensions (injectOptimizerRule).
   */
 case class VecDotRewrite(session: org.apache.spark.sql.SparkSession) extends Rule[LogicalPlan] {
 

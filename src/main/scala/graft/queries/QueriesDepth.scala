@@ -375,7 +375,8 @@ object QueriesDepth {
     "q_scd2" ->
       """WITH marked AS (
         | SELECT user_id, event_type, cast(ts as timestamp) AS tts, event_id,
-        |  CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |  CASE WHEN row_number() OVER w = 1
+        |         OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |       THEN 1 ELSE 0 END AS chg
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id)),
@@ -439,7 +440,7 @@ object QueriesDepth {
         | SELECT user_id, cast(ts as timestamp) AS tts,
         |  CASE WHEN lag(cast(ts as timestamp)) OVER w IS NULL
         |         OR epoch_us(cast(ts as timestamp))
-        |            - epoch_us(lag(cast(ts as timestamp)) OVER w) >= 1800000000
+        |            - epoch_us(lag(cast(ts as timestamp)) OVER w) > 1800000000
         |       THEN 1 ELSE 0 END AS new_s
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp))),

@@ -67,11 +67,10 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = stream
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    // single source of session semantics: sessionWindowAgg (the
+    // helper), this runner only formats + sinks
+    val q = sessionWindowAgg(stream, gap)
+      .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
           .as("session_start"),
         col("user_id"), col("n_events"))
       .writeStream.outputMode("complete")
@@ -102,7 +101,10 @@ object EventStream {
           val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
           // flatMapGroupsWithState does not guarantee intra-batch row
           // order: fold in event_id order so the event attributed to a
-          // threshold crossing is stable across replays/batch splits
+          // threshold crossing is stable across replays/batch splits.
+          // Trade-off: buffering the group to sort is O(per-key rows in
+          // this micro-batch) heap — bounded by trigger interval ×
+          // per-key rate, the usual stateful-streaming sizing concern
           rows.toSeq.sortBy(_._2).foreach { case (_, eventId, v) =>
             val before = (total / threshold).toLong
             total += v

@@ -302,6 +302,27 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("Merge.applyChanges treats a NULL op as upsert, never a silent delete") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((2L, "b2", null.asInstanceOf[String])).toDF("k", "v", "_op")
+    val out = Merge.applyChanges(target, changes, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"))) // replaced, NOT deleted
+  }
+
+  test("FloatVecDot yields null for null elements, matching the HOF form") {
+    val df = Seq((1L, Seq(Some(1f), None, Some(2f)), Seq(Some(1f), Some(1f), Some(1f))),
+      (2L, Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(1f), Some(1f))))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>"), col("b").cast("array<float>"))
+    val out = df.select(col("id"),
+      graft.functions.VectorFunctions.vecDot(col("a"), col("b")).as("native"),
+      graft.functions.VectorFunctions.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Option[Double], Option[Double])].collect().sortBy(_._1)
+    assert(out(0)._2.isEmpty && out(0)._3.isEmpty)     // null element => null, no crash
+    assert(out(1)._2.contains(6.0) && out(1)._3.contains(6.0))
+  }
+
   test("Scd2.history collapses snapshots into null-safe versioned runs") {
     val snaps = Seq(
       (1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"),      // run 1: a×2
