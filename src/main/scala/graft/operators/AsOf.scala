@@ -24,6 +24,54 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** Classic backward as-of (LOCF): for each left row, the most recent
+    * right row at or before the left time — the database ASOF JOIN
+    * (DuckDB `l.t >= r.t`), so queries on this operator oracle-check
+    * against a native ASOF JOIN directly. `toleranceSec < 0` = none.
+    * Right side should be unique per (key, time); break ties upstream.
+    *
+    * Same scale shape as [[nearest]]: tag-union, ONE shuffle + sort by
+    * (key, time), a single backward scan. */
+  def backward(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               valueCols: Seq[String],
+               toleranceSec: Long = -1L): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct(valueCols.map(col): _*)
+    val lhs = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", unix_micros(col(leftTime).cast("timestamp")))
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(right.select(payload).schema.head.dataType))
+      .select(("__k" +: "__t" +: "__side" +: "__p" +: leftCols).map(col): _*)
+    val rhs = right
+      .filter(col(rightKey).isNotNull)
+      .withColumn("__k", col(rightKey))
+      .withColumn("__t", unix_micros(col(rightTime).cast("timestamp")))
+      .withColumn("__side", lit(0))
+      .withColumn("__p", payload)
+      .select(("__k" +: "__t" +: "__side" +: "__p" +: Nil).map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // right rows sort before left at equal time => "at or before" holds
+    val back = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tolUs = toleranceSec * 1000000L
+    val withCand = lhs.unionByName(rhs)
+      .withColumn("__bp", last(col("__p"), ignoreNulls = true).over(back))
+      .withColumn("__bt", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(back))
+      .filter(col("__side") === 1)
+    val ok = col("__bt").isNotNull &&
+      (if (toleranceSec < 0) lit(true) else col("__t") - col("__bt") <= tolUs)
+    withCand
+      .withColumn("__c", when(ok, col("__bp")))
+      .withColumn("asof_lag_sec",
+        when(ok, (col("__t") - col("__bt")) / 1000000L).cast("double"))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__c.$c").as(c)) :+ col("asof_lag_sec"): _*)
+  }
+
   /** Join `left` to the nearest row of `right` (by absolute time
     * distance, within `toleranceSec`).
     *

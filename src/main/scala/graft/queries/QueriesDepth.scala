@@ -216,6 +216,26 @@ object QueriesDepth {
         .orderBy("label")
     }),
 
+    "q_asof_backward" -> ((s, d) => {
+      // directional as-of (LOCF): each click joined to the user's most
+      // recent purchase at-or-before it — the database ASOF JOIN, and
+      // the oracle IS DuckDB's native ASOF LEFT JOIN. Right side
+      // deduped per (user, instant) with min_by so both engines pick
+      // the same row when two purchases share a timestamp.
+      val t = Tables(s, d)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min(col("event_id")).as("purchase_id"),
+          min_by(col("value"), col("event_id")).as("p_value"))
+      graft.operators.AsOf.backward(clicks, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("purchase_id", "p_value"))
+        .select("event_id", "user_id", "purchase_id", "p_value", "asof_lag_sec")
+        .orderBy("event_id")
+    }),
+
     "q_set_ops" -> ((s, d) => {
       // relational set operators — the reference thins skip-lists and
       // compares releases with subtract/intersect/exceptAll
@@ -415,6 +435,20 @@ object QueriesDepth {
         | JOIN nation n ON c.c_nationkey = n.n_nationkey
         | JOIN o ON c.c_custkey = o.o_custkey
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_asof_backward" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, cast(ts as timestamp) AS tts
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id AS p_user, cast(ts as timestamp) AS p_tts,
+        |  min(event_id) AS purchase_id, arg_min(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.p_value,
+        | cast(epoch_us(c.tts) - epoch_us(p.p_tts) as double) / 1000000 AS asof_lag_sec
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_set_ops" ->
       """SELECT 'intersect' AS tag, custkey FROM (
