@@ -271,6 +271,36 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("observe() collects data-quality metrics in the work's own pass") {
+    // production DQ counters without a second scan: at 100 TB a
+    // separate count()/agg validation query doubles the read
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val df = t.orders.observe("dq",
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_totalprice") <= 0, 1)).as("n_nonpositive"))
+      .filter(col("o_orderstatus") === "F")
+    val kept = df.collect().length
+    val m = df.queryExecution.observedMetrics("dq")
+    assert(m.getAs[Long]("n_rows") == t.orders.count()) // observed pre-filter
+    assert(m.getAs[Long]("n_nonpositive") == 0L)
+    assert(kept > 0 && kept < m.getAs[Long]("n_rows"))
+  }
+
+  test("mergeSchema reads across evolved parquet schemas") {
+    // the reference's data releases add columns over time; readers must
+    // span old+new files in one scan
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_evolve").toFile.getAbsolutePath
+    spark.range(3).selectExpr("id", "id * 2 AS a").write.parquet(s"$dir/p=1")
+    spark.range(3).selectExpr("id", "id * 2 AS a", "'x' AS b").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b", "p"))
+    // rows from the old schema surface the new column as null
+    assert(merged.filter(col("p") === 1 && col("b").isNull).count() == 3)
+    assert(merged.filter(col("p") === 2 && col("b") === "x").count() == 3)
+  }
+
   test("driver-side sketches: bloom filter and count-min over a column") {
     val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
     val bloom = t.orders.stat.bloomFilter("o_custkey", 1000, 0.03)
