@@ -292,6 +292,32 @@ object QueriesDepth {
         .orderBy("c_custkey")
     }),
 
+    "q_decontaminate" -> ((s, d) => {
+      // train/eval decontamination — flag training docs sharing 3-gram
+      // shingles with the eval split (the standard pre-training
+      // contamination check). Eval shingles broadcast (eval sets are
+      // dimension-sized); shingles compared as strings here for oracle
+      // parity — the hashed variant (xxhash64 shingles, 8-byte joins)
+      // is the Dedup-family scale path.
+      import graft.functions.TextFunctions
+      val t = Tables(s, d)
+      val sh = t.documents
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFunctions.shinglesOfTokens(col("toks"), 3))).as("sh"))
+      val evalSh = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+      val shared = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), "sh")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("sh")).as("n_shared"))
+      t.documents.filter(col("doc_id") % 50 =!= 0).select("doc_id")
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= 5).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     "q_pii_scrub" -> ((s, d) => {
       // PII redaction pass — the corpus-hygiene step every training
       // pipeline needs before text ships: pattern-redact emails and
@@ -500,6 +526,26 @@ object QueriesDepth {
         | UNION ALL
         | SELECT * FROM updates)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, unnest(CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |   ELSE list_distinct(list_transform(range(1, len(tk) - 1),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END) AS s
+        | FROM toks),
+        |evals AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |shared AS (
+        | SELECT t.doc_id, count(DISTINCT t.s) AS n_shared
+        | FROM sh t JOIN evals e ON t.s = e.s
+        | WHERE t.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, cast(coalesce(s.n_shared, 0) as bigint) AS n_shared,
+        | coalesce(s.n_shared, 0) >= 5 AS contaminated
+        |FROM documents d LEFT JOIN shared s USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH src AS (
