@@ -62,6 +62,17 @@ object Cleaning {
     when(c.isNull, lit(null: String)).otherwise(coalesce(whole, split_mapped))
   }
 
+  /** Constrain a column to a vocabulary where `predicate` holds:
+    * values outside `valid` fall back to `default` (the reference's
+    * 3i-project normalization, experiment_cleaner.py
+    * map_3i_project_ids / tests/unit/test_experiment_cleaner.py:133 —
+    * unknown 3i projects become MGP, other sources untouched). */
+  def constrainToVocabulary(colName: String, valid: Seq[String], default: String,
+                            predicate: Column)(df: DataFrame): DataFrame =
+    df.withColumn(colName,
+      when(predicate && !col(colName).isin(valid: _*), lit(default))
+        .otherwise(col(colName)))
+
   /** Unescape XML entities left behind by upstream extraction. */
   def unescapeXmlEntities(colName: String)(df: DataFrame): DataFrame =
     df.withColumn(colName,

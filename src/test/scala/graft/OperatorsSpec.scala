@@ -22,6 +22,29 @@ class CleaningSpec extends AnyFunSuite {
     assert(out == Set("232328312", "ABC_123"))
   }
 
+  test("constrainToVocabulary defaults invalid values under the predicate (reference test_map_3i_project_ids)") {
+    val df = Seq(("INVALID_PROJECT_ID", "3i"), ("JAX", "3i"), ("MRC", "impc"))
+      .toDF("project", "source")
+    val rows = Cleaning.constrainToVocabulary("project",
+        Seq("JAX", "MRC", "BCM"), "MGP", col("source") === "3i")(df)
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(("MGP", "3i"), ("JAX", "3i"), ("MRC", "impc")))
+  }
+
+  test("pair-wise skip list drops only matching (centre, experiment) pairs (reference test_drop_skipped_experiments)") {
+    val df = Seq(("GRS_2013-10-09_4326", "Ucd"), ("GRS_2014-07-16_8800", "Ucd"),
+      ("GRS_2014-07-16_8800", "RBRC")).toDF("experiment_id", "centre")
+    val skip = Seq(("GRS_2013-10-09_4326", "Ucd"), ("GRS_2014-07-16_8800", "Ucd"))
+      .toDF("experiment_id", "centre")
+      .withColumn("__skip_key", concat_ws("|", col("experiment_id"), col("centre")))
+      .select("__skip_key")
+    val out = Cleaning.dropSkipListLarge(
+        df.withColumn("__skip_key", concat_ws("|", col("experiment_id"), col("centre"))),
+        skip, "__skip_key")
+      .select("experiment_id", "centre").as[(String, String)].collect().toSeq
+    assert(out == Seq(("GRS_2014-07-16_8800", "RBRC")))
+  }
+
   test("truncateSuffix strips known multi-segment suffixes whole (reference test_truncate_europhenome_experiments)") {
     val df = Seq(
       ("30173140_HMGU", "europhenome"),
