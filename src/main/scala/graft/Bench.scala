@@ -42,9 +42,40 @@ object Bench {
     }
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // Full-precision per-query map goes to a file (and stderr already has
+    // the human-readable table). The stdout JSON line must survive a
+    // tail-capped log capture (~2000 chars incl. the sbt trailer), so it
+    // lists queries heaviest-first and stops at a hard line budget with an
+    // `omitted` count — the headline total always covers every query.
+    val fullJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
+    val lineBudget = 1500
+    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":{"""
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val sb = new StringBuilder(header)
+    var kept = 0
+    entries.foreach { e =>
+      val sep = if (kept == 0) "" else ","
+      // reserve ~30 chars for the closing `},"omitted":N}` suffix
+      if (sb.length + sep.length + e.length + 30 <= lineBudget) {
+        sb.append(sep).append(e); kept += 1
+      }
+    }
+    sb.append("},\"omitted\":").append(entries.size - kept).append("}")
+    // Silence Spark's shutdown chatter so nothing prints after this line
+    // and pushes it out of a bounded tail capture.
+    spark.sparkContext.setLogLevel("OFF")
+    println(sb.toString)
+    System.out.flush()
     spark.stop()
   }
 }
