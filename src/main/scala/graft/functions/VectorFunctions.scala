@@ -75,12 +75,74 @@ object FloatVecDot {
   }
 }
 
+/** Native Catalyst expression: EXACT dot product of two Array[Long]
+  * columns (long multiply-add, wrapping like Spark's non-ANSI long
+  * arithmetic, so it is bit-identical to the zip_with/aggregate HOF
+  * fold). This is the hot loop of integer-quantized embedding search
+  * and of exact money folds over parallel cents arrays — domains where
+  * FloatVecDot's double accumulator would lose exactness.
+  */
+case class LongVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _                                                 => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"LongVecDot requires array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (FloatVecDot.hasNullElement(x) || FloatVecDot.hasNullElement(y)) null
+    else LongVecDot.dot(x.toLongArray(), y.toLongArray())
+  }
+
+  // null ELEMENTS yield null, matching the HOF form (a null product
+  // poisons the fold) — required for VecDotRewrite substitution safety
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if (graft.functions.FloatVecDot.hasNullElement($a) ||
+         |    graft.functions.FloatVecDot.hasNullElement($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.LongVecDot.dot($a.toLongArray(), $b.toLongArray());
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object LongVecDot {
+  /** Tight primitive loop; wrapping long arithmetic = the HOF fold's. */
+  def dot(x: Array[Long], y: Array[Long]): Long = {
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge
 
   /** Native dot product (codegen'd). */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Native EXACT long dot product (codegen'd) — quantized-embedding
+    * and cents-array hot path. */
+  def vecDotLong(a: Column, b: Column): Column =
+    GraftBridge.column(LongVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** L2 norm via the native dot. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))

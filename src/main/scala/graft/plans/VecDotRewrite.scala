@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, LongVecDot}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
 /** Catalyst optimizer rule: rewrite the higher-order-function dot
   * product
@@ -28,6 +28,20 @@ case class VecDotRewrite(session: org.apache.spark.sql.SparkSession) extends Rul
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+
+  /** (x, y) => x * y over long vars, no casts — the exact-integer
+    * product of a cents/quantized fold. */
+  private def isPlainProduct(f: Expression): Boolean = f match {
+    case LambdaFunction(m: Multiply,
+        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      isVar(m.left, x) && isVar(m.right, y)
+    case _ => false
   }
 
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
@@ -68,5 +82,12 @@ case class VecDotRewrite(session: org.apache.spark.sql.SparkSession) extends Rul
         if isFloatArray(l) && isFloatArray(r) &&
           isCastProduct(prod) && isSumMerge(merge) && isIdentityFinish(finish) =>
       FloatVecDot(l, r)
+    // exact-integer flavor: aggregate(zip_with(a, b, (x,y) => x*y), 0L, +)
+    // over array<bigint> — LongVecDot's wrapping multiply-add is
+    // bit-identical to the HOF fold (see LongVecDot Scaladoc)
+    case ArrayAggregate(ZipWith(l, r, prod), Literal(0L, LongType), merge, finish)
+        if isLongArray(l) && isLongArray(r) &&
+          isPlainProduct(prod) && isSumMerge(merge) && isIdentityFinish(finish) =>
+      LongVecDot(l, r)
   }
 }

@@ -41,16 +41,21 @@ object QueriesDepth {
       // (cents × cents = 1e-4 dollar² units, well inside long range).
       // Arrays are materialized as columns BEFORE the zip_with/aggregate
       // projection: Catalyst does not CSE through HOF lambdas.
+      // No sort_array: both arrays come from the SAME collect_list so
+      // they are always position-aligned, and the fold is a commutative
+      // exact long sum — element order cannot change the result. (The
+      // HOF fold itself is rewritten to native LongVecDot by
+      // VecDotRewrite; the declarative form here is the oracle-parity
+      // surface.)
       val t = Tables(s, d)
-      val sorted = t.lineitem
+      val grouped = t.lineitem
         .select(col("l_orderkey"),
-          struct(col("l_linenumber").as("ln"),
-            round(col("l_quantity") * 100).cast("long").as("qc"),
+          struct(round(col("l_quantity") * 100).cast("long").as("qc"),
             round(col("l_extendedprice") * 100).cast("long").as("pc")).as("r"))
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("r"))).as("rs"))
+        .agg(collect_list(col("r")).as("rs"))
         .select(col("l_orderkey"), col("rs.qc").as("qcs"), col("rs.pc").as("pcs"))
-      sorted
+      grouped
         .select(col("l_orderkey"), size(col("qcs")).as("n_items"),
           aggregate(zip_with(col("qcs"), col("pcs"), (q, p) => q * p),
             lit(0L), (acc, x) => acc + x).as("rev_c4"))

@@ -38,6 +38,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.orderBy("vec_id").as[(Long, Double)].collect().toSeq ==
       native.orderBy("vec_id").as[(Long, Double)].collect().toSeq)
   }
+
+  test("VecDotRewrite long flavor: exact-integer HOF fold becomes LongVecDot") {
+    import graft.functions.VectorFunctions
+    val docs = graft.sources.Tables(spark, SparkTestSession.sfDir).documents
+    // parquet-backed long arrays (literals would constant-fold away)
+    val arr = docs.select(col("doc_id"),
+      array(col("n_chars").cast("long"), lit(2L), col("doc_id")).as("a"))
+    val hof = arr.select(col("doc_id"),
+      aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("longvecdot"),
+      s"long rule did not fire:\n$optimized")
+    val native = arr.select(col("doc_id"),
+      VectorFunctions.vecDotLong(col("a"), col("a")).as("d"))
+    assert(hof.orderBy("doc_id").as[(Long, Long)].collect().toSeq ==
+      native.orderBy("doc_id").as[(Long, Long)].collect().toSeq)
+  }
+
+  test("LongVecDot: exact values, null element yields null (HOF parity)") {
+    val df = Seq((1L, Seq(Some(3L), None), Seq(Some(2L), Some(2L))),
+      (2L, Seq(Some(100000000000L), Some(3L)), Seq(Some(100000L), Some(4L))))
+      .toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<bigint>"), col("b").cast("array<bigint>"))
+    val out = df.select(col("id"),
+      graft.functions.VectorFunctions.vecDotLong(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(out(0)._2.isEmpty && out(0)._3.isEmpty)
+    assert(out(1)._2.contains(10000000000000012L) && out(1)._3.contains(10000000000000012L))
+  }
 }
 
 class SourcesSpec extends AnyFunSuite {
