@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (plans/VecDotRewrite.scala)
     ext.injectOptimizerRule(graft.plans.VecDotRewrite)
 
+    // planner strategy: AsOfJoinPlan logical node → AsOfJoinExec
+    // physical backward as-of join (plans/AsOfJoin.scala)
+    ext.injectPlannerStrategy(graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -241,6 +241,31 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_asof_plan" -> ((s, d) => {
+      // the SAME backward as-of association as q_asof_backward, but
+      // executed by the custom physical operator (plans/AsOfJoin.scala:
+      // LogicalPlan + Strategy + SparkPlan): one hash shuffle + sort
+      // per side, then a streaming O(1)-state partition merge — the
+      // plan a native engine would pick, vs the window-based
+      // declarative form. Same DuckDB ASOF LEFT JOIN oracle.
+      val t = Tables(s, d)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min(col("event_id")).as("purchase_id"),
+          min_by(col("value"), col("event_id")).as("p_value"))
+        .select(col("p_user"), unix_micros(col("p_ts")).as("p_t_us"),
+          col("purchase_id"), col("p_value"))
+      graft.plans.AsOfJoin.backward(clicks, purchases,
+          "user_id", "p_user", "t_us", "p_t_us")
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("p_value"),
+          ((col("t_us") - col("p_t_us")) / 1000000L).cast("double").as("asof_lag_sec"))
+        .orderBy("event_id")
+    }),
+
     "q_set_ops" -> ((s, d) => {
       // relational set operators — the reference thins skip-lists and
       // compares releases with subtract/intersect/exceptAll
@@ -468,6 +493,20 @@ object QueriesDepth {
         |ORDER BY c_custkey""".stripMargin,
 
     "q_asof_backward" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, cast(ts as timestamp) AS tts
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id AS p_user, cast(ts as timestamp) AS p_tts,
+        |  min(event_id) AS purchase_id, arg_min(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.p_value,
+        | cast(epoch_us(c.tts) - epoch_us(p.p_tts) as double) / 1000000 AS asof_lag_sec
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_asof_plan" ->
       """WITH clicks AS (
         | SELECT event_id, user_id, cast(ts as timestamp) AS tts
         | FROM events WHERE event_type = 'click'),
