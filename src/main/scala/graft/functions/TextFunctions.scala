@@ -123,6 +123,22 @@ object TextFunctions {
     * materializing langScoresOfTokens on hot paths (see its note). */
   def langIdOfTokens(toks: Column): Column = langIdOfScores(langScoresOfTokens(toks))
 
+  /** Longest run of equal adjacent elements in a SORTED string array —
+    * the per-document top-n-gram count as a zero-shuffle narrow map
+    * (sort_array + one fold), instead of exploding every n-gram of the
+    * corpus through a groupBy shuffle. Doc-local repetition signals
+    * (Gopher top-2-gram fraction etc.) never need cross-document
+    * state, so at 100 TB they must stream through the scan. */
+  def maxRunLength(sorted: Column): Column = {
+    val st0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(sorted, st0, (st, x) => {
+      val run = when(x === st.getField("prev"), st.getField("run") + 1)
+        .otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(st.getField("best"), run).as("best"))
+    }).getField("best")
+  }
+
   /** Content fingerprint: md5 of normalized text (the reference uses
     * md5 unique-ids, experiment_cleaner.py:340; here anchored on
     * normalized content so near-identical whitespace/punct variants

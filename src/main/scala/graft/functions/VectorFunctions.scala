@@ -161,4 +161,33 @@ object VectorFunctions {
       lit(0.0), (acc, v) => acc + v)
 
   def normHof(a: Column): Column = sqrt(dotHof(a, a))
+
+  /** Builtin-HOF exact long dot product — ANSI-expressible form that
+    * [[graft.plans.VecDotRewrite]] rewrites to native [[LongVecDot]]. */
+  def dotHofLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  // ── int8 symmetric quantization ─────────────────────────────────
+  // Shrinks a float corpus-embedding column 4x for ANN candidate
+  // generation; exact integer dots (LongVecDot) then rank candidates
+  // deterministically. floor(v + 0.5) instead of round(): identical
+  // half-rounding on every engine (round() half-cases differ), and
+  // |v| <= 127 by construction so values stay in the int8 range.
+
+  /** Per-vector symmetric scale: max|x| / 127 (1.0 for zero vectors).
+    * Materialize this into a column BEFORE quantizing — HOF lambdas
+    * don't CSE, so an inline scale recomputes the max per element. */
+  def int8Scale(emb: Column): Column = {
+    val m = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(m.isNull || m === 0.0, lit(1.0)).otherwise(m / 127.0)
+  }
+
+  /** Quantized vector: floor(x/scale + 0.5) as long, in [-127, 127]. */
+  def quantizeInt8(emb: Column, scale: Column): Column =
+    transform(emb, x => floor(x.cast("double") / scale + lit(0.5)).cast("long"))
+
+  /** Max absolute reconstruction error of a quantized vector. */
+  def dequantMaxError(q: Column, emb: Column, scale: Column): Column =
+    array_max(zip_with(q, emb, (qi, x) =>
+      abs(qi.cast("double") * scale - x.cast("double"))))
 }

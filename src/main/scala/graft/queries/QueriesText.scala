@@ -187,6 +187,85 @@ object QueriesText {
         .orderBy("lang")
     }),
 
+    "q_repetition" -> ((s, d) => {
+      // Gopher-style repetition signals (top-2-gram fraction, duplicate-
+      // bigram fraction). Doc-local, so computed as a zero-shuffle
+      // narrow map: bigrams from materialized tokens, top count via a
+      // sorted-run fold (maxRunLength) — NOT an explode + corpus-wide
+      // groupBy, which would shuffle every n-gram of a 100 TB corpus.
+      Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          when(size(col("__toks")) >= 2, shinglesOfTokens(col("__toks"), 2))
+            .otherwise(array().cast("array<string>")).as("__bgs"))
+        .select(col("doc_id"), size(col("__bgs")).as("__n"),
+          maxRunLength(sort_array(col("__bgs"))).as("__top"),
+          size(array_distinct(col("__bgs"))).as("__nd"))
+        .select(col("doc_id"), col("__n").cast("int").as("n_bigrams"),
+          when(col("__n") === 0, lit(0.0))
+            .otherwise(round(col("__top").cast("double") / col("__n"), 6))
+            .as("top_bigram_frac"),
+          when(col("__n") === 0, lit(0.0))
+            .otherwise(round(lit(1.0) - col("__nd").cast("double") / col("__n"), 6))
+            .as("dup_bigram_frac"))
+        .withColumn("keep", col("top_bigram_frac") <= 0.18)
+        .orderBy("doc_id")
+    }),
+
+    "q_url_parse" -> ((s, d) => {
+      // URL normalization for web-corpus curation: host/path extraction
+      // + tracking-param strip. parse_url + regex, pure narrow map. The
+      // URL is derived deterministically from table columns (documents
+      // carry no raw URLs in the test data; the plumbing is the point).
+      val url = concat(lit("https://"), col("source"), lit(".example.org/"),
+        col("lang"), lit("/doc/"), col("doc_id"),
+        lit("?utm_source=feed&ref="), col("source"),
+        lit("&page="), pmod(col("doc_id"), lit(7)))
+      Tables(s, d).documents
+        .select(col("doc_id"), url.as("__url"))
+        .select(col("doc_id"),
+          parse_url(col("__url"), lit("HOST")).as("host"),
+          parse_url(col("__url"), lit("PATH")).as("path"),
+          regexp_replace(
+            regexp_replace(parse_url(col("__url"), lit("QUERY")),
+              "(utm_[a-z]+|ref)=[^&]*&?", ""),
+            "&$", "").as("clean_params"))
+        .orderBy("doc_id")
+    }),
+
+    "q_shard_assign" -> ((s, d) => {
+      // content-addressed output sharding (operators/Shard.scala):
+      // per-shard row/byte stats = the write-planning step for a
+      // 100 TB partitioned dump. md5-derived so ANY engine reproduces
+      // the assignment (Spark's hash() is Murmur3-internal).
+      Tables(s, d).documents
+        .withColumn("shard", graft.operators.Shard.md5Shard(col("doc_id"), 16))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
+    "q_embed_quantize" -> ((s, d) => {
+      // int8 symmetric quantization of the embedding column: 4x
+      // smaller ANN candidate store; exact integer self-dot via the
+      // HOF fold that VecDotRewrite rewrites to native LongVecDot.
+      // scale and q materialized stepwise (no CSE through HOF lambdas).
+      Tables(s, d).embeddings
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.int8Scale(col("embedding")).as("__scale"))
+        .select(col("vec_id"), col("embedding"), col("__scale"),
+          VectorFunctions.quantizeInt8(col("embedding"), col("__scale")).as("__q"))
+        .select(col("vec_id"),
+          round(col("__scale"), 6).as("scale6"),
+          size(filter(col("__q"), x => abs(x) === 127)).as("n_sat"),
+          VectorFunctions.dotHofLong(col("__q"), col("__q")).as("qdot"),
+          round(VectorFunctions.dequantMaxError(col("__q"), col("embedding"),
+            col("__scale")), 6).as("max_err6"))
+        .orderBy("vec_id")
+    }),
+
     "q_media_pipeline" -> ((s, d) => {
       Media.mediaStats(s, Tables(s, d).documents)
     }),
@@ -196,6 +275,70 @@ object QueriesText {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (
+         | SELECT doc_id, CASE WHEN len(t) >= 2
+         |  THEN list_filter(list_transform(t, (x, i) ->
+         |        CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END), b -> b IS NOT NULL)
+         |  ELSE [] END AS bgs
+         | FROM tk),
+         |ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg),
+         |cnt AS (SELECT doc_id, b, count(*) AS c FROM ex GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, cast(sum(c) as bigint) AS n, max(c) AS topc,
+         |        count(*) AS nd FROM cnt GROUP BY 1),
+         |res AS (
+         | SELECT g.doc_id, cast(coalesce(a.n, 0) as int) AS n_bigrams,
+         |  CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+         |   ELSE round(cast(a.topc as double) / a.n, 6) END AS top_bigram_frac,
+         |  CASE WHEN coalesce(a.n, 0) = 0 THEN 0.0
+         |   ELSE round(1.0 - cast(a.nd as double) / a.n, 6) END AS dup_bigram_frac
+         | FROM bg g LEFT JOIN agg a USING (doc_id))
+         |SELECT *, top_bigram_frac <= 0.18 AS keep FROM res
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_url_parse" ->
+      """WITH u AS (
+        | SELECT doc_id, 'https://' || source || '.example.org/' || lang || '/doc/'
+        |   || doc_id || '?utm_source=feed&ref=' || source || '&page=' || (doc_id % 7) AS url
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        | regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+        | regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+        |   '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'), '&$', '') AS clean_params
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_shard_assign" ->
+      """WITH s AS (
+        | SELECT *, ((strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)), 2, 1)) - 1) % 16 AS shard
+        | FROM documents)
+        |SELECT cast(shard as int) AS shard, count(*) AS n_docs,
+        | cast(sum(cast(n_chars as bigint)) as bigint) AS total_chars,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS m
+        | FROM embeddings),
+        |sc AS (
+        | SELECT vec_id, embedding,
+        |  CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS scale FROM b),
+        |q AS (
+        | SELECT vec_id, embedding, scale,
+        |  list_transform(embedding,
+        |    x -> cast(floor(cast(x as double) / scale + 0.5) as bigint)) AS qv
+        | FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        | cast(len(list_filter(qv, x -> abs(x) = 127)) as int) AS n_sat,
+        | cast(list_sum(list_transform(qv, x -> x * x)) as bigint) AS qdot,
+        | round(list_max(list_transform(qv,
+        |   (x, i) -> abs(x * scale - cast(embedding[i] as double)))), 6) AS max_err6
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q_token_count" ->
       s"""SELECT doc_id,
          | CASE WHEN length($normSql) = 0 THEN 0 ELSE cast(len($toksSql) as int) END AS n_tokens

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.Shard
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 corpus operators: repetition signals, URL normalization,
+  * output sharding, int8 quantization. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("maxRunLength counts the longest equal-adjacent run of a sorted array") {
+    val df = Seq(
+      (1L, Seq("a", "b", "b", "b", "c", "c")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]))
+      .toDF("id", "arr")
+    val out = df.select(col("id"),
+        TextFunctions.maxRunLength(sort_array(col("arr"))).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("q_repetition is a narrow map: single exchange (the parity order-by)") {
+    val df = SparkEntry.queries("q_repetition")(spark, SparkTestSession.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"repetition signals must not shuffle n-grams:\n$plan")
+  }
+
+  test("md5Shard: stable, in-range, full spread; repartitionByShard co-locates") {
+    val df = (0L until 512L).toDF("id")
+    val shards = df.select(Shard.md5Shard(col("id"), 16).as("s"))
+      .as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 16))
+    assert(shards.distinct.length == 16) // 512 keys cover all 16 shards
+    // deterministic: same input -> same assignment
+    val again = df.select(Shard.md5Shard(col("id"), 16).as("s")).as[Int].collect()
+    assert(shards.toSeq == again.toSeq)
+    // co-location: each output partition holds at most... every row of a
+    // shard lands in exactly one partition
+    val parts = Shard.repartitionByShard(df, col("id"), 16)
+      .select(col("shard"), spark_partition_id().as("pid"))
+      .distinct().groupBy("shard").count()
+      .as[(Int, Long)].collect()
+    assert(parts.forall(_._2 == 1L), "a shard split across partitions")
+  }
+
+  test("quantizeInt8: values in [-127,127], reconstruction within scale/2") {
+    val df = Seq((1L, Array(0.5f, -1.0f, 0.25f, 0.0f)), (2L, Array(0f, 0f, 0f, 0f)))
+      .toDF("id", "v")
+    val out = df
+      .select(col("id"), col("v"), VectorFunctions.int8Scale(col("v")).as("sc"))
+      .select(col("id"), col("sc"),
+        VectorFunctions.quantizeInt8(col("v"), col("sc")).as("q"),
+        VectorFunctions.dequantMaxError(
+          VectorFunctions.quantizeInt8(col("v"), col("sc")), col("v"), col("sc")).as("err"))
+      .as[(Long, Double, Seq[Long], Double)].collect().sortBy(_._1)
+    val (_, sc1, q1, err1) = out(0)
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(q1(1) == -127L)            // the max-magnitude element saturates
+    assert(err1 <= sc1 / 2 + 1e-12)   // round-to-nearest error bound
+    val (_, sc2, q2, err2) = out(1)
+    assert(sc2 == 1.0 && q2.forall(_ == 0L) && err2 == 0.0) // zero vector
+  }
+
+  test("q_embed_quantize's HOF self-dot is rewritten to native LongVecDot") {
+    val df = SparkEntry.queries("q_embed_quantize")(spark, SparkTestSession.sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("longvecdot"),
+      s"expected VecDotRewrite to fire:\n$optimized")
+  }
+
+  test("q_url_parse strips tracking params, keeps the rest") {
+    val out = SparkEntry.queries("q_url_parse")(spark, SparkTestSession.sfDir)
+      .limit(5).select("host", "path", "clean_params")
+      .as[(String, String, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (host, path, params) =>
+      assert(host.endsWith(".example.org"))
+      assert(path.startsWith("/") && path.contains("/doc/"))
+      assert(!params.contains("utm_") && !params.contains("ref="))
+      assert(params.startsWith("page="))
+    }
+  }
+}
