@@ -241,6 +241,51 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_array_ops" -> ((s, d) => {
+      // array algebra over collected sets — the reference thins and
+      // compares per-entity term arrays with array_except /
+      // array_contains / flatten (impc_kg_mapper.py, observation
+      // mapper sub_term handling). Results sorted so the set algebra
+      // is order-stable for the hash compare.
+      val t = Tables(s, d)
+      def prios(year: Int) = t.orders
+        .filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+        .groupBy("o_custkey")
+      val a = prios(1996).agg(sort_array(collect_set(col("o_orderpriority"))).as("p96"))
+      val b = prios(1997).agg(sort_array(collect_set(col("o_orderpriority"))).as("p97"))
+      // set results emitted as sorted joined strings — the gate's
+      // row-hash compares scalars (same convention as q_collect_set)
+      a.join(b, "o_custkey")
+        .select(col("o_custkey"),
+          array_contains(col("p96"), "1-URGENT").as("had_urgent_96"),
+          array_join(sort_array(array_except(col("p96"), col("p97"))), ",").as("dropped"),
+          array_join(sort_array(array_intersect(col("p96"), col("p97"))), ",").as("kept"),
+          size(flatten(array(col("p96"), col("p97")))).as("n_all"))
+        .orderBy("o_custkey")
+    }),
+
+    "q_json_typed" -> ((s, d) => {
+      // ONE-pass typed JSON parsing: from_json with an explicit schema
+      // materializes every field in a single parse — at 100 TB the
+      // per-field get_json_object pattern re-parses the document once
+      // PER FIELD. The JSON doc is built then round-tripped; the
+      // oracle computes the same aggregate from the raw columns, so
+      // parity proves the parse is lossless.
+      val doc = to_json(struct(col("event_type").as("t"), col("user_id").as("u"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "t STRING, u BIGINT, k INT")
+      Tables(s, d).events
+        .select(doc.as("__j"))
+        .select(from_json(col("__j"), schema).as("__s"))
+        .select(col("__s.t").as("event_type"), col("__s.u").as("user_id"),
+          col("__s.k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("k_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     "q_asof_plan" -> ((s, d) => {
       // the SAME backward as-of association as q_asof_backward, but
       // executed by the custom physical operator (plans/AsOfJoin.scala:
@@ -505,6 +550,27 @@ object QueriesDepth {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_array_ops" ->
+      """WITH a AS (
+        | SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS p96
+        | FROM orders WHERE year(cast(o_orderdate as date)) = 1996 GROUP BY 1),
+        |b AS (
+        | SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS p97
+        | FROM orders WHERE year(cast(o_orderdate as date)) = 1997 GROUP BY 1)
+        |SELECT a.o_custkey,
+        | list_contains(p96, '1-URGENT') AS had_urgent_96,
+        | coalesce(array_to_string(list_sort(list_filter(p96, x -> NOT list_contains(p97, x))), ','), '') AS dropped,
+        | coalesce(array_to_string(list_sort(list_filter(p96, x -> list_contains(p97, x))), ','), '') AS kept,
+        | cast(len(p96) + len(p97) as int) AS n_all
+        |FROM a JOIN b USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_json_typed" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(props->>'k' as int)) as bigint) AS k_sum,
+        | cast(count(DISTINCT user_id) as bigint) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_plan" ->
       """WITH clicks AS (
