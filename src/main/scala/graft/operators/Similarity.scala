@@ -41,6 +41,37 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
 
+  /** Quantized top-k by approximate dot product: int8-quantize corpus
+    * and queries (VectorFunctions.quantizeInt8), score with the EXACT
+    * integer dot (native LongVecDot) rescaled by the two per-vector
+    * scales, rank (score DESC, id). The candidate payload is 4x
+    * smaller than float32 and the hot loop is integer multiply-add —
+    * the memory-bound regime a 100 TB ANN sweep lives in. Scores are
+    * approximate (quantization error) but the ARITHMETIC is exact, so
+    * rankings are bit-reproducible on any engine — unlike float
+    * accumulation, an independent implementation (or the DuckDB
+    * oracle) reproduces them integer-for-integer. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def quantize(df: DataFrame, id: Column, idName: String, s: String, q: String) = df
+      .select(id.as(idName), col(vecCol).as("__v"))
+      .withColumn(s, VectorFunctions.int8Scale(col("__v")))
+      .select(col(idName), col(s), VectorFunctions.quantizeInt8(col("__v"), col(s)).as(q))
+    val c = quantize(corpus, col(idCol), idCol, "__cs", "__cq")
+    val q = quantize(queries, col(idCol), "query_id", "__qs", "__qq")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("__score",
+        VectorFunctions.vecDotLong(col("__cq"), col("__qq")).cast("double") *
+          col("__cs") * col("__qs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(col("__score"), 6).as("qscore"), col("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplane `p` (seeded PRNG — stable
     * across runs and JVMs). */
   private def planeVec(p: Int, dim: Int): Array[Float] = {

@@ -139,6 +139,16 @@ object QueriesText {
         .orderBy("query_id", "rk")
     }),
 
+    "q_ann_quantized" -> ((s, d) => {
+      // int8-quantized ANN: exact integer dots (LongVecDot) rescaled
+      // by per-vector scales — approximate scores, exact arithmetic,
+      // so the DuckDB oracle reproduces the ranking bit-for-bit
+      val t = Tables(s, d)
+      Similarity.quantizedTopK(t.embeddings,
+          t.embeddings.filter(col("vec_id") < 3), k = 5)
+        .orderBy("query_id", "rk")
+    }),
+
     "q_ann_lsh" -> ((s, d) => {
       val t = Tables(s, d)
       Similarity.lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
@@ -412,6 +422,28 @@ object QueriesText {
         | round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 6) AS l2_norm,
         | round(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))), 6) AS sq_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_ann_quantized" ->
+      """WITH base AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(cast(x as double)))) AS m
+        | FROM embeddings),
+        |sq AS (
+        | SELECT vec_id,
+        |  CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS s,
+        |  list_transform(embedding, x -> cast(floor(cast(x as double)
+        |    / (CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END) + 0.5) as bigint)) AS qv
+        | FROM base),
+        |p AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  cast(list_sum(list_transform(list_zip(c.qv, q.qv), z -> z[1] * z[2])) as double)
+        |    * c.s * q.s AS score
+        | FROM sq c CROSS JOIN (SELECT * FROM sq WHERE vec_id < 3) q
+        | WHERE c.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |       ORDER BY score DESC, neighbor_id) AS rk FROM p)
+        |SELECT query_id, neighbor_id, round(score, 6) AS qscore, cast(rk as int) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

@@ -73,6 +73,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"expected VecDotRewrite to fire:\n$optimized")
   }
 
+  test("quantizedTopK scores within the quantization error bound of exact dots") {
+    val emb = graft.sources.Tables(spark, SparkTestSession.sfDir).embeddings
+    val queries = emb.filter(col("vec_id") < 3)
+    val approx = graft.operators.Similarity
+      .quantizedTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("qscore"))
+    // exact dot + Cauchy-Schwarz norm scale for the same pairs
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.dotHof(col("cv"), col("qv")).as("dot"),
+        (VectorFunctions.normHof(col("cv")) * VectorFunctions.normHof(col("qv"))).as("nn"))
+    val bad = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("qscore") - col("dot")) > col("nn") * 0.02 + 1e-6)
+      .count()
+    assert(bad == 0L, "quantized score drifted beyond 2% of the norm product")
+  }
+
   test("q_url_parse strips tracking params, keeps the rest") {
     val out = SparkEntry.queries("q_url_parse")(spark, SparkTestSession.sfDir)
       .limit(5).select("host", "path", "clean_params")
