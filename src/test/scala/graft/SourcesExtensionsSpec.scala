@@ -263,6 +263,61 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val dir = "/tmp/graft_dpp_events"
+    t.events.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filtered on a NON-join column, so the surviving partition
+    // values are only known at runtime — the fact scan must prune via
+    // a dynamicpruning subquery (the 100 TB date-dim pattern); a
+    // same-column literal filter would be propagated statically instead
+    import spark.implicits._
+    // dim must be file-backed: a local relation would constant-fold the
+    // filter away and DPP needs a real selective Filter over a scan
+    val dimDir = "/tmp/graft_dpp_dim"
+    Seq(("purchase", "revenue"), ("click", "engagement"),
+      ("view", "engagement")).toDF("et", "cat")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("cat") === "revenue")
+    val joined = fact.join(dim, col("event_type") === col("et"))
+      .groupBy("event_type").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n$plan")
+    assert(joined.collect().map(_.getString(0)).toSeq == Seq("purchase"))
+  }
+
+  test("runtime bloom filter injected on the probe side of a selective join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // thresholds sized for test data; production defaults (10MB/10GB)
+      // target exactly the 100 TB shuffle-join regime
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = t.lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"expected an injected bloom filter in:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("top-k window filter plans the WindowGroupLimit fast path") {
     // rank()<=k must become a per-partition group limit BEFORE the
     // shuffle (partial WindowGroupLimit), not a full sort + filter —
