@@ -62,9 +62,12 @@ object Bench {
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     val lineBudget = 1500
-    val header = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$failed,"sf":"$sfDir","queries":{"""
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would emit unparseable JSON
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"sf":"$sfDir","queries":{"""
     val entries = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val sb = new StringBuilder(header)
     var kept = 0
     entries.foreach { e =>

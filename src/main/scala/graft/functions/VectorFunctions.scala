@@ -76,13 +76,18 @@ object FloatVecDot {
 }
 
 /** Native Catalyst expression: EXACT dot product of two Array[Long]
-  * columns (long multiply-add, wrapping like Spark's non-ANSI long
-  * arithmetic, so it is bit-identical to the zip_with/aggregate HOF
-  * fold). This is the hot loop of integer-quantized embedding search
+  * columns. This is the hot loop of integer-quantized embedding search
   * and of exact money folds over parallel cents arrays — domains where
   * FloatVecDot's double accumulator would lose exactness.
+  *
+  * `failOnOverflow` mirrors the arithmetic eval mode of the HOF fold
+  * the expression replaces: ANSI folds throw on long overflow
+  * (Math.multiplyExact/addExact here), legacy folds wrap (plain long
+  * ops here) — VecDotRewrite captures the mode from the matched
+  * Multiply so the substitution preserves semantics either way.
   */
-case class LongVecDot(left: Expression, right: Expression)
+case class LongVecDot(left: Expression, right: Expression,
+                      failOnOverflow: Boolean = false)
     extends BinaryExpression {
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
@@ -101,33 +106,45 @@ case class LongVecDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (FloatVecDot.hasNullElement(x) || FloatVecDot.hasNullElement(y)) null
+    else if (failOnOverflow) LongVecDot.dotExact(x.toLongArray(), y.toLongArray())
     else LongVecDot.dot(x.toLongArray(), y.toLongArray())
   }
 
   // null ELEMENTS yield null, matching the HOF form (a null product
   // poisons the fold) — required for VecDotRewrite substitution safety
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (failOnOverflow) "dotExact" else "dot"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |if (graft.functions.FloatVecDot.hasNullElement($a) ||
          |    graft.functions.FloatVecDot.hasNullElement($b)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.LongVecDot.dot($a.toLongArray(), $b.toLongArray());
+         |  ${ev.value} = graft.functions.LongVecDot.$fn($a.toLongArray(), $b.toLongArray());
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 object LongVecDot {
-  /** Tight primitive loop; wrapping long arithmetic = the HOF fold's. */
+  /** Tight primitive loop; wrapping arithmetic = a LEGACY-mode fold. */
   def dot(x: Array[Long], y: Array[Long]): Long = {
     val n = math.min(x.length, y.length)
     var s = 0L
     var i = 0
     while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+
+  /** Overflow-checked loop = an ANSI-mode fold (throws ArithmeticException). */
+  def dotExact(x: Array[Long], y: Array[Long]): Long = {
+    val n = math.min(x.length, y.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { s = Math.addExact(s, Math.multiplyExact(x(i), y(i))); i += 1 }
     s
   }
 }

@@ -16,10 +16,12 @@ object Shard {
   /** Deterministic shard id in [0, n): first md5 byte of the key's
     * string form, mod n. One byte bounds n at 256; wider fan-outs
     * should shard hierarchically (byte1/byte2 directory levels) so
-    * file listings stay bounded at every level. */
+    * file listings stay bounded at every level. NULL keys fold to the
+    * empty string — every row gets a real shard (a NULL shard would
+    * land under the default partition and corrupt the layout). */
   def md5Shard(key: Column, n: Int): Column = {
     require(n > 0 && n <= 256, s"md5Shard uses one hash byte; n must be in 1..256, got $n")
-    (conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int") % n)
+    (conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 2), 16, 10).cast("int") % n)
   }
 
   /** Co-locate rows of one shard into one task (and so one output file

@@ -60,8 +60,15 @@ object AsOfJoin {
       plan.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
-    val node = AsOfJoinPlan(lPlan, rPlan,
-      Seq(resolve(lPlan, leftKey)), Seq(resolve(rPlan, rightKey)),
+    val lk = resolve(lPlan, leftKey)
+    val rk = resolve(rPlan, rightKey)
+    // the node is built already-resolved, so the analyzer never inserts
+    // key casts: mismatched key types would hash-partition and compare
+    // raw bytes differently per side and silently match nothing
+    require(lk.dataType == rk.dataType,
+      s"as-of join key types must match exactly: $leftKey is ${lk.dataType}, " +
+        s"$rightKey is ${rk.dataType} — cast one side before joining")
+    val node = AsOfJoinPlan(lPlan, rPlan, Seq(lk), Seq(rk),
       resolve(lPlan, leftTime), resolve(rPlan, rightTime), tolerance)
     GraftBridge.ofRows(spark, node)
   }

@@ -36,12 +36,15 @@ case class VecDotRewrite(session: org.apache.spark.sql.SparkSession) extends Rul
   }
 
   /** (x, y) => x * y over long vars, no casts — the exact-integer
-    * product of a cents/quantized fold. */
-  private def isPlainProduct(f: Expression): Boolean = f match {
+    * product of a cents/quantized fold. Returns the arithmetic eval
+    * mode (None = shape mismatch); TRY mode (null-on-overflow) has no
+    * native equivalent and is deliberately not matched. */
+  private def plainProductMode(f: Expression): Option[EvalMode.Value] = f match {
     case LambdaFunction(m: Multiply,
-        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
-      isVar(m.left, x) && isVar(m.right, y)
-    case _ => false
+        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)
+        if isVar(m.left, x) && isVar(m.right, y) && m.evalMode != EvalMode.TRY =>
+      Some(m.evalMode)
+    case _ => None
   }
 
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
@@ -83,11 +86,12 @@ case class VecDotRewrite(session: org.apache.spark.sql.SparkSession) extends Rul
           isCastProduct(prod) && isSumMerge(merge) && isIdentityFinish(finish) =>
       FloatVecDot(l, r)
     // exact-integer flavor: aggregate(zip_with(a, b, (x,y) => x*y), 0L, +)
-    // over array<bigint> — LongVecDot's wrapping multiply-add is
-    // bit-identical to the HOF fold (see LongVecDot Scaladoc)
+    // over array<bigint>. The matched Multiply's eval mode carries into
+    // the native expression: ANSI folds throw on overflow, legacy folds
+    // wrap — either way the substitution is semantics-preserving.
     case ArrayAggregate(ZipWith(l, r, prod), Literal(0L, LongType), merge, finish)
         if isLongArray(l) && isLongArray(r) &&
-          isPlainProduct(prod) && isSumMerge(merge) && isIdentityFinish(finish) =>
-      LongVecDot(l, r)
+          plainProductMode(prod).isDefined && isSumMerge(merge) && isIdentityFinish(finish) =>
+      LongVecDot(l, r, failOnOverflow = plainProductMode(prod).contains(EvalMode.ANSI))
   }
 }

@@ -51,6 +51,15 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(tight.isEmpty)
   }
 
+  test("mismatched key types are rejected (no analyzer coercion on a resolved node)") {
+    val l = Seq((1, 10L)).toDF("tk", "tt")   // int key
+    val r = Seq((1L, 5L, 1.0)).toDF("qk", "qt", "price") // long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, "tk", "qk", "tt", "qt")
+    }
+    assert(e.getMessage.contains("key types must match"))
+  }
+
   test("physical plan: AsOfJoinExec with one exchange per side, no window/union") {
     val (s, d) = (spark, SparkTestSession.sfDir)
     val df = SparkEntry.queries("q_asof_plan")(s, d)

@@ -39,6 +39,10 @@ class CorpusOpsSpec extends AnyFunSuite {
     // deterministic: same input -> same assignment
     val again = df.select(Shard.md5Shard(col("id"), 16).as("s")).as[Int].collect()
     assert(shards.toSeq == again.toSeq)
+    // NULL keys fold to a real shard, never a NULL shard
+    val nullShard = Seq(Option.empty[Long]).toDF("id")
+      .select(Shard.md5Shard(col("id"), 16).as("s")).as[Option[Int]].head()
+    assert(nullShard.exists(s => s >= 0 && s < 16))
     // co-location: each output partition holds at most... every row of a
     // shard lands in exactly one partition
     val parts = Shard.repartitionByShard(df, col("id"), 16)

@@ -57,6 +57,28 @@ class ExtensionsSpec extends AnyFunSuite {
       native.orderBy("doc_id").as[(Long, Long)].collect().toSeq)
   }
 
+  test("LongVecDot preserves the fold's overflow semantics per eval mode") {
+    import graft.functions.VectorFunctions
+    val big = Long.MaxValue / 2 + 1
+    val df = Seq((1L, Seq(big, big))).toDF("id", "a")
+      .select(col("id"), col("a").cast("array<bigint>").as("a"))
+    val hof = df.select(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v).as("d"))
+    if (spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean) {
+      // the rewrite must NOT trade ANSI's overflow error for a wrap
+      val thrown = intercept[Throwable] { hof.collect() }
+      val chain = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+        .map(t => t.getClass.getName + " " + Option(t.getMessage).getOrElse(""))
+        .mkString("; ")
+      assert(chain.toLowerCase.contains("arithmetic") || chain.toLowerCase.contains("overflow"),
+        s"expected an overflow error, got: $chain")
+    }
+    // the explicitly-native path is the documented wrapping (legacy) fold
+    val wrapped = df.select(VectorFunctions.vecDotLong(col("a"), col("a")).as("d"))
+      .as[Long].head()
+    assert(wrapped == big * big + big * big) // Scala Long wraps identically
+  }
+
   test("LongVecDot: exact values, null element yields null (HOF parity)") {
     val df = Seq((1L, Seq(Some(3L), None), Seq(Some(2L), Some(2L))),
       (2L, Seq(Some(100000000000L), Some(3L)), Seq(Some(100000L), Some(4L))))
