@@ -115,6 +115,48 @@ object EventStream {
       }
   }
 
+  /** Streaming backward as-of enrich (LOCF) — the streaming twin of
+    * AsOf.backward / AsOfJoinExec: one keyed stream carries reference
+    * rows (purchases, side 0) and query rows (clicks, side 1); per-key
+    * state is the latest reference seen, O(1) per key like the
+    * physical operator's merge state. Each click emits with the most
+    * recent purchase at or before it.
+    *
+    * Within a micro-batch rows are folded in (ts, side, -id) order:
+    * references before queries at equal time (at-or-before inclusive),
+    * min-id reference winning among equal-time duplicates — the same
+    * tie rules as the batch operator, so results line up exactly.
+    * ACROSS micro-batches ordering holds only if the source delivers
+    * time-ordered batches (true for file replay; a live out-of-order
+    * stream needs watermark-delayed emission, the standard
+    * fMGWS-ordering caveat). */
+  def asOfEnrich(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Option[Long], Option[Double])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("long"),
+        when(col("event_type") === "purchase", 0).otherwise(1).cast("int").as("side"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Int, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double), (Long, Long, Option[Long], Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Int, Long, Long, Double)],
+         state: GroupState[(Long, Long, Double)]) =>
+          var ref = state.getOption // (refTs, refId, refValue)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long], Option[Double])]()
+          rows.toSeq.sortBy { case (_, side, ts, id, _) => (ts, side, -id) }.foreach {
+            case (_, 0, ts, id, v) => ref = Some((ts, id, v))
+            case (_, _, _, id, _)  => out += ((id, user, ref.map(_._2), ref.map(_._3)))
+          }
+          ref.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming deduplication with bounded state: duplicates of a key
     * arriving within the watermark are dropped, and state for keys
     * older than the watermark is expired (dropDuplicatesWithinWatermark

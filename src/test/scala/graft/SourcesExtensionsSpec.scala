@@ -178,6 +178,30 @@ class StreamingStateSpec extends AnyFunSuite {
     val n = out.count()
     assert(n > 0)
   }
+
+  test("streaming LOCF as-of enrich matches the batch as-of exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sfDir = SparkTestSession.sfDir
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.EventStream.asOfEnrich(spark, stream)
+      .toDF("event_id", "user_id", "purchase_id", "p_value")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_asof_stream").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    if (q.isActive) q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))
+    val streamed = spark.table("graft_asof_stream").collect().map(key).toSet
+    // the same association the window-based batch operator (and through
+    // it the AsOfJoinExec physical operator, see AsOfJoinPlanSpec) makes
+    val batch = SparkEntry.queries("q_asof_backward")(spark, sfDir)
+      .select("event_id", "user_id", "purchase_id", "p_value")
+      .collect().map(key).toSet
+    assert(streamed == batch)
+  }
 }
 
 class DiffStateSpec extends AnyFunSuite {
