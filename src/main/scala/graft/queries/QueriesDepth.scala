@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Depth batch: reference patterns surfaced by the round-1 audit that
@@ -239,6 +240,64 @@ object QueriesDepth {
           "user_id", "p_user", "ts", "p_ts", Seq("purchase_id", "p_value"))
         .select("event_id", "user_id", "purchase_id", "p_value", "asof_lag_sec")
         .orderBy("event_id")
+    }),
+
+    "q_gap_fill" -> ((s, d) => {
+      // time-series resample + LOCF gap fill: per user, a dense daily
+      // grid between their first and last active day; missing days are
+      // forward-filled from the last observed daily total (the
+      // feature-pipeline imputation the reference does per-specimen).
+      // Scale: the grid generation is sequence+explode (narrow per
+      // user); the fill is one window scan per user — no per-day join
+      // fan-out.
+      val t = Tables(s, d)
+      val daily = t.events
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(28,15)")).as("day_val"))
+      val spans = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("__filled", last(col("day_val"), ignoreNulls = true).over(w))
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          // round(,4): DuckDB's decimal(·,15)→double divides by 10^15 in
+          // double arithmetic (1-ulp off Spark's correctly-rounded
+          // BigDecimal path) — same convention as the stream-window agg
+          round(col("__filled").cast("double"), 4).as("filled_val"),
+          col("day_val").isNull.as("is_gap"))
+        .orderBy("user_id", "day")
+    }),
+
+    "q_salted_join" -> ((s, d) => {
+      // explicit salted join (operators/SkewJoin.scala): probe salted
+      // by line number, build replicated — shuffle key (key, salt)
+      // spreads a hot order across 8 partitions; the oracle is the
+      // PLAIN join, proving the salt changes distribution only
+      val t = Tables(s, d)
+      val dim = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.salted(t.lineitem, dim,
+          "l_orderkey", "o_orderkey", salts = 8, saltBy = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_sample_exact_n" -> ((s, d) => {
+      // exact per-group quotas (vs sampleBy's binomial fractions):
+      // deterministic pseudo-random order by md5 of the id, top-N per
+      // group — reproducible corpus balancing any engine can replicate
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("s"), col("doc_id").cast("string"))), col("doc_id"))
+      Tables(s, d).documents
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
     }),
 
     "q_array_ops" -> ((s, d) => {
@@ -550,6 +609,35 @@ object QueriesDepth {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (
+        | SELECT user_id, date_trunc('day', cast(ts as timestamp)) AS day,
+        |  sum(cast(value as decimal(28,15))) AS day_val
+        | FROM events GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans),
+        |j AS (SELECT g.user_id, g.day, d.day_val
+        |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        | round(cast(last_value(day_val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 4) AS filled_val,
+        | day_val IS NULL AS is_gap
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS qty_sum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sample_exact_n" ->
+      """WITH r AS (
+        | SELECT lang, doc_id, cast(row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5('s' || cast(doc_id as varchar)), doc_id) as int) AS rk
+        | FROM documents)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
 
     "q_array_ops" ->
       """WITH a AS (

@@ -96,6 +96,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(bad == 0L, "quantized score drifted beyond 2% of the norm product")
   }
 
+  test("salted join: identical rows to the plain join, hot key spread over tasks") {
+    import graft.operators.SkewJoin
+    // one hot key (0) carrying 90% of the probe side
+    val probe = (0 until 2000)
+      .map(i => (if (i % 10 == 0) i.toLong % 5 else 0L, i))
+      .toDF("k", "line")
+    val build = (0L until 5L).map(k => (k, s"dim_$k")).toDF("bk", "name")
+    val salted = SkewJoin.salted(probe, build, "k", "bk", salts = 8, saltBy = col("line"))
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet)
+    // the hot key's probe rows really occupy multiple salt slices
+    val slices = probe.withColumn("s", pmod(hash(col("line")), lit(8)))
+      .filter(col("k") === 0L).select("s").distinct().count()
+    assert(slices > 1)
+  }
+
   test("q_url_parse strips tracking params, keeps the rest") {
     val out = SparkEntry.queries("q_url_parse")(spark, SparkTestSession.sfDir)
       .limit(5).select("host", "path", "clean_params")
