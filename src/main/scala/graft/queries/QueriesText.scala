@@ -276,6 +276,39 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_tfidf_terms" -> ((s, d) => {
+      // per-doc top TF-IDF terms. idf is the LINEAR rarity ratio N/df,
+      // not log(N/df): scores stay exact integer ratios (one IEEE
+      // division), so rankings are bit-reproducible across engines —
+      // log() is libm-dependent and 1-ulp score noise can flip
+      // near-tied ranks. Scale: tf is one (doc,term) shuffle with
+      // map-side combine; df one term shuffle; N a 1-row broadcast.
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      val tf = docs.select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    "q_length_histogram" -> ((s, d) => {
+      // corpus length profile: fixed-width binning of n_chars — the
+      // pre-curation length-distribution check (narrow map + tiny agg)
+      Tables(s, d).documents
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("int").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket_lo")
+    }),
+
     "q_media_pipeline" -> ((s, d) => {
       Media.mediaStats(s, Tables(s, d).documents)
     }),
@@ -348,6 +381,24 @@ object QueriesText {
         | round(list_max(list_transform(qv,
         |   (x, i) -> abs(x * scale - cast(embedding[i] as double)))), 6) AS max_err6
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_tfidf_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         | SELECT doc_id, tf.term, cast(tf * n as double) / df AS score
+         | FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+         |ranked AS (SELECT *, cast(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, term) as int) AS rk FROM scored)
+         |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_length_histogram" ->
+      """SELECT cast(floor(n_chars / 100) * 100 as int) AS bucket_lo,
+        | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,
