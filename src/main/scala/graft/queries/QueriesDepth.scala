@@ -242,6 +242,47 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_approx_percentile" -> ((s, d) => {
+      // sketch percentiles (percentile_approx, GK-style): the
+      // single-pass bounded-memory path for 100 TB quantiles, next to
+      // q_percentile's exact sort-based path. Declared rows-only: the
+      // sketch's merge is partition-order dependent, so values are
+      // within-accuracy approximate, not hash-stable — the spec bounds
+      // them against the exact percentiles instead.
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_map_ops" -> ((s, d) => {
+      // map-typed column algebra — the reference carries per-row
+      // metadata as maps in its wide-doc assembly (q_doc_assembly's
+      // map column); here the full family: map_from_arrays,
+      // map_concat, transform_values, map_filter. Emitted as sorted
+      // "k=v" strings (scalar-hash gate convention).
+      val t = Tables(s, d)
+      val base = t.orders.select(col("o_orderkey"),
+        map_from_arrays(
+          array(lit("status"), lit("prio")),
+          array(col("o_orderstatus"), col("o_orderpriority"))).as("__m1"),
+        map_from_arrays(array(lit("year")),
+          array(year(col("o_orderdate")).cast("string"))).as("__m2"))
+      val combined = base.select(col("o_orderkey"),
+        map_concat(col("__m1"), col("__m2")).as("__m"))
+      combined.select(col("o_orderkey"),
+          transform_values(col("__m"), (_, v) => upper(v)).as("__mu"))
+        .select(col("o_orderkey"),
+          map_filter(col("__mu"), (k, _) => k =!= "prio").as("__mf"))
+        .select(col("o_orderkey"),
+          array_join(sort_array(transform(map_entries(col("__mf")),
+            e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+            .as("meta"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_gap_fill" -> ((s, d) => {
       // time-series resample + LOCF gap fill: per user, a dense daily
       // grid between their first and last active day; missing days are
@@ -609,6 +650,13 @@ object QueriesDepth {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT o_orderkey,
+        | array_to_string(list_sort([
+        |   'status=' || upper(o_orderstatus),
+        |   'year=' || cast(year(cast(o_orderdate as date)) as varchar)]), ',') AS meta
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_gap_fill" ->
       """WITH daily AS (

@@ -113,6 +113,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(slices > 1)
   }
 
+  test("approx percentiles land within tolerance of the exact ones") {
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, SparkTestSession.sfDir)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = t.lineitem.groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (p50, p95)) =>
+      val (a50, a95) = approx(flag)
+      assert(math.abs(a50 - p50) <= p50 * 0.01, s"$flag p50: $a50 vs $p50")
+      assert(math.abs(a95 - p95) <= p95 * 0.01, s"$flag p95: $a95 vs $p95")
+    }
+  }
+
   test("q_url_parse strips tracking params, keeps the rest") {
     val out = SparkEntry.queries("q_url_parse")(spark, SparkTestSession.sfDir)
       .limit(5).select("host", "path", "clean_params")
