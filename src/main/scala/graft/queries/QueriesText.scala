@@ -313,6 +313,21 @@ object QueriesText {
       Media.mediaStats(s, Tables(s, d).documents)
     }),
 
+    "q_media_sniff" -> ((s, d) => {
+      // binary magic-number sniffing (Media.sniffKind): classify blobs
+      // by their leading bytes in the scan stage — the ingest triage
+      // that routes a mixed 100 TB media dump to type-specific decode
+      // pipelines. Oracle rebuilds the same payloads in DuckDB blob
+      // algebra and hex-matches identically.
+      val media = Media.asMagicMediaTable(Tables(s, d).documents)
+      media.select(col("media_id"), Media.sniffKind(col("payload")).as("kind"),
+          length(col("payload")).as("n_bytes"))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes").cast("long")).as("total_bytes"),
+          min("media_id").as("first_id"))
+        .orderBy("kind")
+    }),
+
     "q_stream_window" -> ((s, d) => {
       EventStream.runBatchEquivalent(s, d)
     }))
@@ -399,6 +414,18 @@ object QueriesText {
       """SELECT cast(floor(n_chars / 100) * 100 as int) AS bucket_lo,
         | count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_media_sniff" ->
+      """WITH m AS (
+        | SELECT doc_id AS media_id,
+        |  CASE cast(doc_id % 3 as int) WHEN 0 THEN 'png' WHEN 1 THEN 'flac' ELSE 'riff' END AS kind,
+        |  (CASE cast(doc_id % 3 as int) WHEN 0 THEN 8 ELSE 4 END)
+        |    + octet_length(encode(text)) AS n_bytes
+        | FROM documents)
+        |SELECT kind, count(*) AS n,
+        | cast(sum(cast(n_bytes as bigint)) as bigint) AS total_bytes,
+        | min(media_id) AS first_id
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,

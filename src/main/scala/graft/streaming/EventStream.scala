@@ -184,6 +184,25 @@ object EventStream {
                      batchId: Long) => write(batch, batchId))
       .trigger(Trigger.AvailableNow())
 
+  /** Per-key running totals on Spark 4's transformWithState — the
+    * arbitrary-stateful-processing v2 API (typed ValueState handles,
+    * RocksDB-backed, TTL-capable) that supersedes mapGroupsWithState
+    * for new pipelines. Requires the RocksDB state store provider:
+    * spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider. Emits one (user, n, sum) row
+    * per key per micro-batch. */
+  def runningTotals(spark: SparkSession, events: DataFrame)
+      : Dataset[(Long, Long, Double)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val typed = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap-based session windows, streaming-native (session_window). */
   def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events
@@ -192,4 +211,27 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
+}
+
+/** transformWithState processor: typed per-key ValueState holding
+  * (count, sum), updated per batch. */
+class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), (Long, Long, Double)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+                               timers: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; s += r._3 }
+    totals.update((n, s))
+    Iterator.single((key, n, s))
+  }
 }

@@ -179,6 +179,45 @@ class StreamingStateSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("transformWithState running totals match the batch aggregate") {
+    import org.apache.spark.sql.streaming.Trigger
+    val conf = spark.conf
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(providerKey)
+    try {
+      // transformWithState requires the RocksDB state store
+      conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val sfDir = SparkTestSession.sfDir
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q = graft.streaming.EventStream.runningTotals(spark, stream)
+        .toDF("user_id", "n_events", "value_sum")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_tws").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+      // AvailableNow + one file = one batch: the emitted rows ARE the totals
+      val got = spark.table("graft_tws").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val exp = graft.sources.Tables(spark, sfDir).events
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (u, (n, s)) =>
+        val (gn, gs) = got(u)
+        assert(gn == n, s"user $u count")
+        // double sums fold in arrival order; compare with tolerance
+        assert(math.abs(gs - s) <= math.abs(s) * 1e-9 + 1e-9, s"user $u sum")
+      }
+    } finally saved match {
+      case Some(v) => conf.set(providerKey, v)
+      case None    => conf.unset(providerKey)
+    }
+  }
+
   test("streaming LOCF as-of enrich matches the batch as-of exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val sfDir = SparkTestSession.sfDir
