@@ -242,6 +242,52 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_funnel" -> ((s, d) => {
+      // ordered-funnel analysis: signup → view → click → purchase,
+      // each stage STRICTLY after the previous stage's first hit.
+      // Single (user) shuffle + sorted fold per user (zero extra
+      // stages); the oracle computes the same funnel as four chained
+      // min-after aggregates — two formulations, one answer.
+      val t = Tables(s, d)
+      val st0 = struct(lit(0).as("stage"), lit(Long.MinValue).as("t"))
+      val folded = t.events
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("ts"), col("event_type").as("et")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"), aggregate(col("es"), st0, (st, e) => {
+          val stage = st.getField("stage")
+          val last = st.getField("t")
+          val ts = e.getField("ts")
+          val et = e.getField("et")
+          val advance = (stage === 0 && et === "signup") ||
+            (stage === 1 && et === "view" && ts > last) ||
+            (stage === 2 && et === "click" && ts > last) ||
+            (stage === 3 && et === "purchase" && ts > last)
+          struct(when(advance, stage + 1).otherwise(stage).as("stage"),
+            when(advance, ts).otherwise(last).as("t"))
+        }).getField("stage").as("stage"))
+      folded.agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("stage") >= 4, 1L).otherwise(0L)).as("n_purchase"))
+    }),
+
+    "q_nullsafe_join" -> ((s, d) => {
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+      // keys MATCH the NULL dim row instead of silently dropping —
+      // the semantics skip-list and bucket-other joins need when the
+      // bucketing column is nullable
+      val t = Tables(s, d)
+      val o = t.orders.withColumn("pr", expr("nullif(o_orderpriority, '1-URGENT')"))
+      val dim = o.select(col("pr").as("dpr")).distinct()
+        .withColumn("label", coalesce(col("dpr"), lit("URGENT_BUCKET")))
+      o.join(dim, col("pr") <=> col("dpr"))
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy("label")
+    }),
+
     "q_approx_percentile" -> ((s, d) => {
       // sketch percentiles (percentile_approx, GK-style): the
       // single-pass bounded-memory path for 100 TB quantiles, next to
@@ -650,6 +696,30 @@ object QueriesDepth {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(cast(ts as timestamp)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(cast(ts as timestamp)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND cast(ts as timestamp) > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(cast(ts as timestamp)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'click' AND cast(ts as timestamp) > t2 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(cast(ts as timestamp)) AS t4
+        |  FROM events e JOIN s3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND cast(ts as timestamp) > t3 GROUP BY 1)
+        |SELECT cast((SELECT count(*) FROM s1) as bigint) AS n_signup,
+        | cast((SELECT count(*) FROM s2) as bigint) AS n_view,
+        | cast((SELECT count(*) FROM s3) as bigint) AS n_click,
+        | cast((SELECT count(*) FROM s4) as bigint) AS n_purchase""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH o AS (SELECT *, nullif(o_orderpriority, '1-URGENT') AS pr FROM orders),
+        |dim AS (SELECT DISTINCT pr AS dpr, coalesce(pr, 'URGENT_BUCKET') AS label FROM o)
+        |SELECT label, count(*) AS n
+        |FROM o JOIN dim ON o.pr IS NOT DISTINCT FROM dim.dpr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_map_ops" ->
       """SELECT o_orderkey,
