@@ -102,7 +102,8 @@ object Media {
     * needed, so it runs in the scan stage before any expensive
     * dispatch to type-specific decode pipelines. */
   def sniffKind(payload: Column): Column = {
-    val prefix = substring(hex(substring(payload, 1, 8)), 1, 8)
+    // longest magic is 4 bytes -> 8 hex chars; extract once
+    val prefix = hex(substring(payload, 1, 4))
     MagicPrefixes.foldLeft(when(lit(false), lit("unknown"))) {
       case (acc, (kind, magic)) =>
         acc.when(substring(prefix, 1, magic.length) === magic, lit(kind))

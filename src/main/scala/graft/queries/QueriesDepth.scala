@@ -251,6 +251,9 @@ object QueriesDepth {
       val t = Tables(s, d)
       val st0 = struct(lit(0).as("stage"), lit(Long.MinValue).as("t"))
       val folded = t.events
+        // only stage types ride the shuffle; 'error' etc. can never
+        // advance the fold
+        .filter(col("event_type").isin("signup", "view", "click", "purchase"))
         .select(col("user_id"),
           struct(unix_micros(col("ts")).as("ts"), col("event_type").as("et")).as("e"))
         .groupBy("user_id")
@@ -366,8 +369,11 @@ object QueriesDepth {
       // PLAIN join, proving the salt changes distribution only
       val t = Tables(s, d)
       val dim = t.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      // saltBy needs cardinality well above `salts` (the operator's
+      // contract): (orderkey, linenumber) is unique per row
       graft.operators.SkewJoin.salted(t.lineitem, dim,
-          "l_orderkey", "o_orderkey", salts = 8, saltBy = col("l_linenumber"))
+          "l_orderkey", "o_orderkey", salts = 8,
+          saltBy = struct(col("l_orderkey"), col("l_linenumber")))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"))

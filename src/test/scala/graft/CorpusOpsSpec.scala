@@ -98,9 +98,11 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("salted join: identical rows to the plain join, hot key spread over tasks") {
     import graft.operators.SkewJoin
-    // one hot key (0) carrying 90% of the probe side
+    // one hot key (0) carrying 90% of the probe side; the rest spread
+    // over keys 1..4 so multi-key interleaving through the (key, salt)
+    // shuffle is exercised too
     val probe = (0 until 2000)
-      .map(i => (if (i % 10 == 0) i.toLong % 5 else 0L, i))
+      .map(i => (if (i % 10 == 0) (i / 10 % 4 + 1).toLong else 0L, i))
       .toDF("k", "line")
     val build = (0L until 5L).map(k => (k, s"dim_$k")).toDF("bk", "name")
     val salted = SkewJoin.salted(probe, build, "k", "bk", salts = 8, saltBy = col("line"))
