@@ -242,6 +242,21 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_dq_report" -> ((s, d) => {
+      // one-scan data-quality audit (operators/DataQuality.scala):
+      // every row-level constraint + the uniqueness check fold into a
+      // single aggregation, then pivot to report rows
+      import graft.operators.DataQuality.{report, Constraint}
+      val t = Tables(s, d)
+      report(t.orders, Seq(
+          Constraint("custkey_not_null", col("o_custkey").isNotNull),
+          Constraint("price_positive", col("o_totalprice") > 0),
+          Constraint("status_vocab", col("o_orderstatus").isin("O", "F", "P")),
+          Constraint("date_in_range", col("o_orderdate").between("1992-01-01", "2005-12-31"))),
+        uniqueKey = Seq("o_orderkey"))
+        .orderBy("constraint")
+    }),
+
     "q_funnel" -> ((s, d) => {
       // ordered-funnel analysis: signup → view → click → purchase,
       // each stage STRICTLY after the previous stage's first hit.
@@ -702,6 +717,26 @@ object QueriesDepth {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q_dq_report" ->
+      """WITH base AS (
+        | SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |  sum(CASE WHEN coalesce(o_totalprice > 0, false) THEN 0 ELSE 1 END) AS v_price,
+        |  sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), false) THEN 0 ELSE 1 END) AS v_vocab,
+        |  sum(CASE WHEN coalesce(cast(o_orderdate as timestamp)
+        |    BETWEEN '1992-01-01' AND '2005-12-31', false) THEN 0 ELSE 1 END) AS v_date,
+        |  count(*) - count(DISTINCT o_orderkey) AS v_uniq
+        | FROM orders)
+        |SELECT "constraint", cast(n as bigint) AS n_rows,
+        | cast(v as bigint) AS n_violations, v = 0 AS pass
+        |FROM (
+        | SELECT 'custkey_not_null' AS "constraint", n, v_null AS v FROM base
+        | UNION ALL SELECT 'price_positive', n, v_price FROM base
+        | UNION ALL SELECT 'status_vocab', n, v_vocab FROM base
+        | UNION ALL SELECT 'date_in_range', n, v_date FROM base
+        | UNION ALL SELECT 'unique(o_orderkey)', n, v_uniq FROM base)
+        |ORDER BY "constraint"""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(cast(ts as timestamp)) AS t1

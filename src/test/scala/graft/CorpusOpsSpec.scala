@@ -131,6 +131,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("DataQuality.report: nulls count as violations, uniqueness surplus counted") {
+    import graft.operators.DataQuality.{report, Constraint}
+    val df = Seq(
+      (Some(1L), Some(10.0)), (Some(1L), Some(-2.0)),
+      (Some(2L), None), (None, Some(5.0)))
+      .toDF("id", "price")
+    val out = report(df,
+        Seq(Constraint("id_not_null", col("id").isNotNull),
+          Constraint("price_positive", col("price") > 0)),
+        uniqueKey = Seq("id"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("id_not_null") == ((4L, 1L, false)))
+    // NULL price is a violation (three-valued logic folded to false)
+    assert(out("price_positive") == ((4L, 2L, false)))
+    // 4 rows, 3 distinct ids (1, 2, null) -> 1 surplus row
+    assert(out("unique(id)") == ((4L, 1L, false)))
+  }
+
   test("q_url_parse strips tracking params, keeps the rest") {
     val out = SparkEntry.queries("q_url_parse")(spark, SparkTestSession.sfDir)
       .limit(5).select("host", "path", "clean_params")
