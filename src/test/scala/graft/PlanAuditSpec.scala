@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan linter over the ENTIRE query surface: every SparkEntry query
+  * is planned (not executed) and checked for plan-shape red flags.
+  * This is the automated version of the per-query `graft.Explain`
+  * audits — a regression gate so a future edit can't silently
+  * introduce a scale-killer plan.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // these runners EXECUTE on construction (streaming memory-sink
+  // round trips / typed mapPartitions pipelines) — not plan-only
+  private val executesOnBuild =
+    Set("q_stream_window", "q_stream_sessions", "q_media_pipeline")
+
+  /** Plan every query with AQE off: the non-adaptive physical plan
+    * materializes WholeStageCodegen spans at plan time (under AQE the
+    * pre-execution string is just AdaptiveSparkPlan isFinalPlan=false). */
+  private lazy val plans: Map[String, String] = {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => executesOnBuild.contains(n) }
+      .map { case (name, fn) =>
+        name -> fn(spark, SparkTestSession.sfDir).queryExecution.executedPlan.toString
+      }.toMap
+    finally conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("no query plans a raw cartesian product") {
+    // BroadcastNestedLoopJoin over a broadcast query set (ANN
+    // brute-force) is deliberate and bounded; a raw CartesianProduct
+    // (both sides unbounded) is always a bug at scale.
+    val offenders = plans.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
+    }
+    assert(offenders.isEmpty, s"raw cartesian products in: $offenders")
+  }
+
+  test("every query keeps whole-stage codegen in its plan") {
+    // a query whose plan has NO codegen span (the `*(n)` stage marker
+    // in toString) runs fully interpreted — a smell that a non-codegen
+    // expression crept into the hot path
+    val offenders = plans.collect {
+      case (name, plan) if !plan.contains("*(") => name
+    }
+    assert(offenders.isEmpty, s"no codegen span in: $offenders")
+  }
+}
