@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share one SparkSession and several toggle session confs (AQE,
+// broadcast threshold, state-store provider) around their assertions —
+// parallel suites would race those toggles
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output goes straight through (no "[info] " prefixes) so
 // the Bench JSON line on stdout stays machine-parseable.

@@ -48,13 +48,23 @@ object Components {
       // each node adopts min(own label, neighbors' labels)
       val viaNeighbor = sym.join(labels, col("dst") === col("node"))
         .select(col("src").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
+      // Each round references the labels plan TWICE (neighbor join +
+      // union), so persist alone doubles the LOGICAL plan every
+      // iteration — at high graph diameter the plan tree itself OOMs
+      // the driver around round ~15 (found by the differential fuzz).
+      // Every 8th round localCheckpoint truncates lineage to a
+      // LogicalRDD, bounding the plan at ~2^8 nodes; small-diameter
+      // graphs (the near-dup norm) never hit it, keeping cache
+      // hygiene exact (checkpoint blocks are ContextCleaner-reaped
+      // on GC rather than explicitly unpersistable).
+      val grown = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min(col("component")).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)   // also eagerly materializes next's cache
+      val next = if (i % 8 == 7) grown.localCheckpoint()
+                 else grown.persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)   // also eagerly materializes next
       done = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()       // superseded round: next is materialized
+      labels.unpersist()       // no-op for a checkpointed round
       labels = next
       i += 1
     }

@@ -56,6 +56,109 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = 60
+      val edges = (0 until 70).map(_ => (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+      val got = graft.operators.Components
+        .connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical label = min node of the component, matching the operator
+      val expected = touched.map { n =>
+        val root = find(n)
+        n -> touched.filter(m => find(m) == root).min
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("Hierarchy.ancestors matches BFS transitive closure on random DAGs") {
+    for (seed <- Seq(2, 31)) {
+      val rnd = new scala.util.Random(seed)
+      // parent id < child id => acyclic by construction
+      val edges = (1 until 40).flatMap { c =>
+        (0 until rnd.nextInt(3)).map(_ => (c.toLong, rnd.nextInt(c).toLong))
+      }.distinct
+      // maxDepth above any chain this DAG can produce: the reference
+      // closure below is uncapped
+      val got = graft.operators.Hierarchy
+        .ancestors(edges.toDF("child", "parent"), "child", "parent", maxDepth = 45)
+        .select("node", "anc").as[(Long, Long)].collect().toSet
+      val up = edges.groupBy(_._1).map { case (c, es) => c -> es.map(_._2).toSet }
+      def closure(n: Long): Set[Long] = {
+        val direct = up.getOrElse(n, Set.empty)
+        direct ++ direct.flatMap(closure)
+      }
+      val expected = up.keySet.flatMap(n => closure(n).map(a => n -> a))
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("timeRangeJoin matches a nested-loop window join on random timestamps") {
+    for (seed <- Seq(13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val tol = 30L // seconds
+      def ts() = 1700000000L + rnd.nextInt(600) // 10-minute spread
+      val left = (0 until 80).map(i => (i.toLong, rnd.nextInt(4).toLong, ts()))
+      val right = (0 until 80).map(i => (1000L + i, rnd.nextInt(4).toLong, ts()))
+      val lDf = left.toDF("lid", "k", "lt")
+        .select(col("lid"), col("k"), timestamp_seconds(col("lt")).as("lts"))
+      val rDf = right.toDF("rid", "rk", "rt")
+        .select(col("rid"), col("rk"), timestamp_seconds(col("rt")).as("rts"))
+      val got = graft.operators.RangeJoin
+        .timeRangeJoin(lDf, rDf, "k", "rk", "lts", "rts", toleranceSec = tol)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (lid, k, lt) <- left
+        (rid, rk, rt) <- right
+        if k == rk && math.abs(lt - rt) <= tol
+      } yield (lid, rid)).toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("Scd2.history matches a naive run-collapse on random snapshots") {
+    for (seed <- Seq(17, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val statuses = Vector(Some("a"), Some("b"), Some("c"), None)
+      val snaps = (0 until 12).flatMap { k =>
+        // unique ts per key: tie-break never needed
+        rnd.shuffle((0 until 30).toList).take(5 + rnd.nextInt(10)).map { t =>
+          (k.toLong, t.toLong, rnd.nextLong(), statuses(rnd.nextInt(statuses.size)))
+        }
+      }
+      val df = snaps.toDF("k", "t", "eid", "status")
+        .select(col("k"), timestamp_seconds(col("t")).as("ts"), col("eid"), col("status"))
+      val got = graft.operators.Scd2
+        .history(df, Seq("k"), "ts", Seq("status"), tieBreak = Seq("eid"))
+        .select(col("k"), col("version").cast("int"), col("status"), col("n_snapshots"))
+        .as[(Long, Int, Option[String], Long)].collect().toSet
+      val expected = snaps.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        val sorted = rows.sortBy(_._2).map(r => (r._4, 1L))
+        val runs = sorted.foldLeft(Vector.empty[(Option[String], Long)]) {
+          case (acc, (st, n)) =>
+            if (acc.nonEmpty && acc.last._1 == st)
+              acc.init :+ (st, acc.last._2 + n)
+            else acc :+ (st, n)
+        }
+        runs.zipWithIndex.map { case ((st, n), i) => (k, i + 1, st, n) }
+      }.toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("exact dedup keeps exactly one survivor per content group (random dupes)") {
     val rnd = new scala.util.Random(19)
     val texts = Vector("alpha beta", "gamma", "delta epsilon zeta", "eta", "theta iota")
