@@ -159,6 +159,40 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOf.nearest matches a naive nearest-within-tolerance reference") {
+    for (seed <- Seq(9, 27)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1700000000L
+      def key() = if (rnd.nextInt(12) == 0) None else Some(rnd.nextInt(4).toLong)
+      val left = (0 until 100).map(i =>
+        (i.toLong, key(), base + rnd.nextInt(400)))
+      val right = (0 until 90).map(i =>
+        // duplicate (key, ts) pairs on purpose: tie-break must decide
+        (1000L + i, key(), base + rnd.nextInt(400) / 2 * 2, rnd.nextDouble()))
+      val tol = 20L
+      val lDf = left.toDF("lid", "k", "lt")
+        .select(col("lid"), col("k"), timestamp_seconds(col("lt")).as("lts"))
+      val rDf = right.toDF("rid", "rk", "rt", "v")
+        .select(col("rid"), col("rk"), timestamp_seconds(col("rt")).as("rts"),
+          col("v"))
+      val got = graft.operators.AsOf.nearest(lDf, rDf, "k", "rk", "lts", "rts",
+          valueCols = Seq("rid"), toleranceSec = tol, rightTieBreak = "rid")
+        .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+      val expected = left.map { case (lid, k, lt) =>
+        val cands = for {
+          kk <- k.toSeq
+          (rid, rk, rt, _) <- right if rk.contains(kk) && math.abs(rt - lt) <= tol
+        } yield (rid, rt)
+        // nearest; ties between directions resolve backward (rt <= lt);
+        // equal-timestamp duplicates resolve to the min tie-break (rid)
+        lid -> cands.sortBy { case (rid, rt) =>
+          (math.abs(rt - lt), if (rt <= lt) 0L else 1L, rid)
+        }.headOption.map(_._1)
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("exact dedup keeps exactly one survivor per content group (random dupes)") {
     val rnd = new scala.util.Random(19)
     val texts = Vector("alpha beta", "gamma", "delta epsilon zeta", "eta", "theta iota")
