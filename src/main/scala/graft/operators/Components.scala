@@ -80,7 +80,10 @@ object Components {
     var i = 0
     var stable = cur.isEmpty
     while (i < maxIter && !stable) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // checkpoint between the stars too: smallStar references its
+      // input ~4x (sym twice, nbrMin, join probe) and would otherwise
+      // re-evaluate the large-star join per reference
+      val next = smallStar(largeStar(cur).localCheckpoint()).localCheckpoint()
       // canonical orientation + distinct on both sides, so set equality
       // is count-equality plus an empty difference
       stable = next.count() == cur.count() && next.except(cur).isEmpty

@@ -27,15 +27,21 @@ object DataQuality {
   def report(df: DataFrame, constraints: Seq[Constraint],
              uniqueKey: Seq[String] = Nil): DataFrame = {
     require(constraints.nonEmpty || uniqueKey.nonEmpty, "nothing to check")
-    val violAggs = constraints.map { c =>
-      sum(when(coalesce(c.holds, lit(false)), 0L).otherwise(1L)).as(s"__v_${c.name}")
+    // positional internal names: constraint DISPLAY names may contain
+    // dots/backticks (which would break column re-resolution) or
+    // duplicates (ambiguous refs); coalesce keeps an EMPTY input
+    // reporting 0 violations / pass=true instead of NULLs invisible
+    // to pass/fail filters
+    val violAggs = constraints.zipWithIndex.map { case (c, i) =>
+      coalesce(sum(when(coalesce(c.holds, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v_$i")
     }
     val uniqueAggs = if (uniqueKey.nonEmpty)
       Seq(countDistinct(struct(uniqueKey.map(col): _*)).as("__distinct")) else Nil
     val agg = df.agg(count(lit(1)).as("__n"), violAggs ++ uniqueAggs: _*)
-    val rows = constraints.map { c =>
+    val rows = constraints.zipWithIndex.map { case (c, i) =>
       struct(lit(c.name).as("constraint"), col("__n").as("n_rows"),
-        col(s"__v_${c.name}").as("n_violations"))
+        col(s"__v_$i").as("n_violations"))
     } ++ (if (uniqueKey.nonEmpty)
       Seq(struct(lit(s"unique(${uniqueKey.mkString(",")})").as("constraint"),
         col("__n").as("n_rows"),

@@ -45,8 +45,8 @@ object Dedup {
   /** Candidate (id_a, id_b) pairs from exploded (bucket key → id)
     * rows: group to sorted id lists, cap pathological buckets,
     * emit in-bucket pairs, dedup. Only ids shuffle. */
-  private def pairsFromBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
-                               maxBucket: Int): DataFrame =
+  private[graft] def pairsFromBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
+                                      maxBucket: Int): DataFrame =
     banded.groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))

@@ -285,21 +285,16 @@ object QueriesText {
       // only rows-check.
       // capped buckets (2..20 docs per shingle): a shingle shared by
       // hundreds of docs is non-discriminative and would generate
-      // quadratic pairs — the same bounded-candidate discipline as
-      // Dedup.pairsFromBuckets, mirrored in the oracle's HAVING
+      // quadratic pairs. Reuses Dedup.pairsFromBuckets — ONE shuffle
+      // of (shingle, id) — with the cap mirrored in the oracle's
+      // HAVING (the in-bucket pair set is identical either way).
       val docs = Tables(s, d).documents
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
       val sh = docs
         .select(col("doc_id"), explode(shinglesOfTokens(col("__toks"), 5)).as("sh"))
         .distinct()
-      val keep = sh.groupBy("sh").agg(count(lit(1)).as("__n"))
-        .filter(col("__n").between(2, 20)).select("sh")
-      val bounded = sh.join(keep, "sh")
-      val edges = bounded.as("a")
-        .join(bounded.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val edges = graft.operators.Dedup.pairsFromBuckets(
+        sh, keyCols = Seq("sh"), idCol = "doc_id", maxBucket = 20)
       graft.operators.Components.connectedComponents(edges)
         .orderBy("node")
     }),

@@ -148,6 +148,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out("price_positive") == ((4L, 2L, false)))
     // 4 rows, 3 distinct ids (1, 2, null) -> 1 surplus row
     assert(out("unique(id)") == ((4L, 1L, false)))
+    // empty input: every row reports 0 violations / pass, never NULL
+    val empty = report(df.filter(lit(false)),
+        Seq(Constraint("id_not_null", col("id").isNotNull)), uniqueKey = Seq("id"))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(empty.length == 2 && empty.forall(r => r._3 == 0L && r._4))
+    // dotted display names must not break column resolution
+    val dotted = report(df, Seq(Constraint("price.positive", col("price") > 0)))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(dotted.head._1 == "price.positive" && dotted.head._3 == 2L)
   }
 
   test("q_url_parse strips tracking params, keeps the rest") {

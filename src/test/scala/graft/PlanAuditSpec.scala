@@ -11,10 +11,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  // these runners EXECUTE on construction (streaming memory-sink
-  // round trips / typed mapPartitions pipelines) — not plan-only
-  private val executesOnBuild =
-    Set("q_stream_window", "q_stream_sessions", "q_media_pipeline")
+  // these runners EXECUTE on construction (streaming memory-sink round
+  // trips, and iterative operators whose localCheckpoints materialize
+  // during build, leaving only a scan of the checkpointed RDD to
+  // audit) — their internal plans are covered by operator-level specs
+  // and the differential fuzz instead
+  private val executesOnBuild = Set(
+    "q_stream_window", "q_stream_sessions", "q_media_pipeline",
+    "q_dedup_clusters", "q_shingle_clusters", "q_hierarchy", "q_ancestor_arrays")
 
   /** Plan every query with AQE off: the non-adaptive physical plan
     * materializes WholeStageCodegen spans at plan time (under AQE the
