@@ -96,6 +96,11 @@ class DifferentialSpec extends AnyFunSuite {
       val got = graft.operators.Hierarchy
         .ancestors(edges.toDF("child", "parent"), "child", "parent", maxDepth = 45)
         .select("node", "anc").as[(Long, Long)].collect().toSet
+      // the O(log depth) path-doubling variant must agree exactly
+      val doubled = graft.operators.Hierarchy
+        .ancestorsDoubling(edges.toDF("child", "parent"), "child", "parent")
+        .select("node", "anc").as[(Long, Long)].collect().toSet
+      assert(doubled == got, s"doubling variant diverged, seed=$seed")
       val up = edges.groupBy(_._1).map { case (c, es) => c -> es.map(_._2).toSet }
       def closure(n: Long): Set[Long] = {
         val direct = up.getOrElse(n, Set.empty)
