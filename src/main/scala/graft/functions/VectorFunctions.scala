@@ -20,6 +20,15 @@ case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // The result can be null even for non-null inputs (null ELEMENTS
+  // poison the dot — see nullSafeEval). Without this override the
+  // inherited `left.nullable || right.nullable` is false for
+  // non-nullable inputs, Spark emits the isNull slot as the literal
+  // `false`, and doGenCode's `isNull = true;` assignment is
+  // uncompilable Java — whole-stage codegen then fails at runtime and
+  // the stage silently runs interpreted.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(FloatType, _) => true
@@ -91,6 +100,10 @@ case class LongVecDot(left: Expression, right: Expression,
     extends BinaryExpression {
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
+
+  // Null elements yield null for non-null inputs — same codegen
+  // constraint as FloatVecDot.nullable above.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {

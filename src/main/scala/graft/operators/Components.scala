@@ -62,6 +62,19 @@ object Components {
       .distinct()
   }
 
+  /** Order-independent fingerprint of a canonical distinct edge set:
+    * (count, XOR of per-edge xxhash64 — commutative, no overflow under
+    * ANSI). One narrow partial-agg pass — no extra shuffle — vs the
+    * full `except` shuffle set-equality needs. Equal fingerprints on
+    * two distinct canonical sets imply equality up to a 64-bit
+    * collision (vanishing at any |E|, and a false "stable" here still
+    * leaves a valid though unconverged labeling that the maxIter
+    * warning path would also leave). */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** @param edges (id_a, id_b) undirected pairs
     * @return (node, component) — component = min node id reachable */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
@@ -78,16 +91,20 @@ object Components {
       .localCheckpoint()
 
     var i = 0
-    var stable = cur.isEmpty
+    var curSig = fingerprint(cur)
+    var stable = curSig._1 == 0L
     while (i < maxIter && !stable) {
       // checkpoint between the stars too: smallStar references its
       // input ~4x (sym twice, nbrMin, join probe) and would otherwise
       // re-evaluate the large-star join per reference
       val next = smallStar(largeStar(cur).localCheckpoint()).localCheckpoint()
-      // canonical orientation + distinct on both sides, so set equality
-      // is count-equality plus an empty difference
-      stable = next.count() == cur.count() && next.except(cur).isEmpty
+      // both sides are canonically-oriented distinct sets, so equal
+      // fingerprints mean a fixpoint — one agg per round instead of
+      // count + except (which doubles per-round cost at large |E|)
+      val nextSig = fingerprint(next)
+      stable = nextSig == curSig
       cur = next
+      curSig = nextSig
       i += 1
     }
     if (!stable) System.err.println(

@@ -13,6 +13,12 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Regression gate for runtime codegen health: a custom Expression
+      // whose generated Java fails to compile normally falls back to
+      // interpreted execution silently (only an ERROR log). Disabling
+      // the fallback turns any codegen compile failure into a test
+      // failure — plan-string audits can't see these.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
