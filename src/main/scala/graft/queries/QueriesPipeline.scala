@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.operators.{Cleaning, Derive, Ids, Joins, Reshape}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composition batch: the reference's essence is not any single
+  * operator but the CHAIN — extract → clean → cross-ref → temporal
+  * association → derive → observations → wide doc, wired as one
+  * dataflow (workflow/main.py:75; observation_mapper.py:125 alone
+  * consumes five upstream jobs' outputs; experiment_bw_age_calculator
+  * .py:291 sits mid-chain). q_pipeline_e2e runs that whole shape as
+  * ONE query against ONE DuckDB oracle — the composition is where
+  * column collisions, nullability drift, and plan blowups appear.
+  *
+  * Also here: the spec-TABLE-driven mapping engine (config/constants
+  * .py analog) and reproducible surrogate ids — both "day one of a
+  * port" needs.
+  *
+  * Oracle-parity conventions follow QueriesCore.scala's scaladoc.
+  * Money/measures ride as long cents (floor(x*100 + 0.5): identical
+  * half-rounding on every engine, unlike round()); time deltas as long
+  * micros; JSON docs carry only strings and longs (double formatting
+  * differs across engines).
+  */
+object QueriesPipeline {
+
+  private val segMap = Map("AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLD",
+    "FURNITURE" -> "FURN", "HOUSEHOLD" -> "HH", "MACHINERY" -> "MACH")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_pipeline_e2e" -> ((s, d) => {
+      val t = Tables(s, d)
+
+      // 1. CLEAN (experiment_cleaner.py): required-null drop + measure
+      //    normalization to exact long cents in the scan projection
+      val clicks = t.events.filter(col("event_type") === "click")
+        .transform(Cleaning.dropRequiredNulls(Seq("event_id", "user_id", "ts")))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("m_value_c"))
+
+      // the registry dims get their own cleaning (vocabulary mapping)
+      val reg = t.customer.transform(Cleaning.mapValues("c_mktsegment", segMap))
+      val prim = reg.filter(col("c_acctbal") > 100)
+        .select(col("c_custkey").as("pk"), col("c_mktsegment").as("segment"))
+      val sec = reg.filter(col("c_custkey") < 500)
+        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("segment"))
+
+      // 2. CROSS-REF (specimen_cross_ref.py:130): primary registry on
+      //    user id, unmatched remainder retries a legacy key
+      val xref = Joins.fallbackJoin(
+          clicks.withColumn("legacy_key", col("user_id") % 500),
+          prim, ("user_id", "pk"), sec, ("legacy_key", "sk"))
+        .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+
+      // 3. TEMPORAL ASSOCIATION (experiment_bw_age_calculator.py:291):
+      //    most recent purchase at-or-before each click — the custom
+      //    physical as-of operator (one shuffle+sort per side, O(1)
+      //    streaming merge), right side deduped per (key, instant)
+      // repartition by user_id BEFORE the (user, instant) dedup: the
+      // hash clustering on user_id satisfies both the dedup's grouping
+      // (subset key) and the as-of's distribution, so the right side
+      // shuffles ONCE end-to-end instead of (user,ts) then user. The
+      // map-side combine given up is near-worthless here ((user,ts)
+      // groups are almost unique), the saved shuffle is not.
+      val purchases = t.events.filter(col("event_type") === "purchase")
+        .repartition(col("user_id"))
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min_by(col("value"), col("event_id")).as("p_value"))
+        .select(col("p_user"), unix_micros(col("p_ts")).as("p_t_us"),
+          floor(col("p_value") * 100 + 0.5).cast("long").as("m_pvalue_c"))
+      val assoc = graft.plans.AsOfJoin.backward(xref, purchases,
+        "user_id", "p_user", "t_us", "p_t_us")
+
+      // 4. DERIVE (experiment_parameter_derivator.py): runtime string
+      //    formulas over the associated row, later ones reading earlier
+      val derived = Derive.applyFormulas(assoc, Seq(
+        "m_lag_us" -> "t_us - p_t_us",
+        "m_total_c" -> "m_value_c + coalesce(m_pvalue_c, cast(0 as bigint))",
+        "m_ratio_pm" -> ("CASE WHEN m_pvalue_c IS NULL OR m_pvalue_c <= 0 THEN NULL " +
+          "ELSE m_value_c * 1000 div m_pvalue_c END")))
+
+      // 5. OBSERVATIONS (observation_mapper.py:125): wide → long, null
+      //    measures dropped (a parameter the association didn't yield)
+      val obs = Reshape.unpivot(
+          Seq("user_id", "segment", "match_source", "event_id"),
+          Seq("m_value_c", "m_pvalue_c", "m_lag_us", "m_total_c", "m_ratio_pm"),
+          "measure", "value", castTo = Some("bigint"))(derived)
+        .filter(col("value").isNotNull)
+
+      // 6. WIDE DOC (impc_api_mapper.py:535): one JSON doc per user —
+      //    sorted observation array, longs-and-strings-only payload
+      obs.groupBy("user_id", "segment", "match_source")
+        .agg(sort_array(collect_list(struct(col("event_id").as("e"),
+            col("measure").as("m"), col("value").as("v")))).as("obs"),
+          count(lit(1)).as("n_obs"))
+        .select(col("user_id"), col("segment"), col("match_source"), col("n_obs"),
+          to_json(struct(col("user_id").as("id"), col("segment").as("seg"),
+            col("match_source").as("src"), col("obs"))).as("doc"))
+        .orderBy("user_id")
+    }),
+
+    "q_spec_mapping" -> ((s, d) => {
+      // spec-TABLE-driven standardization (config/constants.py:1): the
+      // renames/casts/vocabulary all arrive as DataFrame rows, compiled
+      // by Derive.applyMappingSpec into one codegen'd projection
+      import s.implicits._
+      val spec = Seq(
+        ("o_orderkey", "order_id", null.asInstanceOf[String]),
+        ("o_orderstatus", "status_code", null.asInstanceOf[String]),
+        ("o_orderpriority", "priority_code", null.asInstanceOf[String]),
+        ("o_custkey", "customer_key", null.asInstanceOf[String]),
+        ("o_orderdate", "order_date", "string"))
+        .toDF("src_col", "dst_col", "cast_to")
+      val vocab = Seq(
+        ("status_code", "O", "OPEN"), ("status_code", "F", "FILLED"),
+        ("status_code", "P", "PENDING"),
+        ("priority_code", "1-URGENT", "U"), ("priority_code", "2-HIGH", "H"),
+        ("priority_code", "3-MEDIUM", "M"), ("priority_code", "5-LOW", "L"))
+        .toDF("dst_col", "from_value", "to_value")
+      Derive.applyMappingSpec(Tables(s, d).orders, spec, Some(vocab))
+        .orderBy("order_id")
+    }),
+
+    "q_surrogate_id" -> ((s, d) => {
+      // reproducible positional ids (mgi_phenotype_mapper.py:131 uses
+      // monotonically_increasing_id, which is partition-layout-
+      // dependent; Ids.surrogate is a pure function of the data)
+      Ids.surrogate(Tables(s, d).orders.select("o_orderkey", "o_custkey"),
+          Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "surrogate_id")
+        .orderBy("o_orderkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q_pipeline_e2e" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, cast(ts as timestamp) AS tts,
+        |  cast(floor(value*100 + 0.5) as bigint) AS m_value_c
+        | FROM events
+        | WHERE event_type = 'click' AND event_id IS NOT NULL
+        |   AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |seg AS (
+        | SELECT c_custkey, c_acctbal,
+        |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 'AUTO' WHEN 'BUILDING' THEN 'BLD'
+        |   WHEN 'FURNITURE' THEN 'FURN' WHEN 'HOUSEHOLD' THEN 'HH'
+        |   WHEN 'MACHINERY' THEN 'MACH' ELSE c_mktsegment END AS segment
+        | FROM customer),
+        |prim AS (SELECT c_custkey AS pk, segment FROM seg WHERE c_acctbal > 100),
+        |sec AS (SELECT c_custkey AS sk, segment FROM seg WHERE c_custkey < 500),
+        |xref AS (
+        | SELECT c.event_id, c.user_id, c.tts, c.m_value_c,
+        |  coalesce(p.segment, s2.segment, 'UNKNOWN') AS segment,
+        |  CASE WHEN p.pk IS NOT NULL THEN 'primary'
+        |       WHEN s2.sk IS NOT NULL THEN 'secondary'
+        |       ELSE 'none' END AS match_source
+        | FROM clicks c
+        |  LEFT JOIN prim p ON c.user_id = p.pk
+        |  LEFT JOIN sec s2 ON p.pk IS NULL AND (c.user_id % 500) = s2.sk),
+        |purch AS (
+        | SELECT user_id AS p_user, cast(ts as timestamp) AS p_tts,
+        |  cast(floor(arg_min(value, event_id)*100 + 0.5) as bigint) AS m_pvalue_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |assoc AS (
+        | SELECT x.*, epoch_us(x.tts) - epoch_us(p.p_tts) AS m_lag_us, p.m_pvalue_c
+        | FROM xref x ASOF LEFT JOIN purch p
+        |   ON x.user_id = p.p_user AND x.tts >= p.p_tts),
+        |derived AS (
+        | SELECT *, m_value_c + coalesce(m_pvalue_c, 0) AS m_total_c,
+        |  CASE WHEN m_pvalue_c IS NULL OR m_pvalue_c <= 0 THEN NULL
+        |       ELSE m_value_c * 1000 // m_pvalue_c END AS m_ratio_pm
+        | FROM assoc),
+        |obs AS (
+        | SELECT user_id, segment, match_source, event_id, measure, value FROM (
+        |  SELECT user_id, segment, match_source, event_id,
+        |   'm_value_c' AS measure, m_value_c AS value FROM derived
+        |  UNION ALL SELECT user_id, segment, match_source, event_id, 'm_pvalue_c', m_pvalue_c FROM derived
+        |  UNION ALL SELECT user_id, segment, match_source, event_id, 'm_lag_us', m_lag_us FROM derived
+        |  UNION ALL SELECT user_id, segment, match_source, event_id, 'm_total_c', m_total_c FROM derived
+        |  UNION ALL SELECT user_id, segment, match_source, event_id, 'm_ratio_pm', m_ratio_pm FROM derived)
+        | WHERE value IS NOT NULL)
+        |SELECT user_id, segment, match_source, cast(count(*) as bigint) AS n_obs,
+        | to_json(struct_pack(id := user_id, seg := segment, src := match_source,
+        |  obs := list(struct_pack(e := event_id, m := measure, v := value)
+        |              ORDER BY event_id, measure, value))) AS doc
+        |FROM obs
+        |GROUP BY user_id, segment, match_source
+        |ORDER BY user_id""".stripMargin,
+
+    "q_spec_mapping" ->
+      """SELECT o_orderkey AS order_id,
+        | CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+        |  WHEN 'P' THEN 'PENDING' ELSE o_orderstatus END AS status_code,
+        | CASE o_orderpriority WHEN '1-URGENT' THEN 'U' WHEN '2-HIGH' THEN 'H'
+        |  WHEN '3-MEDIUM' THEN 'M' WHEN '5-LOW' THEN 'L'
+        |  ELSE o_orderpriority END AS priority_code,
+        | o_custkey AS customer_key,
+        | cast(cast(o_orderdate as timestamp) as varchar) AS order_date
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q_surrogate_id" ->
+      """SELECT o_orderkey, o_custkey,
+        | cast(row_number() OVER (ORDER BY md5(cast(o_orderkey as varchar))) as bigint)
+        |  AS surrogate_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
+}
