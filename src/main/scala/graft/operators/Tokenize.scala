@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Real byte-pair-encoding tokenization, table-driven: merge rules are
+  * DATA (the public GPT-2 `merges.txt` format — one "left right" pair
+  * per line, rank = line order), not code. Exact token counts are the
+  * unit every LLM-pipeline decision (packing, pricing, length filters)
+  * is denominated in — the regex pre-tokenizer (`q_token_bpe`) only
+  * approximates them.
+  *
+  * Spark posture: the merge table is vocabulary-sized by definition →
+  * broadcast once; encoding is a per-row imperative merge loop (the
+  * lowest-rank adjacent pair is folded repeatedly), which no built-in
+  * column function expresses — this is the sanctioned `mapPartitions`
+  * case: one codec + one word-cache per partition, no per-row setup,
+  * no Python, no shuffle. Training aggregates the corpus ONCE into a
+  * word-frequency dictionary (one shuffle), caps it at `maxWords`
+  * (standard practice — the head carries the mass), and runs the
+  * classic merge-count loop on the driver over that config-sized dict.
+  *
+  * Deviation from GPT-2 noted: symbols start at CHARACTER level (the
+  * test corpus is ASCII; byte-level round-tripping adds nothing here)
+  * and there is no end-of-word marker. Both are properties of the
+  * TRAINED TABLE, not the engine — a real GPT-2 merges file slots in
+  * unchanged.
+  */
+object Tokenize {
+
+  /** Pre-tokenizer shared with the declarative surface
+    * (TextFunctions.BpePattern): letter runs, digit runs, punct runs. */
+  private val Pretoken = java.util.regex.Pattern.compile(TextFunctions.BpePattern)
+
+  def pretokenize(text: String): Iterator[String] = new Iterator[String] {
+    private val m = Pretoken.matcher(text)
+    private var ready = m.find()
+    override def hasNext: Boolean = ready
+    override def next(): String = { val s = m.group(); ready = m.find(); s }
+  }
+
+  /** GPT-2 merges.txt lines → ranked merge pairs (skips `#`-comment /
+    * version header lines and blanks). */
+  def parseMergesLines(lines: Seq[String]): Seq[(String, String)] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ", 2)
+        require(sp.length == 2, s"malformed merges line: '$l'")
+        (sp(0), sp(1))
+      }.toSeq
+
+  /** The encoder: applies ranked merges exactly as GPT-2's bpe() —
+    * repeatedly find the lowest-rank adjacent pair present and merge
+    * ALL its occurrences left-to-right. Serializable so one instance
+    * rides a broadcast into executors. */
+  final class BpeCodec(merges: Seq[(String, String)]) extends Serializable {
+    private val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    // per-instance word cache: corpora repeat words heavily, and the
+    // codec is partition-local (one cache per partition, bounded)
+    @transient private lazy val cache = new java.util.LinkedHashMap[String, Array[String]](
+      1024, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Array[String]]): Boolean =
+        size() > 50000
+    }
+
+    def encodeWord(word: String): Array[String] = {
+      val hit = cache.get(word)
+      if (hit != null) return hit
+      var parts: Array[String] = word.toCharArray.map(_.toString)
+      var done = parts.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < parts.length - 1) {
+          val r = ranks.getOrElse((parts(i), parts(i + 1)), Int.MaxValue)
+          if (r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (l, r) = merges(bestRank)
+          val out = new mutable.ArrayBuffer[String](parts.length)
+          var j = 0
+          while (j < parts.length) {
+            if (j < parts.length - 1 && parts(j) == l && parts(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += parts(j); j += 1 }
+          }
+          parts = out.toArray
+          done = parts.length < 2
+        }
+      }
+      cache.put(word, parts)
+      parts
+    }
+
+    def encode(text: String): Array[String] =
+      pretokenize(text).flatMap(encodeWord).toArray
+
+    def countTokens(text: String): Int = {
+      var n = 0
+      val it = pretokenize(text)
+      while (it.hasNext) n += encodeWord(it.next()).length
+      n
+    }
+  }
+
+  /** Learn `numMerges` merge rules from a text column. One corpus
+    * shuffle builds the word-frequency dictionary; the top `maxWords`
+    * by (count desc, word) — deterministic — come to the driver and
+    * the classic weighted pair-count loop runs there. Ties in pair
+    * counts break to the lexicographically smallest pair, so the
+    * trained table is a pure function of the corpus. */
+  def trainBpe(df: DataFrame, textCol: String,
+               numMerges: Int = 100, maxWords: Int = 5000): Seq[(String, String)] = {
+    val wordFreq: Seq[(String, Long)] =
+      df.select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(maxWords)
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, n) => (w.toCharArray.map(_.toString), n) }.toArray
+    val merges = mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (merges.size < numMerges && continue) {
+      val pairCounts = mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val (bestPair, bestN) = pairCounts.toSeq
+          .minBy { case ((l, r), n) => (-n, l, r) }
+        if (bestN < 2) continue = false // a pair seen once generalizes to nothing
+        else {
+          merges += bestPair
+          val (l, r) = bestPair
+          words = words.map { case (syms, n) =>
+            if (syms.length < 2) (syms, n)
+            else {
+              val out = new mutable.ArrayBuffer[String](syms.length)
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                  out += l + r; j += 2
+                } else { out += syms(j); j += 1 }
+              }
+              (out.toArray, n)
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Exact per-row BPE token counts: (idCol, n_pretokens, n_bpe_exact).
+    * Merges broadcast once; one narrow pass. */
+  def bpeCounts(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(merges)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = new BpeCodec(b.value)
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          var pre = 0
+          val words = pretokenize(t)
+          var bpe = 0
+          while (words.hasNext) { pre += 1; bpe += codec.encodeWord(words.next()).length }
+          (id, pre, bpe)
+        }
+      }
+      .toDF(idCol, "n_pretokens", "n_bpe_exact")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Cleaning, Derive, Ids, Joins, Reshape}
+import graft.operators.{Cleaning, Derive, Ids, Joins, Pack, Reshape, Tokenize}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -123,6 +123,34 @@ object QueriesPipeline {
         .toDF("dst_col", "from_value", "to_value")
       Derive.applyMappingSpec(Tables(s, d).orders, spec, Some(vocab))
         .orderBy("order_id")
+    }),
+
+    "q_token_bpe_exact" -> ((s, d) => {
+      // REAL table-driven BPE (operators/Tokenize.scala): merge rules
+      // learned from the corpus (deterministic tie-breaking), then
+      // exact per-doc token counts next to the regex pre-token counts.
+      // No SQL oracle: the encoder's iterative lowest-rank-pair merge
+      // fold has no DuckDB analog — semantics are spec-proven against
+      // hand-computed fixtures (TokenizePackSpec), and the driver's
+      // rows>0 check covers the wiring.
+      val docs = Tables(s, d).documents
+      val merges = Tokenize.trainBpe(docs, "text", numMerges = 100, maxWords = 2000)
+      Tokenize.bpeCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
+    "q_pack_sequences" -> ((s, d) => {
+      // context-window assembly (operators/Pack.scala), denominated in
+      // EXACT BPE tokens — train merges, count, pack into 2048-token
+      // bins. Rows-only for the same reason as q_token_bpe_exact (the
+      // counts feeding the packer aren't SQL-expressible); the packing
+      // invariants (every doc exactly once, no bin over budget,
+      // determinism across partition layouts) are spec-proven.
+      val docs = Tables(s, d).documents
+      val merges = Tokenize.trainBpe(docs, "text", numMerges = 100, maxWords = 2000)
+      val counts = Tokenize.bpeCounts(docs, "doc_id", "text", merges)
+      Pack.sequences(counts, "doc_id", "n_bpe_exact", maxTokens = 2048)
+        .orderBy("bin_id")
     }),
 
     "q_surrogate_id" -> ((s, d) => {

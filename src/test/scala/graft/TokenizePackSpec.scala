@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Pack, Tokenize}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE training/encoding against hand-computed fixtures, and the
+  * sequence-packing invariants.
+  */
+class TokenizePackSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the classic BPE teaching corpus: word frequencies
+  // hug=10 pug=5 pun=12 bun=4 hugs=5
+  private def fixtureCorpus = {
+    val words = Seq("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4, "hugs" -> 5)
+    words.flatMap { case (w, n) => Seq.fill(n)(w) }.toDF("text")
+  }
+
+  test("trainBpe learns the hand-computed merge sequence") {
+    // pair counts by hand: (u,g)=20 > (p,u)=17 > (u,n)=16 → after
+    // merging 'ug': (u,n)=16 > (h,ug)=15 → then (h,ug)=15
+    val merges = Tokenize.trainBpe(fixtureCorpus, "text", numMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
+  test("BpeCodec encodes with learned merges exactly") {
+    val codec = new Tokenize.BpeCodec(Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    assert(codec.encodeWord("hug").toSeq == Seq("hug"))
+    assert(codec.encodeWord("pun").toSeq == Seq("p", "un"))
+    assert(codec.encodeWord("hugs").toSeq == Seq("hug", "s"))
+    assert(codec.encodeWord("bun").toSeq == Seq("b", "un"))
+    assert(codec.encodeWord("zzz").toSeq == Seq("z", "z", "z")) // untrained
+    assert(codec.encode("hug pun hugs bun").toSeq ==
+      Seq("hug", "p", "un", "hug", "s", "b", "un"))
+    assert(codec.countTokens("hug pun hugs bun") == 7)
+    assert(codec.countTokens("") == 0)
+  }
+
+  test("merge application folds ALL occurrences left-to-right") {
+    val codec = new Tokenize.BpeCodec(Seq(("a", "a")))
+    // aaaa → (aa)(aa); aaa → (aa)a — the leftmost pair wins first
+    assert(codec.encodeWord("aaaa").toSeq == Seq("aa", "aa"))
+    assert(codec.encodeWord("aaa").toSeq == Seq("aa", "a"))
+  }
+
+  test("parseMergesLines reads the GPT-2 merges format") {
+    val merges = Tokenize.parseMergesLines(Seq(
+      "#version: 0.2", "", "u g", "u n", "h ug"))
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+  }
+
+  test("bpeCounts emits exact counts over a DataFrame") {
+    val df = Seq((1L, "hug pun"), (2L, "hugs"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Tokenize.bpeCounts(df, "doc_id", "text",
+        Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+      .orderBy("doc_id")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 2, 3), (2L, 1, 2), (3L, 0, 0)))
+  }
+
+  test("pack: every doc exactly once, no mixed bin over budget, oversize flagged") {
+    val docs = (1L to 500L).map(i => (i, (i * 37 % 900 + 1).toInt)).toDF("doc_id", "n_tok")
+    val bins = Pack.sequences(docs, "doc_id", "n_tok", maxTokens = 512, numShards = 8)
+    val rows = bins.collect()
+    // every doc packed exactly once
+    val packed = rows.flatMap(_.getString(5).split(",")).map(_.toLong).sorted
+    assert(packed.toSeq == (1L to 500L).toSeq)
+    // non-oversize bins respect the budget; oversize bins are singletons
+    rows.foreach { r =>
+      val (nDocs, total, over) = (r.getInt(1), r.getInt(2), r.getBoolean(4))
+      if (over) { assert(nDocs == 1); assert(total > 512) }
+      else assert(total <= 512)
+    }
+    // totals line up with the input
+    assert(rows.map(_.getInt(2).toLong).sum == docs.agg(sum("n_tok")).head().getLong(0))
+  }
+
+  test("pack output is a pure function of the data, not the partition layout") {
+    val docs = (1L to 300L).map(i => (i, (i * 13 % 400 + 1).toInt)).toDF("doc_id", "n_tok")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pack.sequences(d, "doc_id", "n_tok", maxTokens = 256, numShards = 4)
+        .orderBy("bin_id")
+        .as[(Long, Int, Int, Double, Boolean, String)].collect().toSeq
+    assert(run(docs) == run(docs.repartition(11)))
+  }
+
+  test("fillStats summarizes packing efficiency") {
+    val docs = (1L to 100L).map(i => (i, 100)).toDF("doc_id", "n_tok")
+    val bins = Pack.sequences(docs, "doc_id", "n_tok", maxTokens = 1000, numShards = 2)
+    val s = Pack.fillStats(bins, 1000).head()
+    assert(s.getLong(1) == 100L)          // n_docs
+    assert(s.getLong(2) == 10000L)        // total tokens
+    assert(s.getLong(4) < 2 * 1000L)      // waste bounded: <1 bin per shard
+  }
+}
