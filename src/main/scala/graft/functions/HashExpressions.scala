@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -34,9 +34,16 @@ object SketchHash {
 
 /** MinHash signature: for each of `numHashes` seeded hash functions,
   * the minimum over the input array<string> of shingles. Output
-  * array<long> of length numHashes; null input → null. */
+  * array<long> of length numHashes; null input → null.
+  *
+  * Codegen'd (not CodegenFallback): the generated code calls the
+  * static one-pass loop, so the sketch participates in whole-stage
+  * codegen — no interpreted expression-tree walk per row. The output
+  * is never null for a non-null input, so the inherited nullability
+  * is correct and the generated isNull slot is never assigned (the
+  * FloatVecDot lesson). */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -44,8 +51,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     case t => TypeCheckResult.TypeCheckFailure(s"MinHashSig requires array<string>, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSig.compute($c, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSig {
+  /** One primitive pass: numHashes seeded mins over the shingle set.
+    * Static and Java-callable so generated code can invoke it. */
+  def compute(arr: ArrayData, numHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
@@ -63,14 +82,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash over an array<string> of tokens: counter per bit,
-  * +1/-1 by the bit of the token hash, sign → bit. */
+  * +1/-1 by the bit of the token hash, sign → bit. Codegen'd via a
+  * static-call body, like [[MinHashSig]]. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -78,8 +96,19 @@ case class SimHash64(child: Expression)
     case t => TypeCheckResult.TypeCheckFailure(s"SimHash64 requires array<string>, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** One primitive pass; returns the packed 64-bit signature. */
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -97,10 +126,8 @@ case class SimHash64(child: Expression)
     var out = 0L
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object HashFunctions {

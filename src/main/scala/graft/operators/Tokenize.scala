@@ -168,6 +168,21 @@ object Tokenize {
     merges.toSeq
   }
 
+  /** Merge table as a DataFrame — spec-table symmetry with
+    * [[Derive.applyMappingSpec]]: (rank, left, right) rows, collected
+    * rank-ordered (config-sized by definition). */
+  def mergesFromDf(mergesDf: DataFrame): Seq[(String, String)] =
+    mergesDf.select(col("rank").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .orderBy("rank")
+      .collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+
+  /** Exact per-row BPE token counts from a merges TABLE. */
+  def bpeCounts(df: DataFrame, idCol: String, textCol: String,
+                mergesDf: DataFrame): DataFrame =
+    bpeCounts(df, idCol, textCol, mergesFromDf(mergesDf))
+
   /** Exact per-row BPE token counts: (idCol, n_pretokens, n_bpe_exact).
     * Merges broadcast once; one narrow pass. */
   def bpeCounts(df: DataFrame, idCol: String, textCol: String,
