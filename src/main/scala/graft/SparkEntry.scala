@@ -7,9 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * inventory behind each query and §7 for the build plan. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. q_pipeline_e2e is the reference's whole dataflow shape —
+    * clean → cross-ref → as-of → derive → observations → wide doc —
+    * in one oracle-checked plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_join_multi")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

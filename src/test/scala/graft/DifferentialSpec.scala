@@ -210,4 +210,70 @@ class DifferentialSpec extends AnyFunSuite {
     val expectedSet = rows.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
     assert(survivors == expectedSet)
   }
+
+  test("BpeCodec matches a naive re-derivation of the merge fold on random words") {
+    // naive reference: literally re-run "find the lowest-rank pair via
+    // linear search over the merge LIST, then split-and-rejoin with
+    // string ops" — same contract, none of the codec's indexing/caching
+    def naiveEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var parts = word.map(_.toString).toList
+      var changed = true
+      while (changed && parts.length >= 2) {
+        val present = merges.zipWithIndex.filter { case ((l, r), _) =>
+          parts.zip(parts.tail).contains((l, r)) }
+        if (present.isEmpty) changed = false
+        else {
+          val (l, r) = present.minBy(_._2)._1
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = parts
+          while (rest.nonEmpty) rest match {
+            case a :: b :: t if a == l && b == r => out += a + b; rest = t
+            case a :: t                          => out += a; rest = t
+            case Nil                             =>
+          }
+          parts = out.toList
+        }
+      }
+      parts
+    }
+    for (seed <- Seq(2, 13, 77)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcd"
+      def word() = (0 until 1 + rnd.nextInt(10))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // random merge table over the same alphabet (incl. multi-char rights)
+      val units = Seq("a", "b", "c", "d", "ab", "cd", "bc", "aa")
+      val merges = rnd.shuffle(
+        (for (l <- units; r <- units) yield (l, r)).toVector).take(12)
+      val codec = new graft.operators.Tokenize.BpeCodec(merges)
+      (0 until 200).foreach { _ =>
+        val w = word()
+        assert(codec.encodeWord(w).toSeq == naiveEncode(w, merges),
+          s"seed=$seed word=$w merges=$merges")
+      }
+    }
+  }
+
+  test("Pack.sequences invariants hold under random sizes and budgets") {
+    for (seed <- Seq(4, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val maxTokens = 64 + rnd.nextInt(512)
+      val docs = (1L to 400L)
+        .map(i => (i, rnd.nextInt(2 * maxTokens) + 1)).toSeq
+      val bins = graft.operators.Pack.sequences(
+          docs.toDF("doc_id", "n_tok"), "doc_id", "n_tok",
+          maxTokens, numShards = 5, maxOpenBins = 8)
+        .collect()
+      val packed = bins.flatMap(_.getString(5).split(",")).map(_.toLong)
+      assert(packed.sorted.toSeq == (1L to 400L).toSeq, s"seed=$seed") // exactly once
+      bins.foreach { r =>
+        if (r.getBoolean(4)) assert(r.getInt(1) == 1 && r.getInt(2) > maxTokens)
+        else assert(r.getInt(2) <= maxTokens, s"seed=$seed bin over budget")
+      }
+      val byId = docs.toMap
+      bins.foreach { r => // per-bin total is the sum of its members
+        assert(r.getInt(2) == r.getString(5).split(",").map(s => byId(s.toLong)).sum)
+      }
+    }
+  }
 }
