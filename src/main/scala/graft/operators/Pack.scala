@@ -91,6 +91,33 @@ object Pack {
     }.toDF("bin_id", "n_docs", "total_tokens", "fill_ratio", "oversize", "doc_ids")
   }
 
+  /** Materialize the packed TRAINING ROWS: join each bin's members
+    * back to their token arrays and flatten in pack order — the
+    * concatenated context-window content a trainer consumes.
+    *
+    * Scale: bins carry only ids; the wide token payload joins in by id
+    * (one shuffle) and the order-preserving reassembly is
+    * sort_array(collect_list(struct(pos, tokens))) + flatten — the
+    * same sorted-collect discipline as the wide-doc assembly queries.
+    *
+    * @param tokens (idCol, tokCol array) — e.g. [[Tokenize.bpeEncode]] output
+    * @return (bin_id, n_docs, total_tokens, input_tokens) */
+  def withTokens(bins: DataFrame, tokens: DataFrame,
+                 idCol: String, tokCol: String): DataFrame = {
+    val members = bins.select(col("bin_id"), col("n_docs"), col("total_tokens"),
+        posexplode(split(col("doc_ids"), ","))).toDF(
+        "bin_id", "n_docs", "total_tokens", "pos", "doc_id_str")
+      .select(col("bin_id"), col("n_docs"), col("total_tokens"), col("pos"),
+        col("doc_id_str").cast("long").as("__id"))
+    members
+      .join(tokens.select(col(idCol).cast("long").as("__id"), col(tokCol).as("__toks")),
+        "__id")
+      .groupBy("bin_id", "n_docs", "total_tokens")
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("pos"), col("__toks")))),
+        s => s.getField("__toks"))).as("input_tokens"))
+  }
+
   /** Corpus-level packing efficiency: bins, docs, mean fill, waste. */
   def fillStats(bins: DataFrame, maxTokens: Int): DataFrame =
     bins.agg(

@@ -183,6 +183,27 @@ object Tokenize {
                 mergesDf: DataFrame): DataFrame =
     bpeCounts(df, idCol, textCol, mergesFromDf(mergesDf))
 
+  /** Full per-row BPE encoding: (idCol, bpe_tokens array<string>,
+    * n_bpe_exact). Same broadcast-codec pass as [[bpeCounts]] but
+    * materializing the token stream — the form sequence packing
+    * flattens into training rows. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(merges)
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val codec = new BpeCodec(b.value)
+        it.map { case (id, text) =>
+          val toks = codec.encode(if (text == null) "" else text)
+          (id, toks, toks.length)
+        }
+      }
+      .toDF(idCol, "bpe_tokens", "n_bpe_exact")
+  }
+
   /** Exact per-row BPE token counts: (idCol, n_pretokens, n_bpe_exact).
     * Merges broadcast once; one narrow pass. */
   def bpeCounts(df: DataFrame, idCol: String, textCol: String,

@@ -87,6 +87,29 @@ class TokenizePackSpec extends AnyFunSuite {
     assert(run(docs) == run(docs.repartition(11)))
   }
 
+  test("withTokens reassembles packed training rows in pack order") {
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val docs = Seq((1L, "hug pun"), (2L, "hugs bun"), (3L, "pug"))
+      .toDF("doc_id", "text")
+    val enc = graft.operators.Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+    val bins = Pack.sequences(enc, "doc_id", "n_bpe_exact", maxTokens = 16, numShards = 1)
+    val rows = Pack.withTokens(bins, enc, "doc_id", "bpe_tokens").collect()
+    // every packed row's token stream is exactly the member docs'
+    // tokens concatenated in doc_ids order, and lengths reconcile
+    val byId = enc.select("doc_id", "bpe_tokens")
+      .as[(Long, Seq[String])].collect().toMap
+    val binMembers = bins.select("bin_id", "doc_ids")
+      .as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val expect = binMembers(r.getLong(0)).split(",").map(_.toLong)
+        .flatMap(byId).toSeq
+      assert(r.getSeq[String](3) == expect)
+      assert(r.getSeq[String](3).length == r.getInt(2)) // == total_tokens
+    }
+    assert(rows.map(_.getSeq[String](3).length).sum ==
+      byId.values.map(_.length).sum) // nothing lost corpus-wide
+  }
+
   test("fillStats summarizes packing efficiency") {
     val docs = (1L to 100L).map(i => (i, 100)).toDF("doc_id", "n_tok")
     val bins = Pack.sequences(docs, "doc_id", "n_tok", maxTokens = 1000, numShards = 2)
