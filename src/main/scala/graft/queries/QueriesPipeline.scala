@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Cleaning, Derive, Ids, Joins, Pack, Reshape, Tokenize}
+import graft.operators.{Cleaning, Derive, Ids, Joins, Mix, Pack, Reshape, Tokenize}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -153,6 +153,37 @@ object QueriesPipeline {
         .orderBy("bin_id")
     }),
 
+    "q_pack_tokens" -> ((s, d) => {
+      // the materialized TRAINING ROWS: each packed context window's
+      // token payload reassembled in pack order (Pack.withTokens).
+      // Rows-only like q_pack_sequences (BPE streams aren't SQL-
+      // expressible); order + corpus-wide conservation are spec-proven
+      // (TokenizePackSpec). The wide token arrays stay out of the
+      // verify dump — the payload is pinned by an md5 fingerprint.
+      val docs = Tables(s, d).documents
+      val merges = Tokenize.trainBpe(docs, "text", numMerges = 100, maxWords = 2000)
+      val enc = Tokenize.bpeEncode(docs, "doc_id", "text", merges)
+      val bins = Pack.sequences(enc, "doc_id", "n_bpe_exact", maxTokens = 2048)
+      Pack.withTokens(bins, enc, "doc_id", "bpe_tokens")
+        .select(col("bin_id"), col("n_docs"), col("total_tokens"),
+          size(col("input_tokens")).as("n_materialized"),
+          md5(concat_ws(" ", col("input_tokens"))).as("tok_fingerprint"))
+        .orderBy("bin_id")
+    }),
+
+    "q_mix_weighted" -> ((s, d) => {
+      // weighted source mixing (operators/Mix.scala): oversample src0
+      // 2.25x ("epochs"), keep src1-3 at 1.5/1/1, thin src4-6, drop the
+      // unlisted tail — the hash-deterministic kept/replicated set is
+      // a pure function of (source, doc_id), reproduced literally by
+      // the DuckDB oracle (same md5-prefix thresholds)
+      val mixed = Mix.weightedSources(Tables(s, d).documents, "doc_id", "source",
+        Map("src0" -> 2.25, "src1" -> 1.5, "src2" -> 1.0, "src3" -> 1.0,
+            "src4" -> 0.6, "src5" -> 0.4, "src6" -> 0.25))
+      mixed.select("doc_id", "source", "copy_idx")
+        .orderBy("source", "doc_id", "copy_idx")
+    }),
+
     "q_surrogate_id" -> ((s, d) => {
       // reproducible positional ids (mgi_phenotype_mapper.py:131 uses
       // monotonically_increasing_id, which is partition-layout-
@@ -229,6 +260,25 @@ object QueriesPipeline {
         | o_custkey AS customer_key,
         | cast(cast(o_orderdate as timestamp) as varchar) AS order_date
         |FROM orders ORDER BY order_id""".stripMargin,
+
+    "q_mix_weighted" ->
+      """WITH w AS (
+        | SELECT doc_id, source,
+        |  substr(md5(source || '|' || cast(doc_id as varchar)), 1, 8) AS u,
+        |  CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 WHEN 'src2' THEN 1
+        |   WHEN 'src3' THEN 1 ELSE 0 END AS n_base,
+        |  CASE source WHEN 'src0' THEN '40000000' WHEN 'src1' THEN '80000000'
+        |   WHEN 'src2' THEN '00000000' WHEN 'src3' THEN '00000000'
+        |   WHEN 'src4' THEN '99999999' WHEN 'src5' THEN '66666666'
+        |   WHEN 'src6' THEN '40000000' ELSE '00000000' END AS thr
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, source,
+        |  n_base + CASE WHEN u < thr THEN 1 ELSE 0 END AS n_copies
+        | FROM w)
+        |SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
+        |FROM c WHERE n_copies > 0
+        |ORDER BY source, doc_id, copy_idx""".stripMargin,
 
     "q_surrogate_id" ->
       """SELECT o_orderkey, o_custkey,

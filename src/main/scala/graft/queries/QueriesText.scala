@@ -322,6 +322,29 @@ object QueriesText {
         .orderBy("doc_id", "rk")
     }),
 
+    "q_oov_rate" -> ((s, d) => {
+      // unigram-vocabulary coverage scoring (the integer-exact core of
+      // a KenLM-style quality filter): vocab = top-500 corpus tokens
+      // under the TOTAL order (freq desc, token) — so the cut is
+      // deterministic — then each doc's out-of-vocabulary fraction in
+      // ppm (integer division; no doubles through the hash gate).
+      // Scale: one token shuffle bounded by |vocab| for the top-K
+      // (TakeOrderedAndProject, no global sort), vocab broadcast back,
+      // one doc_id shuffle for the per-doc fold.
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(500)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, d) => {
       // corpus length profile: fixed-width binning of n_chars — the
       // pre-curation length-distribution check (narrow map + tiny agg)
@@ -458,6 +481,23 @@ object QueriesText {
          |  ORDER BY score DESC, term) as int) AS rk FROM scored)
          |SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_oov_rate" ->
+      s"""WITH tf AS (
+         | SELECT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         | WHERE length(tok) > 0),
+         |vocab AS (
+         | SELECT tok FROM (SELECT tok, count(*) AS n FROM tf GROUP BY 1
+         |                  ORDER BY n DESC, tok LIMIT 500)),
+         |joined AS (
+         | SELECT tf.doc_id, v.tok AS vtok
+         | FROM tf LEFT JOIN vocab v ON tf.tok = v.tok)
+         |SELECT doc_id, count(*) AS n_tokens,
+         | cast(count(*) FILTER (WHERE vtok IS NULL) as bigint) AS n_oov,
+         | (count(*) FILTER (WHERE vtok IS NULL)) * 1000000 // count(*) AS oov_ppm
+         |FROM joined GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_length_histogram" ->
       """SELECT cast(floor(n_chars / 100) * 100 as int) AS bucket_lo,
