@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object Mix {
 
   /** 8-hex-digit threshold for the fractional part of `w`. */
-  private[operators] def fracThresholdHex(w: Double): String = {
+  private[graft] def fracThresholdHex(w: Double): String = {
     val frac = w - math.floor(w)
     f"${math.floor(frac * 4294967296.0).toLong}%08x"
   }
