@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{QueriesCore, QueriesDepth, QueriesExtra, QueriesPipeline, QueriesText}
+import graft.queries.{QueriesCore, QueriesDepth, QueriesExtra, QueriesPipeline, QueriesStats, QueriesText}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -17,11 +17,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesCore.queries ++ QueriesText.queries ++ QueriesExtra.queries ++
-      QueriesDepth.queries ++ QueriesPipeline.queries
+      QueriesDepth.queries ++ QueriesPipeline.queries ++ QueriesStats.queries
 
   /** DuckDB-runnable ANSI SQL oracle per query; omitted for
     * non-SQL-expressible ops (driver falls back to rows-only). */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesText.oracles ++ QueriesExtra.oracles ++
-      QueriesDepth.oracles ++ QueriesPipeline.oracles
+      QueriesDepth.oracles ++ QueriesPipeline.oracles ++ QueriesStats.oracles
 }

@@ -173,4 +173,51 @@ object Dedup {
     sh.unpersist() // see minHashLsh: the shingle cache must not outlive the call
     result
   }
+
+  /** C4-style SPAN dedup: remove every fixed-size token span that
+    * occurs more than `maxOccur` times corpus-wide, keeping the rest
+    * of each document intact (C4 removed any 3-sentence span seen
+    * twice; with no sentence boundaries in the corpus this is the
+    * token-window generalization). Unlike document-level dedup
+    * (exact/minhash/…), this deletes boilerplate INSIDE otherwise
+    * unique documents — the op that strips cookie banners and license
+    * headers from a crawl.
+    *
+    * Dataflow: tokenize → non-overlapping `spanTokens` windows (the
+    * trailing partial window included) → posexplode → corpus-wide span
+    * frequency (one shuffle, map-side combine — the count stream is
+    * (span, 1), never the document) → left join spans against the
+    * over-frequency set (only spans with count > maxOccur survive the
+    * HAVING, so the build side is the BOILERPLATE set, typically tiny
+    * → AQE broadcasts it; a 64-bit span-hash join key would halve the
+    * shuffle bytes but trades oracle-exactness for a 2^-64 false ban)
+    * → reassemble per doc (one groupBy(id) with an order-restoring
+    * sort_array — spans re-concatenate in position order regardless of
+    * partitioning). Three shuffles total, all linear in corpus size;
+    * nothing pairwise, nothing driver-side.
+    */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 spanTokens: Int = 8, maxOccur: Long = 1): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be >= 1")
+    val k = lit(spanTokens)
+    val spans = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        transform(sequence(lit(0), ceil(size(col("__toks")) / k.cast("double")).cast("int") - 1),
+          i => array_join(slice(col("__toks"), i * k + 1, lit(spanTokens)), " ")).as("__spans"))
+      .select(col(idCol), posexplode(col("__spans")).as(Seq("pos", "span")))
+    val banned = spans.groupBy("span").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccur)
+      .select(col("span"), lit(true).as("__banned"))
+    spans.join(banned, Seq("span"), "left")
+      .withColumn("__keep", col("__banned").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(when(!col("__keep"), 1)).as("n_removed"),
+        array_join(
+          transform(sort_array(collect_list(when(col("__keep"),
+            struct(col("pos"), col("span"))))), s => s("span")),
+          " ").as("clean_text"))
+  }
 }

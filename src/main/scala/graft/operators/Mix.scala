@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic weighted SOURCE MIXING — the training-data op that
@@ -56,6 +56,48 @@ object Mix {
       .filter(col("__n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("__n_copies") - 1)))
       .drop("__n_copies")
+  }
+
+  /** TEMPERATURE-scaled source mixing (the standard multinomial
+    * temperature trick for multilingual / multi-source training sets,
+    * e.g. mBERT/XLM-R exponent sampling): target share of source s is
+    * n_s^alpha / Σ n_t^alpha, so alpha<1 upsamples small sources and
+    * downsamples dominant ones; alpha=1 is natural proportions. The
+    * per-row copy weight w_s = share_s · N / n_s feeds the same
+    * hash-deterministic replication as [[weightedSources]], but with
+    * thresholds computed IN-PLAN from a tiny per-source count
+    * aggregate (broadcast back onto the corpus) — no driver collect,
+    * so the op composes inside a bigger dataflow and scales with
+    * #sources, not #rows. Weights are rounded to 1e-6 before
+    * thresholding so the kept set is reproducible across engines
+    * (double `pow` is the one non-portable step; at alpha=0.5 we use
+    * the correctly-rounded `sqrt` instead).
+    *
+    * Scale: one count shuffle over sources + two broadcast joins of a
+    * #sources-row table; the replication itself stays a narrow
+    * map+explode exactly as in weightedSources.
+    */
+  def temperature(df: DataFrame, keyCol: String, sourceCol: String,
+                  alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val powN: Column => Column =
+      if (alpha == 0.5) sqrt else c => pow(c, alpha)
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum("__n").as("__total"), sum(powN(col("__n"))).as("__sp"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        round(powN(col("__n")) * col("__total") / (col("__n") * col("__sp")), 6).as("__w"))
+    val u = substring(md5(concat_ws("|", col(sourceCol), col(keyCol).cast("string"))), 1, 8)
+    df.join(broadcast(weights), Seq(sourceCol))
+      .withColumn("__thr",
+        lpad(lower(hex(floor((col("__w") - floor(col("__w"))) * 4294967296.0).cast("long"))),
+          8, "0"))
+      .withColumn("__n_copies",
+        floor(col("__w")).cast("long") + when(u < col("__thr"), 1L).otherwise(0L))
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .withColumn("weight_ppm", round(col("__w") * 1e6, 0).cast("long"))
+      .drop("__w", "__thr", "__n_copies")
   }
 
   /** Per-source mixing report: rows in, rows out, exact achieved

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-wise inferential statistics — the reference's analysis core
+  * compares a control cohort against a mutant cohort per parameter
+  * before any downstream significance call (the stats-results family:
+  * jobs/load/stats_results_mapping_helper.py assembles per-parameter
+  * control/experimental summaries). Re-expressed Spark-first: each
+  * statistic is ONE hash aggregation with conditional aggregates —
+  * cohort membership becomes a `when` inside the agg, not a self-join
+  * of two filtered scans, so the fact table is read once and the
+  * aggregation partial-combines map-side. At 100 TB that is one
+  * shuffle of (key, partial moments) instead of two scans plus a join.
+  *
+  * Numerics follow the q_group_stats convention: raw moments are
+  * EXACT DECIMAL sums (parallel Welford/var_samp merges are
+  * partition-order-dependent; decimal addition is associative), cast
+  * to double only for the closed-form statistic. Every derived value
+  * is then a fixed dag of IEEE-correctly-rounded double ops, so the
+  * result is bit-reproducible across engines, partitionings, and
+  * retries — the property the oracle gate and a 1000-executor re-run
+  * both rely on. Inputs are quantized to `scale` decimals on entry
+  * (documented trade-off; default 6).
+  */
+object Stats {
+
+  private def mom(flag: Column, v: Column, scale: Int): (Column, Column, Column) = {
+    val vd = v.cast(s"decimal(18,$scale)")
+    (count(when(flag, 1)),
+     sum(when(flag, v).cast(s"decimal(28,$scale)")).cast("double"),
+     sum(when(flag, vd * vd)).cast("double"))
+  }
+
+  /** Welch's unequal-variance t-test per key between cohorts `a` and
+    * `b` of `cohortCol`: per-cohort n/mean/sample-variance, the t
+    * statistic, and Welch–Satterthwaite degrees of freedom. Keys
+    * where a cohort has n < 2 yield null t/df (variance undefined) —
+    * surfaced, not dropped. */
+  def welchT(df: DataFrame, keyCols: Seq[String], valueCol: String,
+             cohortCol: String, a: String, b: String, scale: Int = 6): DataFrame = {
+    val v = col(valueCol)
+    val (na, sa, qa) = mom(col(cohortCol) === a, v, scale)
+    val (nb, sb, qb) = mom(col(cohortCol) === b, v, scale)
+    def varOf(q: Column, s: Column, n: Column): Column =
+      when(n >= 2, (q - s * s / n) / (n - 1))
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(na.as("n_a"), sa.as("__sa"), qa.as("__qa"),
+           nb.as("n_b"), sb.as("__sb"), qb.as("__qb"))
+      .withColumn("mean_a", col("__sa") / col("n_a"))
+      .withColumn("mean_b", col("__sb") / col("n_b"))
+      .withColumn("var_a", varOf(col("__qa"), col("__sa"), col("n_a")))
+      .withColumn("var_b", varOf(col("__qb"), col("__sb"), col("n_b")))
+    val sea = col("var_a") / col("n_a")
+    val seb = col("var_b") / col("n_b")
+    agg
+      .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(sea + seb))
+      .withColumn("df_welch",
+        (sea + seb) * (sea + seb) /
+          (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)))
+      .drop("__sa", "__qa", "__sb", "__qb")
+  }
+
+  /** Per-key simple OLS y ~ x from exact decimal raw moments:
+    * n, slope, intercept, r². The closed forms share one symmetric
+    * moment dag in both this code and the SQL oracle, so values match
+    * bit-for-bit (regr_slope built-ins would be one line, but their
+    * internal double accumulation is engine- and partition-order-
+    * dependent — exact moments are the reproducible formulation). */
+  def linreg(df: DataFrame, keyCols: Seq[String], yCol: String,
+             xCol: String, scale: Int = 6): DataFrame = {
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val xd = when(both, col(xCol)).cast(s"decimal(18,$scale)")
+    val yd = when(both, col(yCol)).cast(s"decimal(18,$scale)")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(when(both, 1)).as("n"),
+        sum(xd.cast(s"decimal(28,$scale)")).cast("double").as("__sx"),
+        sum(yd.cast(s"decimal(28,$scale)")).cast("double").as("__sy"),
+        sum(xd * xd).cast("double").as("__sxx"),
+        sum(yd * yd).cast("double").as("__syy"),
+        sum(xd * yd).cast("double").as("__sxy"))
+    val (n, sx, sy) = (col("n"), col("__sx"), col("__sy"))
+    val covn = n * col("__sxy") - sx * sy
+    val varxn = n * col("__sxx") - sx * sx
+    val varyn = n * col("__syy") - sy * sy
+    agg
+      .withColumn("slope", covn / varxn)
+      .withColumn("intercept", (sy - covn / varxn * sx) / n)
+      .withColumn("r2", covn * covn / (varxn * varyn))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+}

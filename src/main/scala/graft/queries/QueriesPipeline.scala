@@ -184,6 +184,17 @@ object QueriesPipeline {
         .orderBy("source", "doc_id", "copy_idx")
     }),
 
+    "q_mix_temperature" -> ((s, d) => {
+      // multinomial temperature sampling over the skewed lang
+      // distribution (alpha=0.5 upsamples low-resource langs) —
+      // weights computed IN-PLAN from the lang counts, replication
+      // hash-deterministic as in q_mix_weighted; the oracle replays
+      // the same sqrt-share weights and md5 thresholds
+      Mix.temperature(Tables(s, d).documents, "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang", "copy_idx", "weight_ppm")
+        .orderBy("lang", "doc_id", "copy_idx")
+    }),
+
     "q_surrogate_id" -> ((s, d) => {
       // reproducible positional ids (mgi_phenotype_mapper.py:131 uses
       // monotonically_increasing_id, which is partition-layout-
@@ -279,6 +290,22 @@ object QueriesPipeline {
         |SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
         |FROM c WHERE n_copies > 0
         |ORDER BY source, doc_id, copy_idx""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS sp FROM counts),
+        |w AS (SELECT lang, round(sqrt(n) * total / (n * sp), 6) AS wt FROM counts, tot),
+        |m AS (SELECT d.doc_id, d.lang,
+        |  substr(md5(d.lang || '|' || cast(d.doc_id as varchar)), 1, 8) AS u,
+        |  cast(floor(wt) as bigint) AS n_base,
+        |  lpad(lower(hex(cast(floor((wt - floor(wt)) * 4294967296.0) as bigint))), 8, '0') AS thr,
+        |  cast(round(wt * 1000000, 0) as bigint) AS weight_ppm
+        | FROM documents d JOIN w USING (lang)),
+        |c AS (SELECT doc_id, lang, weight_ppm,
+        |  n_base + CASE WHEN u < thr THEN 1 ELSE 0 END AS n_copies FROM m)
+        |SELECT doc_id, lang, cast(unnest(range(n_copies)) as bigint) AS copy_idx, weight_ppm
+        |FROM c WHERE n_copies > 0
+        |ORDER BY lang, doc_id, copy_idx""".stripMargin,
 
     "q_surrogate_id" ->
       """SELECT o_orderkey, o_custkey,

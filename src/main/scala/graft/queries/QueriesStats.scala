@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.operators.Stats
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inferential-statistics queries (operators/Stats.scala) — the
+  * reference's control-vs-mutant statistical testing shape
+  * (stats_results_mapping_helper.py) as oracle-checked single-shuffle
+  * aggregations. Oracles replicate the SAME closed-form dag over the
+  * SAME exact decimal moments, so values match bit-for-bit before the
+  * final display rounding.
+  */
+object QueriesStats {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    "q_ttest_welch" -> ((s, d) => {
+      // control/mutant per-parameter comparison: user parity is the
+      // synthetic cohort label, event_type the parameter
+      val ev = Tables(s, d).events
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "ctl").otherwise("mut"))
+      Stats.welchT(ev, Seq("event_type"), "value", "cohort", "ctl", "mut",
+          scale = 2)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("var_a"), 6).as("var_a"),
+          round(col("var_b"), 6).as("var_b"),
+          round(col("t_stat"), 6).as("t_stat"),
+          round(col("df_welch"), 6).as("df_welch"))
+        .orderBy("event_type")
+    }),
+
+    "q_linreg" -> ((s, d) => {
+      // per-(returnflag, linestatus) price~quantity fit — the "does
+      // the measured value drift with covariate" screen the stats
+      // pipeline runs per parameter
+      Stats.linreg(Tables(s, d).lineitem, Seq("l_returnflag", "l_linestatus"),
+          "l_extendedprice", "l_quantity", scale = 2)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }))
+
+  val oracles: Map[String, String] = Map(
+
+    "q_ttest_welch" ->
+      """WITH m AS (
+        | SELECT event_type,
+        |  count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+        |  count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+        |  cast(sum(CASE WHEN user_id % 2 = 0 THEN cast(value as decimal(28,2)) END) as double) AS sa,
+        |  cast(sum(CASE WHEN user_id % 2 = 1 THEN cast(value as decimal(28,2)) END) as double) AS sb,
+        |  cast(sum(CASE WHEN user_id % 2 = 0 THEN cast(value as decimal(18,2)) * cast(value as decimal(18,2)) END) as double) AS qa,
+        |  cast(sum(CASE WHEN user_id % 2 = 1 THEN cast(value as decimal(18,2)) * cast(value as decimal(18,2)) END) as double) AS qb
+        | FROM events GROUP BY 1),
+        |v AS (
+        | SELECT event_type, n_a, n_b, sa / n_a AS mean_a, sb / n_b AS mean_b,
+        |  (qa - sa * sa / n_a) / (n_a - 1) AS var_a,
+        |  (qb - sb * sb / n_b) / (n_b - 1) AS var_b
+        | FROM m)
+        |SELECT event_type, n_a, n_b,
+        | round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        | round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+        | round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
+        | round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+        |   ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
+        |    (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS df_welch
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "q_linreg" ->
+      """WITH m AS (
+        | SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sx,
+        |  cast(sum(cast(l_extendedprice as decimal(28,2))) as double) AS sy,
+        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS sxx,
+        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
+        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        | round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        | round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY 1, 2""".stripMargin)
+}

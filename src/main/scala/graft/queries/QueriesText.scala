@@ -98,6 +98,17 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_spans" -> ((s, d) => {
+      // C4-style WITHIN-document boilerplate removal: every 8-token
+      // span seen more than once corpus-wide is deleted, the document
+      // survives with its unique remainder (operators/Dedup.scala
+      // dedupSpans; the oracle replays the identical window/ban/
+      // reassemble dataflow in SQL)
+      Dedup.dedupSpans(Tables(s, d).documents, "doc_id", "text",
+          spanTokens = 8, maxOccur = 1)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.6)
@@ -569,6 +580,22 @@ object QueriesText {
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH t AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |s AS (
+         | SELECT doc_id, i AS pos,
+         |  array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS span
+         | FROM t, unnest(range(cast(ceil(len(toks) / 8.0) as bigint))) AS u(i)),
+         |banned AS (
+         | SELECT span FROM s GROUP BY span HAVING count(*) > 1)
+         |SELECT s.doc_id,
+         | count(*) AS n_spans,
+         | count(CASE WHEN b.span IS NOT NULL THEN 1 END) AS n_removed,
+         | coalesce(string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.pos), '') AS clean_text
+         |FROM s LEFT JOIN banned b ON s.span = b.span
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

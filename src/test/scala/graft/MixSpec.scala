@@ -75,4 +75,45 @@ class MixSpec extends AnyFunSuite {
     // dropped source reports 0 out
     assert(rep("src2")._3 == 0L && rep("src2")._4 == 0L)
   }
+
+  // skewed corpus for temperature sampling: 160/30/10 docs per source
+  private def skewed = ((1L to 160L).map((_, "big")) ++
+      (161L to 190L).map((_, "mid")) ++ (191L to 200L).map((_, "small")))
+    .map { case (i, s) => (i, s, s"doc $i") }.toDF("doc_id", "source", "text")
+
+  test("temperature alpha=1 is the identity mix: every doc once") {
+    val m = Mix.temperature(skewed, "doc_id", "source", alpha = 1.0)
+    assert(m.count() == 200L)
+    assert(m.agg(max("copy_idx"), min("weight_ppm"), max("weight_ppm"))
+      .head() == org.apache.spark.sql.Row(0L, 1000000L, 1000000L))
+  }
+
+  test("temperature alpha=0.5 upsamples small sources, downsamples big ones") {
+    val m = Mix.temperature(skewed, "doc_id", "source", alpha = 0.5).cache()
+    val ppm = m.groupBy("source").agg(max("weight_ppm").as("p"))
+      .as[(String, Long)].collect().toMap
+    // w_s = sqrt(n_s)·N/(n_s·Σsqrt) monotonically favors rare sources
+    assert(ppm("small") > ppm("mid") && ppm("mid") > ppm("big"))
+    assert(ppm("big") < 1000000L && ppm("small") > 1000000L)
+    // total stays ≈ N in expectation: Σ n_s·w_s = N exactly, realized
+    // count is hash-binomial around it
+    val n = m.count()
+    assert(n > 150 && n < 250, s"mixed corpus size $n")
+    // every emitted weight matches the closed form to the ppm
+    val sp = math.sqrt(160) + math.sqrt(30) + math.sqrt(10)
+    for ((s, cnt) <- Seq(("big", 160), ("mid", 30), ("small", 10))) {
+      val w = BigDecimal(math.sqrt(cnt) * 200 / (cnt * sp))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ppm(s) == math.round(w * 1e6), s"weight for $s")
+    }
+    m.unpersist()
+  }
+
+  test("temperature mixing is partition-layout independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Mix.temperature(df, "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source", "copy_idx")
+        .orderBy("doc_id", "copy_idx").collect().toSeq
+    assert(run(skewed) == run(skewed.repartition(17)))
+  }
 }

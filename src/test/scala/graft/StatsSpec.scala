@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stats invariants: Welch t against a naive double-precision
+  * reference, OLS against an exact line and a naive reference,
+  * undefined-variance surfacing.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def naiveWelch(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    def mv(xs: Seq[Double]) = {
+      val n = xs.size; val m = xs.sum / n
+      (n, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = mv(a); val (nb, mb, vb) = mv(b)
+    val (sea, seb) = (va / na, vb / nb)
+    ((ma - mb) / math.sqrt(sea + seb),
+     (sea + seb) * (sea + seb) / (sea * sea / (na - 1) + seb * seb / (nb - 1)))
+  }
+
+  test("welchT matches a naive reference on a fixed cohort pair") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0)
+    val df = (a.map(("p1", "ctl", _)) ++ b.map(("p1", "mut", _)))
+      .toDF("param", "cohort", "v")
+    val r = Stats.welchT(df, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t_stat", "df_welch")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)].head()
+    val (t, dfw) = naiveWelch(a, b)
+    assert(r._1 == 4L && r._2 == 5L)
+    assert(math.abs(r._3 - 2.5) < 1e-9 && math.abs(r._4 - 6.0) < 1e-9)
+    assert(math.abs(r._5 - 5.0 / 3) < 1e-9 && math.abs(r._6 - 10.0) < 1e-9)
+    assert(math.abs(r._7 - t) < 1e-9)
+    assert(math.abs(r._8 - dfw) < 1e-9)
+  }
+
+  test("welchT surfaces null t when a cohort has n < 2") {
+    val df = Seq(("p1", "ctl", 1.0), ("p1", "mut", 2.0), ("p1", "mut", 3.0))
+      .toDF("param", "cohort", "v")
+    val r = Stats.welchT(df, Seq("param"), "v", "cohort", "ctl", "mut")
+    assert(r.count() == 1)
+    val row = r.select("n_a", "t_stat", "df_welch").head()
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("linreg recovers an exact line with r2 = 1") {
+    val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0)).toDF("g", "x", "y")
+    val r = Stats.linreg(df, Seq("g"), "y", "x")
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 20L)
+    assert(math.abs(r._2 - 2.0) < 1e-9)
+    assert(math.abs(r._3 - 1.0) < 1e-9)
+    assert(math.abs(r._4 - 1.0) < 1e-9)
+  }
+
+  test("linreg matches a naive closed form on noisy groups") {
+    val rnd = new scala.util.Random(7)
+    val pts = for (g <- Seq("a", "b"); i <- 1 to 50)
+      yield (g, i.toDouble, 3.0 * i + (if (g == "a") 5 else -2) +
+        math.floor(rnd.nextGaussian() * 100) / 100)
+    val df = pts.toDF("g", "x", "y")
+    val got = Stats.linreg(df, Seq("g"), "y", "x")
+      .select("g", "slope", "intercept")
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (g <- Seq("a", "b")) {
+      val xs = pts.filter(_._1 == g).map(_._2); val ys = pts.filter(_._1 == g).map(_._3)
+      val n = xs.size
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(got(g)._1 - slope) < 1e-6, s"slope $g")
+      assert(math.abs(got(g)._2 - icept) < 1e-6, s"intercept $g")
+    }
+  }
+
+  test("linreg ignores rows where either side is null") {
+    val df = Seq(("g", Some(1.0), Some(3.0)), ("g", Some(2.0), Some(5.0)),
+        ("g", Some(3.0), Some(7.0)), ("g", None, Some(9.0)), ("g", Some(4.0), None))
+      .toDF("g", "x", "y")
+    val r = Stats.linreg(df, Seq("g"), "y", "x")
+      .select("n", "slope", "intercept").as[(Long, Double, Double)].head()
+    assert(r._1 == 3L)
+    assert(math.abs(r._2 - 2.0) < 1e-9 && math.abs(r._3 - 1.0) < 1e-9)
+  }
+}
