@@ -21,6 +21,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate fires while the generator input is
+      // still a cheap attribute, then PushDownPredicates inlines the
+      // attribute's defining projection into the inferred
+      // `size(..)>0 AND isnotnull(..)` filter — so every explode over
+      // a DERIVED array (shingles, spans, BPE tokens) re-runs its
+      // whole tokenize/regex chain per input row in an interpreted
+      // Filter. Generate drops empty/null arrays itself, so the
+      // inferred filter is purely an (mis)optimization: excluding the
+      // rule is semantics-preserving and measured 3-6x on
+      // explode-heavy operators (see PlanAuditSpec's regression gate).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

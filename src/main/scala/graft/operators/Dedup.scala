@@ -200,12 +200,20 @@ object Dedup {
                  spanTokens: Int = 8, maxOccur: Long = 1): DataFrame = {
     require(spanTokens >= 1, "spanTokens must be >= 1")
     val k = lit(spanTokens)
+    // posexplode_outer, NOT posexplode: the inner form makes Catalyst
+    // infer a `size(arr)>0 AND isnotnull(arr)` filter BELOW the
+    // Generate that re-derives the whole tokenize+window chain per row
+    // in an interpreted Filter (measured 3-6x on this op). The arrays
+    // here are never empty (split yields >= 1 token), so the only
+    // outer artifact is a null-span row for null text — dropped by the
+    // cheap post-Generate filter on the GENERATED column.
     val spans = df
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         transform(sequence(lit(0), ceil(size(col("__toks")) / k.cast("double")).cast("int") - 1),
           i => array_join(slice(col("__toks"), i * k + 1, lit(spanTokens)), " ")).as("__spans"))
-      .select(col(idCol), posexplode(col("__spans")).as(Seq("pos", "span")))
+      .select(col(idCol), posexplode_outer(col("__spans")).as(Seq("pos", "span")))
+      .filter(col("span").isNotNull)
     val banned = spans.groupBy("span").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccur)
       .select(col("span"), lit(true).as("__banned"))

@@ -387,6 +387,13 @@ object QueriesText {
 
     "q_stream_window" -> ((s, d) => {
       EventStream.runBatchEquivalent(s, d)
+    }),
+
+    "q_stream_interval" -> ((s, d) => {
+      // stream-stream interval join (click attribution) run as a real
+      // two-source streaming query; the oracle is the equivalent batch
+      // self-join with the same two-sided time bound
+      EventStream.runIntervalEquivalent(s, d)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +698,17 @@ object QueriesText {
       """SELECT strftime(date_trunc('hour', cast(ts as timestamp)), '%Y-%m-%d %H:%M:%S') AS bucket_start,
         | event_type, count(*) AS n_events,
         | round(cast(sum(cast(value as decimal(28,15))) as double), 4) AS value_sum
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_stream_interval" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, c.user_id,
+        | strftime(cast(c.ts as timestamp), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(cast(p.ts as timestamp), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | round(p.value, 4) AS purchase_value
+        |FROM events c JOIN events p
+        | ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND cast(c.ts as timestamp) <= cast(p.ts as timestamp)
+        | AND cast(c.ts as timestamp) >= cast(p.ts as timestamp) - INTERVAL 2 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

@@ -28,6 +28,17 @@ object EventStream {
   private def cast_sum_value =
     round(sum(col("value").cast("decimal(28,15)")).cast("double"), 4).as("value_sum")
 
+  /** Stateful streaming ops commit one state store per shuffle
+    * partition per micro-batch; at batch-test scale that commit
+    * overhead dominates the work, so the test runners execute narrow
+    * (a real deployment sizes partitions to executors and uses
+    * RocksDB). Restores the session's partition count afterwards. */
+  private def withNarrowShuffle[A](spark: SparkSession)(body: => A): A = {
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Run the streaming query synchronously over a static parquet dir
     * (memory sink), returning the final result — lets the batch
     * correctness oracle check streaming semantics. */
@@ -42,13 +53,15 @@ object EventStream {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = windowedAgg(stream)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
-    if (q.isActive) q.stop()
+    withNarrowShuffle(spark) {
+      val q = windowedAgg(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
     spark.table(queryName)
       .orderBy(col("bucket_start"), col("event_type"))
   }
@@ -69,16 +82,18 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     // single source of session semantics: sessionWindowAgg (the
     // helper), this runner only formats + sinks
-    val q = sessionWindowAgg(stream, gap)
-      .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-          .as("session_start"),
-        col("user_id"), col("n_events"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination(300000)
-    if (q.isActive) q.stop()
+    withNarrowShuffle(spark) {
+      val q = sessionWindowAgg(stream, gap)
+        .select(date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("user_id"), col("n_events"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
     spark.table(queryName).orderBy(col("user_id"), col("session_start"))
   }
 
@@ -155,6 +170,61 @@ object EventStream {
           ref.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** Stream-stream event-time INTERVAL join — the click-attribution
+    * shape: each purchase matches the same user's clicks within
+    * (p_ts - lag, p_ts]. Both sides carry watermarks and the join
+    * condition bounds time in BOTH directions, which is what lets
+    * Spark evict buffered rows as the watermark advances — state is
+    * O(active interval), not O(stream). An unbounded-condition
+    * stream-stream join buffers forever; this is the production form.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   lag: String = "2 hours",
+                   watermark: String = "4 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lag"))
+      .select(col("purchase_id"), col("click_id"),
+        col("c_user").as("user_id"), col("c_ts"), col("p_ts"),
+        col("purchase_value"))
+  }
+
+  /** Run the interval join as a real two-source streaming query over
+    * the static events dir (memory sink, AvailableNow), timestamps
+    * formatted and value rounded for oracle dtype parity. */
+  def runIntervalEquivalent(spark: SparkSession, sfDir: String,
+                            queryName: String = "graft_interval"): DataFrame = {
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    withNarrowShuffle(spark) {
+      val q = intervalJoin(src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
+    spark.table(queryName)
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("purchase_value"), 4).as("purchase_value"))
+      .orderBy("purchase_id", "click_id")
   }
 
   /** Streaming deduplication with bounded state: duplicates of a key

@@ -17,7 +17,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // audit) — their internal plans are covered by operator-level specs
   // and the differential fuzz instead
   private val executesOnBuild = Set(
-    "q_stream_window", "q_stream_sessions", "q_media_pipeline",
+    "q_stream_window", "q_stream_sessions", "q_stream_interval",
+    "q_media_pipeline",
     "q_dedup_clusters", "q_shingle_clusters", "q_hierarchy", "q_ancestor_arrays")
 
   /** Plan every query with AQE off: the non-adaptive physical plan
@@ -43,6 +44,19 @@ class PlanAuditSpec extends AnyFunSuite {
       case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"raw cartesian products in: $offenders")
+  }
+
+  test("no query re-derives a lambda chain inside a Filter") {
+    // the InferFiltersFromGenerate + PushDownPredicates interaction
+    // (excluded in GraftSession/SparkTestSession) inlines a derived
+    // array's whole tokenize/HOF chain into an interpreted
+    // below-Generate filter; this gate catches the pattern coming back
+    // through any other rule or a future Spark upgrade
+    val offenders = plans.collect {
+      case (name, plan) if plan.linesIterator.exists(l =>
+        l.contains("Filter ") && l.contains("lambdafunction")) => name
+    }
+    assert(offenders.isEmpty, s"lambda chain re-derived in a Filter in: $offenders")
   }
 
   test("every query keeps whole-stage codegen in its plan") {

@@ -218,6 +218,31 @@ class StreamingStateSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch self-join exactly") {
+    val sfDir = SparkTestSession.sfDir
+    val got = graft.streaming.EventStream.runIntervalEquivalent(spark, sfDir,
+        "graft_interval_spec")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.sources.Tables(spark, sfDir).events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val exp = c.join(p,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 2 hours"))
+      .select(col("purchase_id"), col("click_id"), col("c_user").as("user_id"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("value"), 4).as("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(exp.nonEmpty, "batch reference produced no interval matches")
+    assert(got == exp)
+  }
+
   test("streaming LOCF as-of enrich matches the batch as-of exactly") {
     import org.apache.spark.sql.streaming.Trigger
     val sfDir = SparkTestSession.sfDir

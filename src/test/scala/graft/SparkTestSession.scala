@@ -19,6 +19,10 @@ object SparkTestSession {
       // the fallback turns any codegen compile failure into a test
       // failure — plan-string audits can't see these.
       .config("spark.sql.codegen.fallback", "false")
+      // mirror GraftSession: InferFiltersFromGenerate re-derives
+      // expensive array expressions in below-Generate filters
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
