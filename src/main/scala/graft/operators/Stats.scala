@@ -62,6 +62,62 @@ object Stats {
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
+  /** Pearson's chi-square test of independence per key between two
+    * categorical factors: observed cell counts → expected counts from
+    * the margins → χ² = Σ (O−E)²/E, plus degrees of freedom
+    * (|A|−1)(|B|−1). Everything derives from ONE contingency-cell
+    * aggregation (a partial-combining count shuffle); margins and the
+    * χ² fold operate on the tiny cells table, so the joins broadcast
+    * under AQE. Counts are exact integers; only the final E division
+    * and fold are double (cell-order 1-ulp noise is absorbed by the
+    * caller's display rounding). */
+  def chiSquare(df: DataFrame, keyCols: Seq[String], aCol: String,
+                bCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val cells = df.groupBy((keyCols :+ aCol :+ bCol).map(col): _*)
+      .agg(count(lit(1)).as("__o"))
+    val rowT = cells.groupBy((keyCols :+ aCol).map(col): _*)
+      .agg(sum("__o").as("__ra"))
+    val colT = cells.groupBy((keyCols :+ bCol).map(col): _*)
+      .agg(sum("__o").as("__cb"))
+    val tot = cells.groupBy(keys: _*).agg(sum("__o").as("__n"))
+    val e = col("__ra") * col("__cb") / col("__n")
+    cells
+      .join(rowT, keyCols :+ aCol).join(colT, keyCols :+ bCol).join(tot, keyCols)
+      .withColumn("__term",
+        (col("__o") - e) * (col("__o") - e) / e)
+      .groupBy(keys: _*)
+      .agg(sum("__term").as("chi2"),
+        ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1)).as("dof"),
+        first(col("__n")).as("n"))
+  }
+
+  /** Per-key z-score outlier flags: rows whose value deviates from the
+    * key's mean by more than `threshold` sample standard deviations.
+    * Mean/stddev come from the same exact-decimal moments as
+    * [[welchT]] (one agg shuffle), broadcast back onto the stream —
+    * a narrow map over the fact table, no second shuffle. Keys with
+    * zero or undefined variance yield no outliers. */
+  def zOutliers(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                threshold: Double = 3.0, scale: Int = 6): DataFrame = {
+    val (n, s, q) = mom(lit(true), col(valueCol), scale)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(n.as("__n"), s.as("__s"), q.as("__q"))
+      .filter(col("__n") >= 2)
+      .withColumn("__mean", col("__s") / col("__n"))
+      .withColumn("__sd",
+        sqrt((col("__q") - col("__s") * col("__s") / col("__n")) / (col("__n") - 1)))
+      .filter(col("__sd") > 0)
+      .select((keyCols.map(col) :+ col("__mean") :+ col("__sd")): _*)
+    // no broadcast hint: the stats side is |keys|-sized — AQE
+    // broadcasts it when small and falls back to a shuffle join when
+    // the key space itself is huge
+    df.join(stats, keyCols)
+      .withColumn("z", (col(valueCol) - col("__mean")) / col("__sd"))
+      .filter(abs(col("z")) > threshold)
+      .drop("__mean", "__sd")
+  }
+
   /** Per-key simple OLS y ~ x from exact decimal raw moments:
     * n, slope, intercept, r². The closed forms share one symmetric
     * moment dag in both this code and the SQL oracle, so values match

@@ -35,6 +35,31 @@ object QueriesStats {
         .orderBy("event_type")
     }),
 
+    "q_chi_square" -> ((s, d) => {
+      // categorical association per parameter: user parity vs
+      // high/low value — the categorical sibling of q_ttest_welch
+      val ev = Tables(s, d).events
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .withColumn("bucket",
+          when(col("value") >= 500.0, "high").otherwise("low"))
+      Stats.chiSquare(ev, Seq("event_type"), "cohort", "bucket")
+        .select(col("event_type"), col("n"), col("dof"),
+          round(col("chi2"), 6).as("chi2"))
+        .orderBy("event_type")
+    }),
+
+    "q_outliers" -> ((s, d) => {
+      // z-score outlier surfacing per parameter (|z| > 2 against the
+      // exact-decimal group moments) — the cleaning screen before any
+      // downstream stats
+      Stats.zOutliers(Tables(s, d).events, Seq("event_type"), "value",
+          threshold = 2.0, scale = 2)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    }),
+
     "q_linreg" -> ((s, d) => {
       // per-(returnflag, linestatus) price~quantity fit — the "does
       // the measured value drift with covariate" screen the stats
@@ -73,6 +98,48 @@ object QueriesStats {
         |   ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
         |    (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS df_welch
         |FROM v ORDER BY event_type""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        | SELECT event_type,
+        |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+        |  CASE WHEN value >= 500.0 THEN 'high' ELSE 'low' END AS bucket,
+        |  count(*) AS o
+        | FROM events GROUP BY 1, 2, 3),
+        |rt AS (SELECT event_type, cohort, sum(o) AS ra FROM cells GROUP BY 1, 2),
+        |ct AS (SELECT event_type, bucket, sum(o) AS cb FROM cells GROUP BY 1, 2),
+        |tt AS (SELECT event_type, sum(o) AS n FROM cells GROUP BY 1),
+        |terms AS (
+        | SELECT c.event_type, c.o, ra * cb / n AS e, n
+        | FROM cells c JOIN rt USING (event_type, cohort)
+        |  JOIN ct USING (event_type, bucket) JOIN tt USING (event_type)),
+        |d AS (
+        | SELECT event_type,
+        |  (count(DISTINCT cohort) - 1) * (count(DISTINCT bucket) - 1) AS dof
+        | FROM cells GROUP BY 1),
+        |x AS (
+        | SELECT event_type, cast(max(n) as bigint) AS n,
+        |  round(sum((o - e) * (o - e) / e), 6) AS chi2
+        | FROM terms GROUP BY 1)
+        |SELECT x.event_type, x.n, cast(d.dof as bigint) AS dof, x.chi2
+        |FROM x JOIN d USING (event_type) ORDER BY 1""".stripMargin,
+
+    "q_outliers" ->
+      """WITH m AS (
+        | SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value as decimal(28,2))) as double) AS s,
+        |  cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double) AS q
+        | FROM events GROUP BY 1),
+        |st AS (
+        | SELECT event_type, s / n AS mean_v,
+        |  sqrt((q - s * s / n) / (n - 1)) AS sd
+        | FROM m WHERE n >= 2),
+        |z AS (
+        | SELECT e.event_id, e.event_type, e.value,
+        |  (e.value - st.mean_v) / st.sd AS z
+        | FROM events e JOIN st USING (event_type) WHERE st.sd > 0)
+        |SELECT event_id, event_type, value, round(z, 6) AS z
+        |FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
 
     "q_linreg" ->
       """WITH m AS (

@@ -48,6 +48,39 @@ class StatsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 1L && row.isNullAt(1) && row.isNullAt(2))
   }
 
+  test("chiSquare matches the hand-computed contingency statistic") {
+    val rows = Seq.fill(10)(("k", "x", "p")) ++ Seq.fill(20)(("k", "x", "q")) ++
+      Seq.fill(30)(("k", "y", "p")) ++ Seq.fill(40)(("k", "y", "q"))
+    val df = rows.toDF("key", "a", "b")
+    val r = Stats.chiSquare(df, Seq("key"), "a", "b")
+      .select("chi2", "dof", "n").as[(Double, Long, Long)].head()
+    // E = margin products / N: 12, 18, 28, 42
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    assert(math.abs(r._1 - expected) < 1e-9)
+    assert(r._2 == 1L && r._3 == 100L)
+  }
+
+  test("chiSquare is ~0 for an exactly independent table") {
+    val rows = for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 25 }
+      yield ("k", a, b)
+    val r = Stats.chiSquare(rows.toDF("key", "a", "b"), Seq("key"), "a", "b")
+      .select("chi2").as[Double].head()
+    assert(math.abs(r) < 1e-12)
+  }
+
+  test("zOutliers flags exactly the deviant rows and skips zero-variance keys") {
+    val df = (Seq.fill(4)(("g1", 0.0)) :+ ("g1", 100.0))
+      .++(Seq.fill(5)(("flat", 7.0)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      .toDF("id", "g", "v")
+    val out = Stats.zOutliers(df, Seq("g"), "v", threshold = 1.5)
+      .select("id", "g", "z").as[(Long, String, Double)].collect()
+    // g1: mean 20, sample sd sqrt(2000) => z(100) = 80/44.72 = 1.789
+    assert(out.length == 1)
+    assert(out.head._2 == "g1" && out.head._1 == 4L)
+    assert(math.abs(out.head._3 - 80.0 / math.sqrt(2000.0)) < 1e-9)
+  }
+
   test("linreg recovers an exact line with r2 = 1") {
     val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0)).toDF("g", "x", "y")
     val r = Stats.linreg(df, Seq("g"), "y", "x")
