@@ -60,6 +60,38 @@ object QueriesStats {
         .orderBy("event_id")
     }),
 
+    "q_quantile_bins" -> ((s, d) => {
+      // equi-depth discretization (feature-engineering staple): exact
+      // quartile bins per parameter via one window shuffle with a
+      // DETERMINISTIC tie-break (value, event_id) so the bin of every
+      // row is engine-reproducible; the approx path at extreme scale
+      // is q_approx_percentile's thresholds
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+        .orderBy("event_type", "bin")
+    }),
+
+    "q_hll_union" -> ((s, d) => {
+      // mergeable HLL sketches (Spark 4 datasketches built-ins): one
+      // sketch per parameter, then a sketch-UNION rollup — the 100 TB
+      // pattern where per-partition/per-day sketches merge into any
+      // rollup without re-touching raw data. rows-only: sketch
+      // estimates have no DuckDB-reproducible SQL form; the spec
+      // bounds them against exact distinct counts
+      val per = Tables(s, d).events.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      per.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+        .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("__total__").as("event_type"),
+            hll_sketch_estimate(col("sk")).as("approx_users")))
+        .orderBy("event_type")
+    }),
+
     "q_linreg" -> ((s, d) => {
       // per-(returnflag, linestatus) price~quantity fit — the "does
       // the measured value drift with covariate" screen the stats
@@ -140,6 +172,14 @@ object QueriesStats {
         | FROM events e JOIN st USING (event_type) WHERE st.sd > 0)
         |SELECT event_id, event_type, value, round(z, 6) AS z
         |FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+
+    "q_quantile_bins" ->
+      """WITH b AS (
+        | SELECT event_type, value,
+        |  cast(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) as bigint) AS bin
+        | FROM events)
+        |SELECT event_type, bin, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_linreg" ->
       """WITH m AS (

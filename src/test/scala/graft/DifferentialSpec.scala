@@ -211,6 +211,33 @@ class DifferentialSpec extends AnyFunSuite {
     assert(survivors == expectedSet)
   }
 
+  test("dedupSpans matches a naive span-ban reference on random corpora") {
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val k = 2 + rnd.nextInt(3)          // span size 2-4
+      val maxOccur = 1 + rnd.nextInt(2)   // ban threshold 1-2
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (1L to 60L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = graft.operators.Dedup
+        .dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k, maxOccur)
+        .select("doc_id", "n_spans", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+      // naive: window, count corpus-wide, ban, reassemble in order
+      val spans = docs.map { case (id, t) => id -> t.split(" ").grouped(k).map(_.mkString(" ")).toSeq }
+      val counts = spans.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      spans.foreach { case (id, ss) =>
+        val kept = ss.filter(s => counts(s) <= maxOccur)
+        val (gid, gn, grm, gtext) = got(id)
+        assert(gid == id && gn == ss.size && grm == ss.size - kept.size &&
+          gtext == kept.mkString(" "),
+          s"seed=$seed k=$k maxOccur=$maxOccur doc=$id")
+      }
+    }
+  }
+
   test("BpeCodec matches a naive re-derivation of the merge fold on random words") {
     // naive reference: literally re-run "find the lowest-rank pair via
     // linear search over the merge LIST, then split-and-rejoin with

@@ -81,6 +81,26 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out.head._3 - 80.0 / math.sqrt(2000.0)) < 1e-9)
   }
 
+  test("q_hll_union estimates track exact distincts and the union dominates") {
+    val d = SparkTestSession.sfDir
+    val got = SparkEntry.queries("q_hll_union")(spark, d)
+      .as[(String, Long)].collect().toMap
+    val ev = graft.sources.Tables(spark, d).events
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("nd"))
+      .as[(String, Long)].collect().toMap
+    val exactTotal = ev.select(countDistinct("user_id")).as[Long].head()
+    exact.foreach { case (t, nd) =>
+      val est = got(t)
+      assert(math.abs(est - nd) <= math.max(2L, (nd * 0.05).toLong),
+        s"$t: est $est vs exact $nd")
+    }
+    val totalEst = got("__total__")
+    assert(math.abs(totalEst - exactTotal) <= math.max(2L, (exactTotal * 0.05).toLong))
+    // a union of sketches can never estimate below its largest input
+    assert(totalEst >= got.filterKeys(_ != "__total__").values.max)
+  }
+
   test("linreg recovers an exact line with r2 = 1") {
     val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0)).toDF("g", "x", "y")
     val r = Stats.linreg(df, Seq("g"), "y", "x")
