@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Cleaning, Derive, Ids, Joins, Mix, Pack, Reshape, Tokenize}
+import graft.operators.{Cleaning, Dedup, Derive, Ids, Joins, Mix, Pack, Reshape, Tokenize}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -184,6 +184,31 @@ object QueriesPipeline {
         .orderBy("source", "doc_id", "copy_idx")
     }),
 
+    "q_corpus_e2e" -> ((s, d) => {
+      // the LLM-corpus twin of q_pipeline_e2e: the marquee training-
+      // data ops chained as ONE oracle-checked dataflow — exact dedup
+      // (survivor = min doc_id per content hash) → C4 span dedup on
+      // the SURVIVOR corpus → token-count quality gate on the CLEANED
+      // text → temperature mix over the POST-FILTER lang distribution.
+      // Each stage's output feeds the next exactly as a production
+      // pipeline would; the oracle replays the identical chain in SQL
+      import graft.functions.TextFunctions.{tokenCountOfTokens, tokens}
+      val docs = Tables(s, d).documents
+      val keep = Dedup.exact(docs, "doc_id", "text").select("doc_id")
+      val deduped = docs.join(keep, "doc_id")
+      val cleaned = Dedup.dedupSpans(deduped, "doc_id", "text",
+          spanTokens = 8, maxOccur = 1)
+        .select(col("doc_id"), col("n_removed"), col("clean_text"))
+      val scored = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_removed"),
+          tokenCountOfTokens(tokens(col("clean_text"))).as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+      Mix.temperature(scored, "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang", "copy_idx", "weight_ppm",
+          "n_tokens", "n_removed")
+        .orderBy("lang", "doc_id", "copy_idx")
+    }),
+
     "q_mix_temperature" -> ((s, d) => {
       // multinomial temperature sampling over the skewed lang
       // distribution (alpha=0.5 upsamples low-resource langs) —
@@ -290,6 +315,44 @@ object QueriesPipeline {
         |SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx
         |FROM c WHERE n_copies > 0
         |ORDER BY source, doc_id, copy_idx""".stripMargin,
+
+    "q_corpus_e2e" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH keep AS (
+         | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($norm)),
+         |dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+         |t AS (SELECT doc_id, string_split($norm, ' ') AS toks FROM dd),
+         |s AS (
+         | SELECT doc_id, i AS pos, array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS span
+         | FROM t, unnest(range(cast(ceil(len(toks) / 8.0) as bigint))) AS u(i)),
+         |banned AS (SELECT span FROM s GROUP BY span HAVING count(*) > 1),
+         |clean AS (
+         | SELECT s.doc_id,
+         |  count(CASE WHEN b.span IS NOT NULL THEN 1 END) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.pos), '') AS clean_text
+         | FROM s LEFT JOIN banned b ON s.span = b.span GROUP BY s.doc_id),
+         |scored AS (
+         | SELECT c.doc_id, d.lang, c.n_removed,
+         |  CASE WHEN length(c.clean_text) = 0 THEN 0
+         |   ELSE cast(len(string_split(c.clean_text, ' ')) as int) END AS n_tokens
+         | FROM clean c JOIN documents d USING (doc_id)),
+         |f AS (SELECT * FROM scored WHERE n_tokens >= 20),
+         |counts AS (SELECT lang, count(*) AS n FROM f GROUP BY lang),
+         |tot AS (SELECT sum(n) AS total, sum(sqrt(n)) AS sp FROM counts),
+         |w AS (SELECT lang, round(sqrt(n) * total / (n * sp), 6) AS wt FROM counts, tot),
+         |m AS (SELECT f.doc_id, f.lang, f.n_tokens, f.n_removed,
+         |  substr(md5(f.lang || '|' || cast(f.doc_id as varchar)), 1, 8) AS u,
+         |  cast(floor(wt) as bigint) AS n_base,
+         |  lpad(lower(hex(cast(floor((wt - floor(wt)) * 4294967296.0) as bigint))), 8, '0') AS thr,
+         |  cast(round(wt * 1000000, 0) as bigint) AS weight_ppm
+         | FROM f JOIN w USING (lang)),
+         |c AS (SELECT doc_id, lang, n_tokens, n_removed, weight_ppm,
+         |  n_base + CASE WHEN u < thr THEN 1 ELSE 0 END AS n_copies FROM m)
+         |SELECT doc_id, lang, cast(unnest(range(n_copies)) as bigint) AS copy_idx,
+         | weight_ppm, n_tokens, n_removed
+         |FROM c WHERE n_copies > 0
+         |ORDER BY lang, doc_id, copy_idx""".stripMargin
+    },
 
     "q_mix_temperature" ->
       """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
