@@ -203,6 +203,13 @@ object QueriesPipeline {
         .select(col("doc_id"), col("lang"), col("n_removed"),
           tokenCountOfTokens(tokens(col("clean_text"))).as("n_tokens"))
         .filter(col("n_tokens") >= 20)
+        // stage boundary: Mix consumes its input twice (lang counts +
+        // the replication join), and everything upstream of here is
+        // the full dedup chain — materialize the per-doc METADATA
+        // (4 narrow columns, no text) exactly where a production
+        // pipeline would write an intermediate table, so the chain
+        // runs once instead of twice
+        .localCheckpoint()
       Mix.temperature(scored, "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang", "copy_idx", "weight_ppm",
           "n_tokens", "n_removed")
