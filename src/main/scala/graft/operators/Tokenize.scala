@@ -226,4 +226,35 @@ object Tokenize {
       }
       .toDF(idCol, "n_pretokens", "n_bpe_exact")
   }
+
+  /** Overlapping token-window CHUNKING — the RAG/embedding prep op:
+    * windows of `size` tokens starting every `stride` tokens
+    * (stride < size ⇒ overlap), the tail window short rather than
+    * dropped, so every token lands in at least one chunk. A document
+    * of n tokens yields 1 chunk when n <= size, else
+    * ceil((n-size)/stride)+1.
+    *
+    * Scale: a pure narrow map + generate — zero shuffles; chunk ids
+    * are (doc, position) pairs so downstream embedding/packing can
+    * repartition however it likes. posexplode_outer + post-filter for
+    * the same below-Generate reason as [[Dedup.dedupSpans]].
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            size: Int = 256, stride: Int = 192): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(col("__toks"))
+    val nChunks = when(n <= size, lit(1)).otherwise(
+      ceil((n - size).cast("double") / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        transform(sequence(lit(0), nChunks - 1), i => struct(
+          array_join(slice(col("__toks"), i * stride + 1, lit(size)), " ").as("chunk_text"),
+          least(lit(size), n - i * stride).cast("long").as("n_tokens"))).as("__chunks"))
+      .select(col(idCol), posexplode_outer(col("__chunks")).as(Seq("chunk_idx", "c")))
+      .filter(col("c").isNotNull)
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+  }
 }

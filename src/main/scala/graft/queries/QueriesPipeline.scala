@@ -216,6 +216,15 @@ object QueriesPipeline {
         .orderBy("lang", "doc_id", "copy_idx")
     }),
 
+    "q_chunk_windows" -> ((s, d) => {
+      // overlapping token-window chunking (Tokenize.chunk) — RAG/
+      // embedding prep: 32-token windows every 24 tokens, short tail
+      // kept; zero shuffles, oracle replays the window arithmetic
+      Tokenize.chunk(Tables(s, d).documents, "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_mix_temperature" -> ((s, d) => {
       // multinomial temperature sampling over the skewed lang
       // distribution (alpha=0.5 upsamples low-resource langs) —
@@ -359,6 +368,22 @@ object QueriesPipeline {
          | weight_ppm, n_tokens, n_removed
          |FROM c WHERE n_copies > 0
          |ORDER BY lang, doc_id, copy_idx""".stripMargin
+    },
+
+    "q_chunk_windows" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH t AS (
+         | SELECT doc_id, string_split($norm, ' ') AS toks FROM documents),
+         |nc AS (
+         | SELECT doc_id, toks, len(toks) AS n,
+         |  CASE WHEN len(toks) <= 32 THEN 1
+         |   ELSE cast(ceil((len(toks) - 32) / 24.0) as bigint) + 1 END AS n_chunks
+         | FROM t)
+         |SELECT doc_id, i AS chunk_idx,
+         | least(32, n - i * 24) AS n_tokens,
+         | array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text
+         |FROM nc, unnest(range(n_chunks)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
     "q_mix_temperature" ->

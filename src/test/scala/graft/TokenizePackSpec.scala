@@ -110,6 +110,30 @@ class TokenizePackSpec extends AnyFunSuite {
       byId.values.map(_.length).sum) // nothing lost corpus-wide
   }
 
+  test("Tokenize.chunk windows match a naive slicer: coverage, overlap, short tail") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 40L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(90))("t" + rnd.nextInt(50)).mkString(" ")
+    }
+    val got = Tokenize.chunk(docs.toDF("doc_id", "text"), "doc_id", "text",
+        size = 10, stride = 7)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val exp =
+        if (toks.length <= 10) Seq(toks.toSeq)
+        else (0 until math.ceil((toks.length - 10) / 7.0).toInt + 1)
+          .map(i => toks.slice(i * 7, i * 7 + 10).toSeq)
+      val g = got(id)
+      assert(g.length == exp.length, s"doc $id chunk count")
+      g.zip(exp).zipWithIndex.foreach { case (((_, idx, nt, ct), e), i) =>
+        assert(idx == i && ct == e.mkString(" ") && nt == e.length, s"doc $id chunk $i")
+      }
+    }
+  }
+
   test("fillStats summarizes packing efficiency") {
     val docs = (1L to 100L).map(i => (i, 100)).toDF("doc_id", "n_tok")
     val bins = Pack.sequences(docs, "doc_id", "n_tok", maxTokens = 1000, numShards = 2)
