@@ -211,6 +211,47 @@ class DifferentialSpec extends AnyFunSuite {
     assert(survivors == expectedSet)
   }
 
+  test("welchT and chiSquare match naive references on random grouped data") {
+    for (seed <- Seq(2, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for {
+        g <- Seq("g1", "g2", "g3")
+        i <- 1 to (20 + rnd.nextInt(30))
+      } yield (g, if (rnd.nextBoolean()) "a" else "b",
+        if (rnd.nextBoolean()) "x" else "y",
+        math.floor(rnd.nextDouble() * 10000) / 100)
+      val df = rows.toDF("g", "cohort", "flag", "v")
+      // Welch per group vs naive double-precision reference
+      val gotW = graft.operators.Stats
+        .welchT(df, Seq("g"), "v", "cohort", "a", "b")
+        .select("g", "t_stat").as[(String, Option[Double])].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val (as, bs) = (rs.filter(_._2 == "a").map(_._4), rs.filter(_._2 == "b").map(_._4))
+        def mv(xs: Seq[Double]) = {
+          val m = xs.sum / xs.size
+          (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+        }
+        if (as.size >= 2 && bs.size >= 2) {
+          val ((ma, va), (mb, vb)) = (mv(as), mv(bs))
+          val t = (ma - mb) / math.sqrt(va / as.size + vb / bs.size)
+          assert(math.abs(gotW(g).get - t) < 1e-6, s"seed=$seed group=$g welch")
+        }
+      }
+      // chi2 per group vs naive contingency reference
+      val gotC = graft.operators.Stats.chiSquare(df, Seq("g"), "cohort", "flag")
+        .select("g", "chi2").as[(String, Double)].collect().toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val n = rs.size.toDouble
+        val cells = rs.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toDouble)
+        val chi2 = cells.map { case ((a, b), o) =>
+          val e = rs.count(_._2 == a) * rs.count(_._3 == b) / n
+          (o - e) * (o - e) / e
+        }.sum
+        assert(math.abs(gotC(g) - chi2) < 1e-6, s"seed=$seed group=$g chi2")
+      }
+    }
+  }
+
   test("dedupSpans matches a naive span-ban reference on random corpora") {
     for (seed <- Seq(5, 23, 91)) {
       val rnd = new scala.util.Random(seed)
