@@ -118,6 +118,33 @@ object Stats {
       .drop("__mean", "__sd")
   }
 
+  /** Time-weighted mean (TWAP): each observation holds until the next
+    * one, so its weight is the inter-arrival gap in microseconds; the
+    * last observation per key (no successor) carries no weight. The
+    * value·gap products are exact decimals (gaps are integral micros),
+    * so the weighted sum is partition-order independent; one double
+    * division at the end.
+    *
+    * Scale: the lead() window hash-partitions by key, and the
+    * follow-up aggregation needs the same distribution — Catalyst
+    * reuses the exchange, so the whole statistic is ONE shuffle. */
+  def timeWeightedMean(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                       valueCol: String, tieCol: String,
+                       scale: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df
+      .withColumn("__next_us", lead(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__next_us").isNotNull)
+      .withColumn("__dt", col("__next_us") - unix_micros(col(tsCol)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__dt")).as("total_us"),
+        (sum(col(valueCol).cast(s"decimal(18,$scale)") * col("__dt")).cast("double") /
+          sum(col("__dt")).cast("double")).as("twap"))
+  }
+
   /** Per-key simple OLS y ~ x from exact decimal raw moments:
     * n, slope, intercept, r². The closed forms share one symmetric
     * moment dag in both this code and the SQL oracle, so values match

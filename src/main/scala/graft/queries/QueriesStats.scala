@@ -60,6 +60,17 @@ object QueriesStats {
         .orderBy("event_id")
     }),
 
+    "q_time_weighted" -> ((s, d) => {
+      // TWAP per user (Stats.timeWeightedMean): hold-until-next
+      // weighting over the event stream; ONE shuffle (the window's
+      // hash exchange is reused by the aggregation)
+      Stats.timeWeightedMean(Tables(s, d).events, Seq("user_id"), "ts",
+          "value", tieCol = "event_id", scale = 2)
+        .select(col("user_id"), col("n_intervals"), col("total_us"),
+          round(col("twap"), 6).as("twap"))
+        .orderBy("user_id")
+    }),
+
     "q_quantile_bins" -> ((s, d) => {
       // equi-depth discretization (feature-engineering staple): exact
       // quartile bins per parameter via one window shuffle with a
@@ -172,6 +183,22 @@ object QueriesStats {
         | FROM events e JOIN st USING (event_type) WHERE st.sd > 0)
         |SELECT event_id, event_type, value, round(z, 6) AS z
         |FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+
+    "q_time_weighted" ->
+      """WITH o AS (
+        | SELECT user_id, event_id, value,
+        |  epoch_us(cast(ts as timestamp)) AS tus,
+        |  lead(epoch_us(cast(ts as timestamp))) OVER (
+        |   PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id) AS next_us
+        | FROM events),
+        |i AS (
+        | SELECT user_id, value, next_us - tus AS dt
+        | FROM o WHERE next_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        | cast(sum(dt) as bigint) AS total_us,
+        | round(cast(sum(cast(value as decimal(18,2)) * dt) as double)
+        |   / cast(sum(dt) as double), 6) AS twap
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_quantile_bins" ->
       """WITH b AS (
