@@ -99,6 +99,28 @@ object Cleaning {
     * (experiment_cleaner.py:340). Uses a '|' separator so ("ab","c")
     * and ("a","bc") don't collide — an improvement over the
     * reference's bare concat. */
+  /** Data-driven missing-value repair: fill nulls in `valueCol` with
+    * the KEY GROUP's mean, falling back to the global mean for groups
+    * with no observed values (the statistical sibling of the constant
+    * fills in nullPolicy). Group means come from exact decimal sums
+    * over the non-null values (partition-order independent); the
+    * means table is |keys|-sized so the repair join broadcasts under
+    * AQE, and the global mean rides along as a 1-row broadcast —
+    * the fact table is scanned twice but shuffled never.
+    * Adds `was_imputed` and `<valueCol>_filled`. */
+  def imputeByGroup(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    scale: Int = 6): DataFrame = {
+    val v = col(valueCol)
+    def meanExpr = (sum(v.cast(s"decimal(28,$scale)")).cast("double") / count(v))
+    val grp = df.groupBy(keyCols.map(col): _*).agg(meanExpr.as("__gmean"))
+    val glob = df.agg(meanExpr.as("__global"))
+    df.join(grp, keyCols, "left").crossJoin(broadcast(glob))
+      .withColumn("was_imputed", v.isNull)
+      .withColumn(s"${valueCol}_filled",
+        coalesce(v, col("__gmean"), col("__global")))
+      .drop("__gmean", "__global")
+  }
+
   def withUniqueId(idCol: String, cols: Seq[String])(df: DataFrame): DataFrame =
     df.withColumn(idCol,
       md5(concat_ws("|", cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)))

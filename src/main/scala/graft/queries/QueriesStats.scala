@@ -60,6 +60,22 @@ object QueriesStats {
         .orderBy("event_id")
     }),
 
+    "q_impute_group" -> ((s, d) => {
+      // group-mean imputation (Cleaning.imputeByGroup): nulls injected
+      // deterministically (every 7th event), repaired with the
+      // parameter's mean over the REMAINING values; oracle replays the
+      // same injection + exact-decimal means
+      val ev = Tables(s, d).events
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")))
+      graft.operators.Cleaning
+        .imputeByGroup(ev, Seq("event_type"), "value", scale = 2)
+        .select(col("event_id"), col("event_type"), col("was_imputed"),
+          round(col("value_filled"), 6).as("value_filled"))
+        .orderBy("event_id")
+    }),
+
     "q_time_weighted" -> ((s, d) => {
       // TWAP per user (Stats.timeWeightedMean): hold-until-next
       // weighting over the event stream; ONE shuffle (the window's
@@ -183,6 +199,24 @@ object QueriesStats {
         | FROM events e JOIN st USING (event_type) WHERE st.sd > 0)
         |SELECT event_id, event_type, value, round(z, 6) AS z
         |FROM z WHERE abs(z) > 2.0 ORDER BY event_id""".stripMargin,
+
+    "q_impute_group" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        | FROM events),
+        |g AS (
+        | SELECT event_type,
+        |  cast(sum(cast(value as decimal(28,2))) as double) / count(value) AS gmean
+        | FROM ev GROUP BY 1),
+        |gl AS (
+        | SELECT cast(sum(cast(value as decimal(28,2))) as double) / count(value) AS globalmean
+        | FROM ev)
+        |SELECT ev.event_id, ev.event_type,
+        | ev.value IS NULL AS was_imputed,
+        | round(coalesce(ev.value, g.gmean, gl.globalmean), 6) AS value_filled
+        |FROM ev LEFT JOIN g USING (event_type), gl
+        |ORDER BY ev.event_id""".stripMargin,
 
     "q_time_weighted" ->
       """WITH o AS (
