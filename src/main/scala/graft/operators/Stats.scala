@@ -28,7 +28,10 @@ object Stats {
 
   private def mom(flag: Column, v: Column, scale: Int): (Column, Column, Column) = {
     val vd = v.cast(s"decimal(18,$scale)")
-    (count(when(flag, 1)),
+    // count(when(flag, v)) — NOT when(flag, 1) — so a null value never
+    // inflates n while being skipped by the sums (n, s, q must all
+    // range over the same rows or the derived mean/variance are wrong)
+    (count(when(flag, v)),
      sum(when(flag, v).cast(s"decimal(28,$scale)")).cast("double"),
      sum(when(flag, vd * vd)).cast("double"))
   }
@@ -74,7 +77,13 @@ object Stats {
   def chiSquare(df: DataFrame, keyCols: Seq[String], aCol: String,
                 bCol: String): DataFrame = {
     val keys = keyCols.map(col)
-    val cells = df.groupBy((keyCols :+ aCol :+ bCol).map(col): _*)
+    // null factor levels are excluded up front: the margin joins are
+    // null-unsafe (a null level would group but not join, silently
+    // losing its cells from the fold) — exclusion is the standard
+    // complete-case contingency contract
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy((keyCols :+ aCol :+ bCol).map(col): _*)
       .agg(count(lit(1)).as("__o"))
     val rowT = cells.groupBy((keyCols :+ aCol).map(col): _*)
       .agg(sum("__o").as("__ra"))
@@ -134,7 +143,11 @@ object Stats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
-    df
+    // null observations are dropped BEFORE windowing so the preceding
+    // value's hold period extends across them — otherwise a null row
+    // would contribute its gap to total time but nothing to the sum,
+    // deflating the mean
+    df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .withColumn("__next_us", lead(unix_micros(col(tsCol)), 1).over(w))
       .filter(col("__next_us").isNotNull)
       .withColumn("__dt", col("__next_us") - unix_micros(col(tsCol)))

@@ -81,6 +81,36 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(out.head._3 - 80.0 / math.sqrt(2000.0)) < 1e-9)
   }
 
+  test("welchT ignores null values entirely (n, mean, var range over the same rows)") {
+    val df = (Seq(Some(1.0), Some(2.0), Some(3.0), None).map(("p", "ctl", _)) ++
+        Seq(Some(4.0), Some(6.0), None, None).map(("p", "mut", _)))
+      .toDF("param", "cohort", "v")
+    val r = Stats.welchT(df, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("n_a", "n_b", "mean_a", "mean_b").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 5.0) < 1e-9)
+  }
+
+  test("timeWeightedMean holds values across gaps; nulls bridged, singletons dropped") {
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val df = Seq(
+      (1L, at(0), Some(10.0), 1L),   // holds 30s (null at 10s bridged)
+      (1L, at(10), None, 2L),
+      (1L, at(30), Some(40.0), 3L),  // holds 10s
+      (1L, at(40), Some(99.0), 4L),  // last: no weight
+      (2L, at(0), Some(5.0), 5L))    // singleton: no interval at all
+      .toDF("user_id", "ts", "v", "event_id")
+    val got = Stats.timeWeightedMean(df, Seq("user_id"), "ts", "v", "event_id")
+      .select("user_id", "n_intervals", "total_us", "twap")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L))
+    val (_, n, tot, twap) = got(1L)
+    assert(n == 2L && tot == 40L * 1000000L)
+    assert(math.abs(twap - (10.0 * 30 + 40.0 * 10) / 40) < 1e-9)
+  }
+
   test("q_hll_union estimates track exact distincts and the union dominates") {
     val d = SparkTestSession.sfDir
     val got = SparkEntry.queries("q_hll_union")(spark, d)
