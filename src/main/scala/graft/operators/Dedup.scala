@@ -174,6 +174,34 @@ object Dedup {
     result
   }
 
+  /** Exact dedup with a SURVIVOR POLICY and rewrite map: one row per
+    * input document carrying the canonical `keep_id` of its content
+    * group — the table downstream references are rewritten through.
+    * The survivor is the group's best-quality doc (ties → smallest
+    * id), not blindly the smallest id as in [[exact]]: in a real
+    * corpus the duplicates differ in metadata and you keep the best.
+    *
+    * One fingerprint shuffle; the per-group argmax is a max_by-style
+    * struct-max aggregation (partial-combines map-side, no window
+    * sort), re-joined to the exploded membership — both sides keyed by
+    * the fingerprint, so AQE plans the small aggregated side broadcast
+    * at dimension-ish cardinalities. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String,
+                     qualityCol: String): DataFrame = {
+    val fp = df.select(col(idCol), fingerprint(col(textCol)).as("fp"),
+      col(qualityCol).cast("double").as("__q"))
+    // struct max orders by (quality, -id): greatest quality, then
+    // smallest id — negation flips the id tie to a minimum
+    val winners = fp.groupBy("fp")
+      .agg(max(struct(col("__q"), (-col(idCol)).as("__negid"))).as("__w"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fp"), (-col("__w.__negid")).cast("long").as("keep_id"),
+        col("n_dups"))
+    fp.join(winners, "fp")
+      .select(col(idCol), col("fp"), col("keep_id"), col("n_dups"),
+        (col(idCol) === col("keep_id")).as("is_kept"))
+  }
+
   /** C4-style SPAN dedup: remove every fixed-size token span that
     * occurs more than `maxOccur` times corpus-wide, keeping the rest
     * of each document intact (C4 removed any 3-sentence span seen

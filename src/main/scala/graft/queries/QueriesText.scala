@@ -98,6 +98,15 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_survivors" -> ((s, d) => {
+      // survivor-policy exact dedup + rewrite map (Dedup.
+      // exactSurvivors): every doc maps to its group's best-quality
+      // canonical (longest doc wins, ties to smallest id) — the table
+      // downstream references are rewritten through
+      Dedup.exactSurvivors(Tables(s, d).documents, "doc_id", "text", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_spans" -> ((s, d) => {
       // C4-style WITHIN-document boilerplate removal: every 8-token
       // span seen more than once corpus-wide is deleted, the document
@@ -587,6 +596,21 @@ object QueriesText {
     "q_dedup_exact" ->
       s"""SELECT md5($normSql) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""WITH fp AS (
+         | SELECT doc_id, md5($normSql) AS fp, cast(n_chars as double) AS q
+         | FROM documents),
+         |w AS (
+         | SELECT fp, doc_id, q,
+         |  count(*) OVER (PARTITION BY fp) AS n_dups,
+         |  row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rk
+         | FROM fp),
+         |k AS (SELECT fp, doc_id AS keep_id, n_dups FROM w WHERE rk = 1)
+         |SELECT f.doc_id, f.fp, k.keep_id, k.n_dups,
+         | f.doc_id = k.keep_id AS is_kept
+         |FROM fp f JOIN k USING (fp)
+         |ORDER BY f.doc_id""".stripMargin,
 
     "q_dedup_spans" ->
       s"""WITH t AS (

@@ -52,6 +52,20 @@ class DedupSpansSpec extends AnyFunSuite {
     assert(run(docs, maxOccur = 2).values.forall(_._4 == ""))
   }
 
+  test("exactSurvivors keeps the best-quality doc, ties to smallest id, maps every doc") {
+    val df = Seq(
+      (1L, "dup text", 5.0), (2L, "dup text", 9.0), (3L, "dup text", 9.0),
+      (4L, "lonely doc", 1.0))
+      .toDF("doc_id", "text", "q")
+    val got = Dedup.exactSurvivors(df, "doc_id", "text", "q")
+      .select("doc_id", "keep_id", "n_dups", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))        // every doc mapped
+    assert(Seq(1L, 2L, 3L).forall(got(_)._2 == 2L))  // q=9 wins, tie -> min id
+    assert(got(2L)._4 && !got(1L)._4 && !got(3L)._4)
+    assert(got(1L)._3 == 3L && got(4L)._3 == 1L && got(4L)._4 && got(4L)._2 == 4L)
+  }
+
   test("unique corpus round-trips through normalization unchanged") {
     val docs = (1L to 40L).map(i => i -> s"tok${i}a tok${i}b tok${i}c tok${i}d")
     val r = run(docs, k = 3)
