@@ -156,6 +156,10 @@ object Stats {
         sum(col("__dt")).as("total_us"),
         (sum(col(valueCol).cast(s"decimal(18,$scale)") * col("__dt")).cast("double") /
           sum(col("__dt")).cast("double")).as("twap"))
+      // a key whose observations all share one timestamp has zero
+      // elapsed time — 0/0 would emit NaN (which no two engines hash
+      // alike); no elapsed time means no time-weighted mean
+      .filter(col("total_us") > 0)
   }
 
   /** Per-key simple OLS y ~ x from exact decimal raw moments:

@@ -232,7 +232,7 @@ object QueriesStats {
         | cast(sum(dt) as bigint) AS total_us,
         | round(cast(sum(cast(value as decimal(18,2)) * dt) as double)
         |   / cast(sum(dt) as double), 6) AS twap
-        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM i GROUP BY 1 HAVING sum(dt) > 0 ORDER BY 1""".stripMargin,
 
     "q_quantile_bins" ->
       """WITH b AS (
