@@ -58,10 +58,15 @@ object Stats {
     val sea = col("var_a") / col("n_a")
     val seb = col("var_b") / col("n_b")
     agg
-      .withColumn("t_stat", (col("mean_a") - col("mean_b")) / sqrt(sea + seb))
+      // two zero-variance cohorts make the standard error 0: t would
+      // be ±Inf or 0/0 NaN — both meaningless (and NaN breaks
+      // engine-parity hashing); surface null like the n<2 case
+      .withColumn("t_stat",
+        when(sea + seb > 0, (col("mean_a") - col("mean_b")) / sqrt(sea + seb)))
       .withColumn("df_welch",
-        (sea + seb) * (sea + seb) /
-          (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)))
+        when(sea + seb > 0,
+          (sea + seb) * (sea + seb) /
+            (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1))))
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
@@ -185,9 +190,13 @@ object Stats {
     val varxn = n * col("__sxx") - sx * sx
     val varyn = n * col("__syy") - sy * sy
     agg
-      .withColumn("slope", covn / varxn)
-      .withColumn("intercept", (sy - covn / varxn * sx) / n)
-      .withColumn("r2", covn * covn / (varxn * varyn))
+      // constant x ⇒ varxn = 0 ⇒ slope undefined (x/0 or 0/0);
+      // constant y additionally zeroes varyn ⇒ r² 0/0 — surface null
+      // rather than Inf/NaN (NaN hashes differently per engine)
+      .withColumn("slope", when(varxn > 0, covn / varxn))
+      .withColumn("intercept", when(varxn > 0, (sy - covn / varxn * sx) / n))
+      .withColumn("r2",
+        when(varxn > 0 && varyn > 0, covn * covn / (varxn * varyn)))
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
 }

@@ -152,10 +152,12 @@ object QueriesStats {
         |SELECT event_type, n_a, n_b,
         | round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
         | round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
-        | round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6) AS t_stat,
-        | round((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
+        | round(CASE WHEN var_a / n_a + var_b / n_b > 0
+        |  THEN (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) END, 6) AS t_stat,
+        | round(CASE WHEN var_a / n_a + var_b / n_b > 0
+        |  THEN (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b) /
         |   ((var_a / n_a) * (var_a / n_a) / (n_a - 1) +
-        |    (var_b / n_b) * (var_b / n_b) / (n_b - 1)), 6) AS df_welch
+        |    (var_b / n_b) * (var_b / n_b) / (n_b - 1)) END, 6) AS df_welch
         |FROM v ORDER BY event_type""".stripMargin,
 
     "q_chi_square" ->
@@ -252,9 +254,12 @@ object QueriesStats {
         |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
         | FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, n,
-        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        | round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
-        | round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |   ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        | round(CASE WHEN n * sxx - sx * sx > 0
+        |  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        | round(CASE WHEN n * sxx - sx * sx > 0
+        |  THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END, 6) AS intercept,
+        | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |   ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
         |FROM m ORDER BY 1, 2""".stripMargin)
 }

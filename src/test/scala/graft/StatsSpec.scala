@@ -131,6 +131,24 @@ class StatsSpec extends AnyFunSuite {
     assert(totalEst >= got.filterKeys(_ != "__total__").values.max)
   }
 
+  test("degenerate groups surface null, never NaN/Inf") {
+    // welch: both cohorts constant -> zero standard error
+    val wd = (Seq.fill(3)(("p", "ctl", 5.0)) ++ Seq.fill(3)(("p", "mut", 7.0)))
+      .toDF("param", "cohort", "v")
+    val wr = Stats.welchT(wd, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("t_stat", "df_welch").head()
+    assert(wr.isNullAt(0) && wr.isNullAt(1))
+    // linreg: constant x -> null slope/intercept/r2; constant y -> r2 null, slope 0
+    val ld = Seq(("cx", 2.0, 1.0), ("cx", 2.0, 5.0), ("cx", 2.0, 9.0),
+        ("cy", 1.0, 4.0), ("cy", 2.0, 4.0), ("cy", 3.0, 4.0))
+      .toDF("g", "x", "y")
+    val lr = Stats.linreg(ld, Seq("g"), "y", "x")
+      .select("g", "slope", "intercept", "r2")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(lr("cx").isNullAt(1) && lr("cx").isNullAt(2) && lr("cx").isNullAt(3))
+    assert(lr("cy").getDouble(1) == 0.0 && lr("cy").isNullAt(3))
+  }
+
   test("linreg recovers an exact line with r2 = 1") {
     val df = (1 to 20).map(i => ("g", i.toDouble, 2.0 * i + 1.0)).toDF("g", "x", "y")
     val r = Stats.linreg(df, Seq("g"), "y", "x")
