@@ -112,13 +112,21 @@ object Cleaning {
                     scale: Int = 6): DataFrame = {
     val v = col(valueCol)
     def meanExpr = (sum(v.cast(s"decimal(28,$scale)")).cast("double") / count(v))
-    val grp = df.groupBy(keyCols.map(col): _*).agg(meanExpr.as("__gmean"))
+    // null-SAFE (<=>) repair join: groupBy puts null-key rows in their
+    // own group, and an equi-join would never match them back — they
+    // would silently fall through to the global mean even when their
+    // group has observed values
+    val grp = keyCols.foldLeft(
+        df.groupBy(keyCols.map(col): _*).agg(meanExpr.as("__gmean"))) {
+      (g, k) => g.withColumnRenamed(k, s"__k_$k")
+    }
+    val cond = keyCols.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
     val glob = df.agg(meanExpr.as("__global"))
-    df.join(grp, keyCols, "left").crossJoin(broadcast(glob))
+    df.join(grp, cond, "left").crossJoin(broadcast(glob))
       .withColumn("was_imputed", v.isNull)
       .withColumn(s"${valueCol}_filled",
         coalesce(v, col("__gmean"), col("__global")))
-      .drop("__gmean", "__global")
+      .drop(keyCols.map(k => s"__k_$k") :+ "__gmean" :+ "__global": _*)
   }
 
   def withUniqueId(idCol: String, cols: Seq[String])(df: DataFrame): DataFrame =

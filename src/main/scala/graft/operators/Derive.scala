@@ -63,9 +63,13 @@ object Derive {
         case None => base
         case Some(entries) =>
           // literal map lookup (one codegen'd expression), unmapped
-          // values pass through — same posture as Cleaning.mapValues
+          // values pass through — same posture as Cleaning.mapValues.
+          // The lookup works in string space, but the result is cast
+          // BACK to the spec's declared dtype so a vocab entry never
+          // silently demotes a cast_to column to string
           val m = map(entries.flatMap { case (f, t) => Seq(lit(f), lit(t)) }: _*)
-          coalesce(element_at(m, base.cast("string")), base.cast("string"))
+          val looked = coalesce(element_at(m, base.cast("string")), base.cast("string"))
+          castTo.fold(looked)(t => looked.cast(t))
       }
       mapped.as(dst)
     }

@@ -42,12 +42,16 @@ object Tokenize {
     override def next(): String = { val s = m.group(); ready = m.find(); s }
   }
 
-  /** GPT-2 merges.txt lines → ranked merge pairs (skips `#`-comment /
-    * version header lines and blanks). */
+  /** GPT-2 merges.txt lines → ranked merge pairs. Only the
+    * `#version:` HEADER is skipped (plus blanks) — a bare
+    * `startsWith("#")` filter would also delete legitimate merge
+    * rules for '#'-initial symbols ('# #' etc.), which real GPT-2
+    * merges files contain; canonical parsers skip only the header
+    * line. */
   def parseMergesLines(lines: Seq[String]): Seq[(String, String)] =
     lines.iterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.split(" ", 2)
         require(sp.length == 2, s"malformed merges line: '$l'")

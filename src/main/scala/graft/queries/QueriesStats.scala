@@ -37,12 +37,15 @@ object QueriesStats {
 
     "q_chi_square" -> ((s, d) => {
       // categorical association per parameter: user parity vs
-      // high/low value — the categorical sibling of q_ttest_welch
+      // high/low value — the categorical sibling of q_ttest_welch.
+      // 35.0 ≈ the value median at every sf, so the table is a real
+      // 2x2 (a threshold past the max would collapse it to one level
+      // and the oracle would verify a vacuous chi2=0)
       val ev = Tables(s, d).events
         .withColumn("cohort",
           when(col("user_id") % 2 === 0, "even").otherwise("odd"))
         .withColumn("bucket",
-          when(col("value") >= 500.0, "high").otherwise("low"))
+          when(col("value") >= 35.0, "high").otherwise("low"))
       Stats.chiSquare(ev, Seq("event_type"), "cohort", "bucket")
         .select(col("event_type"), col("n"), col("dof"),
           round(col("chi2"), 6).as("chi2"))
@@ -137,8 +140,8 @@ object QueriesStats {
     "q_ttest_welch" ->
       """WITH m AS (
         | SELECT event_type,
-        |  count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
-        |  count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+        |  count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_a,
+        |  count(CASE WHEN user_id % 2 = 1 THEN value END) AS n_b,
         |  cast(sum(CASE WHEN user_id % 2 = 0 THEN cast(value as decimal(28,2)) END) as double) AS sa,
         |  cast(sum(CASE WHEN user_id % 2 = 1 THEN cast(value as decimal(28,2)) END) as double) AS sb,
         |  cast(sum(CASE WHEN user_id % 2 = 0 THEN cast(value as decimal(18,2)) * cast(value as decimal(18,2)) END) as double) AS qa,
@@ -146,8 +149,8 @@ object QueriesStats {
         | FROM events GROUP BY 1),
         |v AS (
         | SELECT event_type, n_a, n_b, sa / n_a AS mean_a, sb / n_b AS mean_b,
-        |  (qa - sa * sa / n_a) / (n_a - 1) AS var_a,
-        |  (qb - sb * sb / n_b) / (n_b - 1) AS var_b
+        |  CASE WHEN n_a >= 2 THEN (qa - sa * sa / n_a) / (n_a - 1) END AS var_a,
+        |  CASE WHEN n_b >= 2 THEN (qb - sb * sb / n_b) / (n_b - 1) END AS var_b
         | FROM m)
         |SELECT event_type, n_a, n_b,
         | round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
@@ -164,7 +167,7 @@ object QueriesStats {
       """WITH cells AS (
         | SELECT event_type,
         |  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
-        |  CASE WHEN value >= 500.0 THEN 'high' ELSE 'low' END AS bucket,
+        |  CASE WHEN value >= 35.0 THEN 'high' ELSE 'low' END AS bucket,
         |  count(*) AS o
         | FROM events GROUP BY 1, 2, 3),
         |rt AS (SELECT event_type, cohort, sum(o) AS ra FROM cells GROUP BY 1, 2),
@@ -187,7 +190,7 @@ object QueriesStats {
 
     "q_outliers" ->
       """WITH m AS (
-        | SELECT event_type, count(*) AS n,
+        | SELECT event_type, count(value) AS n,
         |  cast(sum(cast(value as decimal(28,2))) as double) AS s,
         |  cast(sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as double) AS q
         | FROM events GROUP BY 1),

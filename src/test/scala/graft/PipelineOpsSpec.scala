@@ -39,6 +39,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Set(Some("OPEN"), None))
   }
 
+  test("applyMappingSpec keeps the spec dtype on vocab-mapped columns") {
+    val df = Seq(Tuple1("1"), Tuple1("7")).toDF("code")
+    val spec = Seq(("code", "code_num", "int")).toDF("src_col", "dst_col", "cast_to")
+    val vocab = Seq(("code_num", "7", "700")).toDF("dst_col", "from_value", "to_value")
+    val out = Derive.applyMappingSpec(df, spec, Some(vocab))
+    assert(out.schema("code_num").dataType.typeName == "integer")
+    assert(out.as[Int].collect().toSet == Set(1, 700))
+  }
+
+  test("imputeByGroup repairs null-key groups with their OWN mean (null-safe join)") {
+    val df = Seq((Some("a"), Some(99.0)), (None, Some(10.0)), (None, None))
+      .toDF("g", "v")
+    val got = graft.operators.Cleaning.imputeByGroup(df, Seq("g"), "v")
+      .select("g", "v_filled", "was_imputed")
+      .as[(Option[String], Double, Boolean)].collect()
+    val nullKeyImputed = got.filter(r => r._1.isEmpty && r._3)
+    assert(nullKeyImputed.length == 1)
+    // group mean of the null-key group is 10.0, NOT the global 54.5
+    assert(math.abs(nullKeyImputed.head._2 - 10.0) < 1e-9)
+  }
+
   test("surrogate ids are dense 1..N, unique, and key-determined") {
     val df = (1L to 97L).map(i => (i * 13 % 101, s"payload$i")).toDF("key", "payload")
     val out = Ids.surrogate(df, Seq("key")).select("key", "surrogate_id")

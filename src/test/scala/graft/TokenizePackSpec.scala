@@ -51,6 +51,13 @@ class TokenizePackSpec extends AnyFunSuite {
     assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
   }
 
+  test("parseMergesLines keeps '#'-initial merge rules (only the version header is a comment)") {
+    // real GPT-2 merges files contain rules for '#'-run symbols
+    val merges = Tokenize.parseMergesLines(Seq(
+      "#version: 0.2", "# #", "## #", "a b"))
+    assert(merges == Seq(("#", "#"), ("##", "#"), ("a", "b")))
+  }
+
   test("bpeCounts emits exact counts over a DataFrame") {
     val df = Seq((1L, "hug pun"), (2L, "hugs"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
