@@ -42,21 +42,25 @@ object Tokenize {
     override def next(): String = { val s = m.group(); ready = m.find(); s }
   }
 
-  /** GPT-2 merges.txt lines → ranked merge pairs. Only the
-    * `#version:` HEADER is skipped (plus blanks) — a bare
-    * `startsWith("#")` filter would also delete legitimate merge
-    * rules for '#'-initial symbols ('# #' etc.), which real GPT-2
-    * merges files contain; canonical parsers skip only the header
-    * line. */
-  def parseMergesLines(lines: Seq[String]): Seq[(String, String)] =
-    lines.iterator
+  /** GPT-2 merges.txt lines → ranked merge pairs. Canonical parsers
+    * drop ONLY the first line when it is the `#version:` header — a
+    * later rule whose LEFT symbol is literally '#version…' (possible
+    * for code-trained vocabularies) must be kept, so the header test
+    * is positional, not a prefix filter over the whole file. Blank
+    * lines are skipped anywhere. */
+  def parseMergesLines(lines: Seq[String]): Seq[(String, String)] = {
+    val body =
+      if (lines.nonEmpty && lines.head.trim.startsWith("#version")) lines.tail
+      else lines
+    body.iterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .filter(_.nonEmpty)
       .map { l =>
         val sp = l.split(" ", 2)
         require(sp.length == 2, s"malformed merges line: '$l'")
         (sp(0), sp(1))
       }.toSeq
+  }
 
   /** The encoder: applies ranked merges exactly as GPT-2's bpe() —
     * repeatedly find the lowest-rank adjacent pair present and merge
@@ -236,7 +240,10 @@ object Tokenize {
     * (stride < size ⇒ overlap), the tail window short rather than
     * dropped, so every token lands in at least one chunk. A document
     * of n tokens yields 1 chunk when n <= size, else
-    * ceil((n-size)/stride)+1.
+    * ceil((n-size)/stride)+1; an EMPTY (or whitespace-only) document
+    * yields ZERO chunks — `split('')` produces `['']`, which is 0
+    * tokens by the tokenCountOfTokens convention, and downstream
+    * RAG/embedding consumers must not receive phantom chunks.
     *
     * Scale: a pure narrow map + generate — zero shuffles; chunk ids
     * are (doc, position) pairs so downstream embedding/packing can
@@ -257,7 +264,10 @@ object Tokenize {
           array_join(slice(col("__toks"), i * stride + 1, lit(size)), " ").as("chunk_text"),
           least(lit(size), n - i * stride).cast("long").as("n_tokens"))).as("__chunks"))
       .select(col(idCol), posexplode_outer(col("__chunks")).as(Seq("chunk_idx", "c")))
-      .filter(col("c").isNotNull)
+      // a chunk can only have empty text when the whole document
+      // normalized to '' (split yields [''], n=1) — drop that phantom
+      // chunk so empty docs emit zero rows
+      .filter(col("c").isNotNull && col("c.chunk_text") =!= "")
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
   }

@@ -208,8 +208,11 @@ object QueriesPipeline {
         // the full dedup chain — materialize the per-doc METADATA
         // (4 narrow columns, no text) exactly where a production
         // pipeline would write an intermediate table, so the chain
-        // runs once instead of twice
-        .localCheckpoint()
+        // runs once instead of twice. eager=false: nothing executes
+        // at PLAN-BUILD time (PlanAuditSpec instantiates every query);
+        // the first real action materializes the checkpoint and the
+        // second consumer reuses it — same runtime shape as eager
+        .localCheckpoint(eager = false)
       Mix.temperature(scored, "doc_id", "lang", alpha = 0.5)
         .select("doc_id", "lang", "copy_idx", "weight_ppm",
           "n_tokens", "n_removed")
@@ -383,6 +386,7 @@ object QueriesPipeline {
          | least(32, n - i * 24) AS n_tokens,
          | array_to_string(toks[(i*24+1):(i*24+32)], ' ') AS chunk_text
          |FROM nc, unnest(range(n_chunks)) AS u(i)
+         |WHERE NOT (n = 1 AND toks[1] = '')
          |ORDER BY doc_id, chunk_idx""".stripMargin
     },
 

@@ -248,14 +248,21 @@ object QueriesStats {
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_linreg" ->
-      """WITH m AS (
-        | SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  cast(sum(cast(l_quantity as decimal(28,2))) as double) AS sx,
-        |  cast(sum(cast(l_extendedprice as decimal(28,2))) as double) AS sy,
-        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_quantity as decimal(18,2))) as double) AS sxx,
-        |  cast(sum(cast(l_extendedprice as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS syy,
-        |  cast(sum(cast(l_quantity as decimal(18,2)) * cast(l_extendedprice as decimal(18,2))) as double) AS sxy
-        | FROM lineitem GROUP BY 1, 2)
+      """WITH p AS (
+        | SELECT l_returnflag, l_linestatus,
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |   THEN cast(l_quantity as decimal(18,2)) END AS x,
+        |  CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |   THEN cast(l_extendedprice as decimal(18,2)) END AS y
+        | FROM lineitem),
+        |m AS (
+        | SELECT l_returnflag, l_linestatus, count(x) AS n,
+        |  cast(sum(cast(x as decimal(28,2))) as double) AS sx,
+        |  cast(sum(cast(y as decimal(28,2))) as double) AS sy,
+        |  cast(sum(x * x) as double) AS sxx,
+        |  cast(sum(y * y) as double) AS syy,
+        |  cast(sum(x * y) as double) AS sxy
+        | FROM p GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, n,
         | round(CASE WHEN n * sxx - sx * sx > 0
         |  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,

@@ -174,7 +174,9 @@ object EventStream {
 
   /** Stream-stream event-time INTERVAL join — the click-attribution
     * shape: each purchase matches the same user's clicks within
-    * (p_ts - lag, p_ts]. Both sides carry watermarks and the join
+    * [p_ts - lag, p_ts] (closed on both ends — the condition is
+    * c_ts >= p_ts - lag, and the batch oracle agrees). Both sides
+    * carry watermarks and the join
     * condition bounds time in BOTH directions, which is what lets
     * Spark evict buffered rows as the watermark advances — state is
     * O(active interval), not O(stream). An unbounded-condition
