@@ -106,23 +106,95 @@ object Dedup {
   def withSimHash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("simhash", simhash64(tokens(col(textCol))))
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 4
-    * guaranteed found by pigeonhole over four 16-bit blocks). */
-  def simHashDups(df: DataFrame, idCol: String, textCol: String,
-                  maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sig = withSimHash(df, textCol).select(col(idCol), col("simhash"))
+  /** Block-permutation near-dup pairing over ANY precomputed simhash-
+    * style signature column: the `bits`-wide signature is cut into
+    * `blocks` equal blocks; candidates form only where a whole block
+    * matches (pigeonhole: hamming < blocks ⇒ at least one block equal,
+    * so recall is EXACT for maxHamming <= blocks-1, up to the bucket
+    * cap); candidates are verified with the true hamming distance.
+    * Factored out of [[simHashDups]] so an engine-portable signature
+    * (see [[simhashPortable]]) can ride the identical machinery. */
+  def simHashOnSig(sig: DataFrame, idCol: String, sigCol: String,
+                   bits: Int = 64, blocks: Int = 4,
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(bits % blocks == 0, "bits must divide evenly into blocks")
+    val w = bits / blocks
+    require(w <= 62, "block width must fit a positive long")
+    val mask = (1L << w) - 1
     val blocked = sig.select(col(idCol),
-        explode(array((0 until 4).map(b => struct(lit(b).as("blk"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*)).as("l"))
+        explode(array((0 until blocks).map(b => struct(lit(b).as("blk"),
+          shiftright(col(sigCol), b * w).bitwiseAND(mask).as("bh"))): _*)).as("l"))
       .select(col(idCol), col("l.blk"), col("l.bh"))
 
     val pairs = pairsFromBuckets(blocked, Seq("blk", "bh"), idCol, maxBucket)
-    val a = sig.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
-    val b = sig.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
+    val a = sig.select(col(idCol).as("id_a"), col(sigCol).as("h_a"))
+    val b = sig.select(col(idCol).as("id_b"), col(sigCol).as("h_b"))
     pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (< 4
+    * guaranteed found by pigeonhole over four 16-bit blocks). */
+  def simHashDups(df: DataFrame, idCol: String, textCol: String,
+                  maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    simHashOnSig(withSimHash(df, textCol).select(col(idCol), col("simhash")),
+      idCol, "simhash", bits = 64, blocks = 4,
+      maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Engine-PORTABLE 60-bit simhash signature: per-token hash = first
+    * 15 hex chars of md5 (60 bits — fits a signed long on any engine),
+    * bit b of the signature set when the signed vote sum over token
+    * OCCURRENCES (duplicates vote once each, standard simhash
+    * weighting) is positive. Functionally identical to
+    * [[withSimHash]]'s xxhash64 signature, but every step (md5, hex,
+    * shifts, sums) exists verbatim in other SQL engines — which is
+    * what lets `q_dedup_simhash_verify` hash-compare the WHOLE
+    * simhash family (signature + block buckets + pigeonhole recall +
+    * hamming verify) against an independent brute-force oracle.
+    * Production pipelines should prefer the one-pass native
+    * [[withSimHash]]; this exists to prove it.
+    *
+    * Dataflow: explode tokens (narrow) → fan out 60 (token, bit)
+    * votes per token (narrow generate) → one (id, bit) partial-
+    * aggregating shuffle → one (id) shuffle to assemble the long.
+    * Linear in corpus token count. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol),
+        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"),
+        explode(lit((0 until 60).toArray)).as("__b"))
+    th.groupBy(col(idCol), col("__b"))
+      .agg(sum(when(expr("(shiftright(__h, __b) & 1)") === 1, 1)
+        .otherwise(-1)).as("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__s") > 0, expr("shiftleft(1L, __b)")).otherwise(0L)).as("sig"))
+  }
+
+  /** Brute-force exact-Jaccard pairs — the VERIFICATION twin of the
+    * gated generators ([[minHashLsh]]/[[ngramJaccard]]): every pair in
+    * the (bounded!) universe goes through the same hashed-shingle
+    * [[verifyJaccard]] core with no probabilistic gate, so an
+    * independent SQL oracle brute-forcing string-shingle Jaccard must
+    * reproduce it exactly. Deliberately NOT a production path — the
+    * all-pairs candidate set is quadratic; callers bound the universe
+    * (oracle scale or a capped sample) and the require() enforces it. */
+  def bruteForceJaccard(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, threshold: Double,
+                        maxDocs: Int = 2000): DataFrame = {
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(sh.count() <= maxDocs,
+      s"bruteForceJaccard is verification-scale only (cap $maxDocs docs)")
+    val pairs = pairsFromBuckets(
+      sh.select(lit(0).as("__all"), col(idCol)), Seq("__all"), idCol,
+      maxBucket = maxDocs)
+    val result = verifyJaccard(pairs, sh, idCol, threshold).localCheckpoint()
+    sh.unpersist()
+    result
   }
 
   /** Embedding-cosine near-dup pairs with CAPPED block-key candidate

@@ -129,6 +129,54 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    // ── precision/recall oracles for the probabilistic dedup family ──
+    // Each of these is hash-compared against a brute-forced DuckDB
+    // ground truth, turning the rows-only generators' spec evidence
+    // into driver-visible exactness proofs (the q_shingle_clusters
+    // pattern, applied to pairs).
+
+    "q_dedup_minhash_verify" -> ((s, d) => {
+      // the FULL MinHash+LSH pipeline (sketch, banding, bucket join,
+      // exact-Jaccard verify) at a band config whose recall is
+      // effectively exact — 16 bands of 2 rows: P[miss] = (1-j²)^16
+      // ≤ 4e-10 at j ≥ 0.9 (this corpus's qualifying pairs), so the
+      // emitted set EQUALS the oracle's brute-forced truth. Precision
+      // is exact by construction (verifyJaccard); this query makes the
+      // recall side driver-checkable too.
+      Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bands = 16, threshold = 0.7,
+          maxBucket = 100000)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_ngram_verify" -> ((s, d) => {
+      // the exact-Jaccard VERIFY core (hashed-shingle intersection /
+      // union) through an ungated all-pairs candidate set on a bounded
+      // universe — proves the arithmetic every probabilistic generator
+      // funnels into. 2-gram shingles at 0.3: a different arity and
+      // threshold than the minhash query, same 25-pair truth with
+      // different jaccard VALUES, so the hash compare exercises fresh
+      // numbers. doc_id < 500 bounds the quadratic candidate set at
+      // every SF (verification-scale by design, see bruteForceJaccard).
+      Dedup.bruteForceJaccard(
+          Tables(s, d).documents.filter(col("doc_id") < 500),
+          "doc_id", "text", shingleN = 2, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_simhash_verify" -> ((s, d) => {
+      // the simhash FAMILY made engine-portable: md5-derived 60-bit
+      // signatures (Dedup.simhashPortable) through the same block-
+      // bucket + pigeonhole + hamming machinery as q_dedup_simhash
+      // (Dedup.simHashOnSig). maxHamming=3 < 4 blocks ⇒ recall is
+      // DETERMINISTICALLY exact, so emitted pairs == the oracle's
+      // brute-forced hamming truth, bit for bit.
+      val sig = Dedup.simhashPortable(Tables(s, d).documents, "doc_id", "text")
+      Dedup.simHashOnSig(sig, "doc_id", "sig", bits = 60, blocks = 4,
+          maxHamming = 3, maxBucket = 100000)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_dedup_embed" -> ((s, d) => {
       // embedding-cosine near-dup: candidate pairs blocked by a coarse
       // cluster key (label) through the CAPPED bucket generator — a hot
@@ -406,6 +454,54 @@ object QueriesText {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash_verify" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |  THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(len(toks)-2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+         | FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(a.sh || b.sh)) AS j
+         | FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         |WHERE j >= 0.7 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_ngram_verify" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 500),
+         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 2
+         |  THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(len(toks)-1),
+         |         i -> toks[i+1] || ' ' || toks[i+2]) END) AS sh
+         | FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(a.sh || b.sh)) AS j
+         | FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         |WHERE j >= 0.3 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_simhash_verify" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |hx AS (SELECT doc_id, substr(md5(t), 1, 15) AS hx FROM tok),
+         |h AS (SELECT doc_id, list_sum(list_transform(range(15),
+         |  i -> ((strpos('0123456789abcdef', substr(hx, i+1, 1)) - 1)::BIGINT
+         |        << (4 * (14 - i))))) AS h
+         | FROM hx),
+         |bits AS (SELECT doc_id, b,
+         |  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         | FROM h, range(60) r(b) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS sig
+         | FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | cast(bit_count(xor(a.sig, b.sig)) as bigint) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
          |bg AS (

@@ -83,6 +83,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("gated generators emit a SUBSET of brute-force truth (precision)") {
+    // the probabilistic part of minhash/ngram is candidate GENERATION;
+    // verification is exact — so every emitted pair must appear in the
+    // ungated all-pairs truth at the same threshold, with the same
+    // jaccard value
+    val truth = Dedup.bruteForceJaccard(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(truth), s"LSH emitted non-truth pairs: ${lsh -- truth}")
+  }
+
+  test("portable simhash blocks + pigeonhole find ALL hamming<=3 pairs") {
+    // maxHamming=3 < 4 blocks: recall is deterministically exact, so
+    // the block-bucketed pairs equal the all-pairs hamming truth
+    val sig = Dedup.simhashPortable(docs, "doc_id", "text")
+    val sigs = sig.as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val emitted = Dedup.simHashOnSig(sig, "doc_id", "sig", bits = 60, blocks = 4,
+        maxHamming = 3, maxBucket = 100000)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(emitted == truth, s"missing=${truth -- emitted} extra=${emitted -- truth}")
+    // signatures use only the low 60 bits
+    assert(sigs.values.forall(s => (s >>> 60) == 0))
+  }
+
   test("embedCosine finds in-block near-dups and CAPS oversized blocks") {
     // block "a": two near-identical vectors + one orthogonal
     val small = Seq(
