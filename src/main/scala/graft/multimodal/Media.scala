@@ -3,87 +3,244 @@ package graft.multimodal
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing: media as opaque `binary` columns with
-  * typed metadata, processed in partition-batches (the Scala analog of
-  * a Pandas-UDF / mapInPandas batch: one decoder instantiation per
-  * partition, rows streamed through it).
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Multimodal column plumbing with REAL JDK codecs: media as opaque
+  * `binary` columns with typed metadata, processed in partition
+  * batches (the Scala analog of a Pandas-UDF / mapInPandas batch: one
+  * decoder instantiation per partition, rows streamed through it).
   *
   * Reference provenance: the reference tracks and transforms images
   * (jobs/transform/images_jpg_generation.py, imaging/) by shelling to
-  * external decoders; here the *decode step is a STUB* (no image/audio
-  * libraries in this container) with a deterministic fake, while the
-  * Spark-side plumbing — schema, binary column, batch shape,
-  * partition-level decoder lifecycle — is real and tested.
+  * external decoders. Here the decode is real and dependency-free —
+  * JDK built-ins only: `javax.imageio` for PNG (still images) and
+  * multi-frame GIF (the "video" stand-in: real per-frame decode via
+  * `ImageReader`), `javax.sound.sampled` for WAV/PCM audio. Payloads
+  * are SYNTHESIZED deterministically from the media id (this
+  * environment ships no media files), so an independent SQL oracle
+  * can predict the decoded width/height/pixel sums exactly — which is
+  * what graduates q_media_pipeline from rows-only to hash-checked:
+  * the bytes really round-trip encoder → container format → decoder.
+  *
+  * Scale posture: synthesis and decode are both narrow mapPartitions
+  * over the payload bytes — no shuffle; linear in total media bytes;
+  * decoder instances are partition-local (no per-row setup). At
+  * 100 TB the payload column would come from
+  * `spark.read.format("binaryFile")` (see SourcesSpec) and the same
+  * decode pass applies unchanged.
   */
 object Media {
 
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded features. For images: real pixel dims + exact gray-pixel
+    * sum. For audio: width = sample count, height = 1, px_sum = sum of
+    * unsigned 8-bit samples. For video (multi-frame GIF): frame dims,
+    * n_px counts every pixel of every frame, px_sum sums them all. */
   case class MediaFeatures(media_id: Long, media_type: String, byte_len: Int,
-                           width: Int, height: Int, checksum: Long)
+                           width: Int, height: Int, n_px: Long, px_sum: Long)
 
-  /** Wrap a text corpus as a binary media table (simulates ingesting
-    * raw bytes; in production the payload column would come from
-    * `spark.read.format("binaryFile")`). */
-  def asMediaTable(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      when(pmod(col("doc_id"), lit(3)) === 0, "image")
-        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
-        .otherwise("video").as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"))
+  // ── deterministic synthesis parameters ──────────────────────────
+  // Shared contract with the q_media_pipeline SQL oracle — any change
+  // here must be mirrored there. All arithmetic is integer-exact.
+  private[graft] def mediaTypeOf(id: Long): String =
+    (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+  private[graft] def pngW(id: Long): Int = (8 + id % 24).toInt
+  private[graft] def pngH(id: Long): Int = (8 + (id * 7) % 16).toInt
+  private[graft] def pngPx(id: Long, x: Int, y: Int): Int = ((x + y + id) % 256).toInt
+  private[graft] def wavN(id: Long): Int = (64 + id % 192).toInt
+  private[graft] def wavSample(id: Long, i: Int): Int = ((i * 3 + id) % 256).toInt
+  private[graft] def gifW(id: Long): Int = (8 + id % 16).toInt
+  private[graft] def gifH(id: Long): Int = (6 + (id * 5) % 12).toInt
+  private[graft] def gifFrames(id: Long): Int = (2 + id % 4).toInt
+  private[graft] def gifPx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((x + y + id + f * 7) % 256).toInt
 
-  /** STUB decoder: in production this would call an image/audio codec
-    * (per-partition instantiation, batch decode). The fake derives
-    * deterministic dimensions from the payload checksum so tests can
-    * assert the plumbing end-to-end. */
-  private def decodeStub(mediaType: String, payload: Array[Byte]): (Int, Int, Long) = {
-    // ??? <- real codec goes here (e.g. javax.imageio / ffmpeg bridge)
-    var crc = 0L
-    var i = 0
-    while (i < payload.length) { crc = crc * 31 + (payload(i) & 0xff); i += 1 }
-    val w = 64 + math.floorMod(crc, 1856L).toInt   // fake 64..1919
-    val h = 64 + math.floorMod(crc >> 11, 1016L).toInt
-    (w, h, crc)
+  // ── encoders (synthesis side) ───────────────────────────────────
+
+  private def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = (pngW(id), pngH(id))
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { raster.setSample(x, y, 0, pngPx(id, x, y)); x += 1 }; y += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Feature extraction over partition batches. Narrow map — no
-    * shuffle; scales linearly with input bytes. */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = wavN(id)
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = wavSample(id, i).toByte; i += 1 }
+    // 8-bit WAV is unsigned PCM by spec; mono, 8 kHz
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def encodeGif(id: Long): Array[Byte] = {
+    val (w, h, frames) = (gifW(id), gifH(id), gifFrames(id))
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { raster.setSample(x, y, 0, gifPx(id, f, x, y)); x += 1 }; y += 1 }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Synthesize the typed media table: REAL container bytes (PNG /
+    * WAV / animated GIF) per id. Narrow mapPartitions — encoder state
+    * is partition-local; only `doc_id` is read from the input. */
+  def asMediaTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val t = mediaTypeOf(id)
+          val payload = t match {
+            case "image" => encodePng(id)
+            case "audio" => encodeWav(id)
+            case _       => encodeGif(id)
+          }
+          MediaRow(id, t, payload)
+        }
+      }.toDF()
+  }
+
+  // ── decoders (the real thing) ───────────────────────────────────
+
+  /** Exact 8-bit gray sum of a decoded frame. Two traps worth the
+    * comment: getRGB on a TYPE_BYTE_GRAY image gamma-converts linear
+    * gray → sRGB (NOT identity — raw raster samples are the stored
+    * values), while on an IndexColorModel (GIF) the raster holds
+    * palette INDICES and getRGB's palette lookup returns the stored
+    * color exactly (no conversion). */
+  private def graySum(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      while (y < h) { var x = 0; while (x < w) { sum += (img.getRGB(x, y) & 0xFF); x += 1 }; y += 1 }
+    } else {
+      val raster = img.getRaster
+      while (y < h) { var x = 0; while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }; y += 1 }
+    }
+    sum
+  }
+
+  /** Decode a still image (PNG/JPEG/GIF-first-frame) via ImageIO:
+    * (width, height, n_px, exact gray-pixel sum). */
+  private def decodeImage(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    (img.getWidth, img.getHeight, img.getWidth.toLong * img.getHeight, graySum(img))
+  }
+
+  /** Decode WAV via javax.sound: (n_samples, 1, n_samples, sum of
+    * unsigned 8-bit samples). */
+  private def decodeWav(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val n = ais.getFrameLength.toInt
+      val buf = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i < buf.length) { sum += (buf(i) & 0xFF); i += 1 }
+      (n, 1, n.toLong, sum)
+    } finally ais.close()
+  }
+
+  /** Decode EVERY frame of a multi-frame GIF via ImageReader:
+    * (frame_w, frame_h, total pixels across frames, total sum). */
+  private def decodeGifAll(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val reader = ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      var (w, h) = (0, 0)
+      var nPx = 0L
+      var sum = 0L
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        w = img.getWidth; h = img.getHeight
+        sum += graySum(img)
+        nPx += w.toLong * h
+        f += 1
+      }
+      (w, h, nPx, sum)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Feature extraction over partition batches — REAL decode per
+    * container type, dispatched on the payload's magic number (never
+    * the declared type: ingest triage must not trust labels). Narrow
+    * map, no shuffle; scales linearly with input bytes. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // per-partition decoder lifecycle would be initialized here
       it.map { r =>
-        val (w, h, crc) = decodeStub(r.media_type, r.payload)
-        MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, crc)
+        val kind = sniffBytes(r.payload)
+        val (w, h, nPx, sum) = kind match {
+          case "png" | "jpeg" => decodeImage(r.payload)
+          case "gif"          => decodeGifAll(r.payload)
+          case "riff"         => decodeWav(r.payload)
+          case _              => (0, 0, 0L, 0L) // undecodable: byte-level row only
+        }
+        MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, nPx, sum)
       }
     }
   }
 
-  case class FrameSample(media_id: Long, frame_idx: Int, frame_checksum: Long)
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_px_sum: Long)
 
-  /** STUB frame sampler: every `stride`-th "frame" of a video payload
-    * (in production: ffmpeg seek + decode per partition batch). Fake
-    * frames are deterministic byte-slices so the fan-out shape
-    * (1 row → n frames) and downstream schema are real. */
-  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int = 4,
-                   maxFrames: Int = 8): Dataset[FrameSample] = {
+  /** REAL frame sampling: decode every `stride`-th frame of each
+    * multi-frame GIF payload (ImageReader seek + per-frame decode,
+    * partition-local reader lifecycle) and emit its exact pixel sum —
+    * the 1 row → n frames fan-out a video pipeline runs at scale. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   stride: Int = 4, maxFrames: Int = 8): Dataset[FrameSample] = {
     import spark.implicits._
     media.as[MediaRow].filter((r: MediaRow) => r.media_type == "video")
-      .flatMap { r =>
-        // ??? <- real decoder goes here
-        val nFrames = math.min(maxFrames, math.max(1, r.payload.length / 32))
-        (0 until nFrames by stride).map { i =>
-          val slice = r.payload.slice(i * 32, math.min(r.payload.length, i * 32 + 32))
-          var crc = 0L
-          slice.foreach(b => crc = crc * 31 + (b & 0xff))
-          FrameSample(r.media_id, i, crc)
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+          try {
+            reader.setInput(iis)
+            val n = math.min(reader.getNumImages(true), maxFrames)
+            (0 until n by stride).map { f =>
+              FrameSample(r.media_id, f, graySum(reader.read(f)))
+            }
+          } finally { reader.dispose(); iis.close() }
         }
       }
   }
 
-  /** STUB resize: rewrites the metadata to the target box preserving
-    * aspect ratio (in production: a codec resize over the payload).
-    * Pure column math — stays in whole-stage codegen. */
+  /** Resize METADATA to the target box preserving aspect ratio (the
+    * planning step before a batch codec resize; the decode side of a
+    * real resize is [[decodeImage]]). Pure column math — stays in
+    * whole-stage codegen. */
   def resizeMeta(features: DataFrame, maxW: Int = 256, maxH: Int = 256): DataFrame = {
     val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
     features
@@ -92,9 +249,19 @@ object Media {
   }
 
   /** Container magic numbers for [[sniffKind]] (hex of the leading
-    * bytes): PNG, JPEG, RIFF (wav/avi/webp), FLAC. */
+    * bytes): PNG, JPEG, GIF, RIFF (wav/avi/webp), FLAC. */
   val MagicPrefixes: Seq[(String, String)] = Seq(
-    "png" -> "89504E47", "jpeg" -> "FFD8FF", "riff" -> "52494646", "flac" -> "664C6143")
+    "png" -> "89504E47", "jpeg" -> "FFD8FF", "gif" -> "47494638",
+    "riff" -> "52494646", "flac" -> "664C6143")
+
+  /** JVM-side magic sniff (decode dispatch inside mapPartitions). */
+  private def sniffBytes(payload: Array[Byte]): String = {
+    val prefix = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
+    MagicPrefixes.collectFirst {
+      case (kind, magic) if prefix.startsWith(magic.take(prefix.length)) &&
+        prefix.take(magic.length) == magic => kind
+    }.getOrElse("unknown")
+  }
 
   /** Classify a binary payload by its magic number — the ingest-time
     * file-type sniff (never trust the extension at 100 TB). Pure hex
@@ -112,7 +279,7 @@ object Media {
 
   /** Media table variant whose payloads carry REAL container magic
     * numbers (type-dependent prefix + content bytes) so the sniffing
-    * path is testable without codecs. */
+    * path is testable in isolation from the codecs. */
   def asMagicMediaTable(documents: DataFrame): DataFrame = {
     def magic(bytes: Int*) = typedlit(bytes.map(_.toByte).toArray)
     val prefix = when(pmod(col("doc_id"), lit(3)) === 0,
@@ -124,13 +291,16 @@ object Media {
       concat(prefix, encode(col("text"), "UTF-8")).as("payload"))
   }
 
-  /** End-to-end media pipeline: ingest → features → per-type stats. */
-  def mediaStats(spark: SparkSession, documents: DataFrame): DataFrame = {
-    val feats = extractFeatures(spark, asMediaTable(documents))
-    feats.groupBy(col("media_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("byte_len").cast("long")).as("total_bytes"),
-        min(col("width")).as("min_w"), max(col("width")).as("max_w"))
-      .orderBy(col("media_type"))
+  /** End-to-end media pipeline: synthesize real containers → decode
+    * them back → per-media decoded metadata. Every value except
+    * byte_len is predicted exactly by the SQL oracle from the
+    * synthesis formulas — proving the bytes really round-trip through
+    * the container codecs. byte_len (compressed size) is
+    * encoder-dependent, so it stays out of the oracle-checked set. */
+  def decodedMedia(spark: SparkSession, documents: DataFrame): DataFrame = {
+    extractFeatures(spark, asMediaTable(documents))
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("width"), col("height"),
+        col("n_px"), col("px_sum"))
   }
 }

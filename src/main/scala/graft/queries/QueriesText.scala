@@ -424,7 +424,14 @@ object QueriesText {
     }),
 
     "q_media_pipeline" -> ((s, d) => {
-      Media.mediaStats(s, Tables(s, d).documents)
+      // REAL codec round-trip: synthesize PNG / WAV / animated-GIF
+      // containers per id, decode them back with the JDK codecs
+      // (ImageIO, javax.sound), emit decoded dims + exact pixel/sample
+      // sums. The oracle predicts every value from the synthesis
+      // formulas — if the decode were faked, compressed containers
+      // would not hash-match.
+      Media.decodedMedia(s, Tables(s, d).documents)
+        .orderBy("media_id")
     }),
 
     "q_media_sniff" -> ((s, d) => {
@@ -501,6 +508,38 @@ object QueriesText {
          |FROM sig a, sig b
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Media's synthesis formulas (Media.scala pngW/pngH/pngPx,
+    // wavN/wavSample, gifW/gifH/gifFrames/gifPx): the Spark side never
+    // sees these formulas at decode time — it reads real PNG/WAV/GIF
+    // bytes back through the JDK codecs, so a hash match proves the
+    // container round-trip.
+    "q_media_pipeline" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
+        | FROM documents),
+        |img AS (SELECT media_id, 8 + media_id % 24 AS w, 8 + (media_id*7) % 16 AS h
+        | FROM d WHERE media_type = 'image'),
+        |imgr AS (SELECT i.media_id, i.w, i.h, i.w * i.h AS n_px,
+        |  cast(sum((x.x + y.y + i.media_id) % 256) as bigint) AS px_sum
+        | FROM img i, range(32) x(x), range(24) y(y)
+        | WHERE x.x < i.w AND y.y < i.h GROUP BY 1, 2, 3, 4),
+        |aud AS (SELECT media_id, 64 + media_id % 192 AS n FROM d WHERE media_type = 'audio'),
+        |audr AS (SELECT a.media_id, a.n AS w, 1 AS h, a.n AS n_px,
+        |  cast(sum((s.i * 3 + a.media_id) % 256) as bigint) AS px_sum
+        | FROM aud a, range(256) s(i) WHERE s.i < a.n GROUP BY 1, 2, 3, 4),
+        |vid AS (SELECT media_id, 8 + media_id % 16 AS w, 6 + (media_id*5) % 12 AS h,
+        |  2 + media_id % 4 AS nf FROM d WHERE media_type = 'video'),
+        |vidr AS (SELECT v.media_id, v.w, v.h, v.w * v.h * v.nf AS n_px,
+        |  cast(sum((x.x + y.y + v.media_id + f.f * 7) % 256) as bigint) AS px_sum
+        | FROM vid v, range(24) x(x), range(18) y(y), range(6) f(f)
+        | WHERE x.x < v.w AND y.y < v.h AND f.f < v.nf GROUP BY 1, 2, 3, 4),
+        |u AS (SELECT * FROM imgr UNION ALL SELECT * FROM audr UNION ALL SELECT * FROM vidr)
+        |SELECT u.media_id, d.media_type, cast(u.w as int) AS width,
+        | cast(u.h as int) AS height, cast(u.n_px as bigint) AS n_px, u.px_sum
+        |FROM u JOIN d USING (media_id)
+        |ORDER BY media_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),

@@ -312,13 +312,18 @@ class DeriveMediaSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 14.0 && r.getDouble(3) == 3.5)
   }
 
-  test("media frame sampling fans out video rows deterministically") {
+  test("media frame sampling decodes real GIF frames deterministically") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
     val media = graft.multimodal.Media.asMediaTable(docs)
-    val frames = graft.multimodal.Media.sampleFrames(spark, media)
+    val frames = graft.multimodal.Media.sampleFrames(spark, media, stride = 2)
     val f = frames.collect()
-    assert(f.nonEmpty && f.forall(_.frame_idx % 4 == 0))
-    val again = graft.multimodal.Media.sampleFrames(spark, media).collect()
+    assert(f.nonEmpty && f.forall(_.frame_idx % 2 == 0))
+    // media_id 2: 10x16 GIF — frame 2's decoded pixel sum matches the
+    // synthesis formula (x+y+id+f*7)%256, proving per-frame seek+decode
+    val fr2 = f.find(s => s.media_id == 2L && s.frame_idx == 2).get
+    assert(fr2.frame_px_sum ==
+      (for (x <- 0 until 10; y <- 0 until 16) yield (x + y + 2 + 14) % 256).sum)
+    val again = graft.multimodal.Media.sampleFrames(spark, media, stride = 2).collect()
     assert(f.toSet == again.toSet)
   }
 

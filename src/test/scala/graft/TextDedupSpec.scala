@@ -167,32 +167,42 @@ class MediaStreamSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("media pipeline: binary plumbing + deterministic stub features") {
+  test("media pipeline: REAL codec round-trip (PNG decode matches synthesis)") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
     val feats = graft.multimodal.Media.extractFeatures(
       spark, graft.multimodal.Media.asMediaTable(docs))
+    // media_id 0 is a PNG: 8x8, px(x,y) = (x+y) % 256 — the decoded
+    // dims and exact gray sum prove the bytes went through ImageIO,
+    // not a formula replay (the payload is a compressed container)
     val f = feats.filter(col("media_id") === 0).collect().head
-    assert(f.byte_len > 0 && f.width >= 64 && f.width < 1920)
+    assert(f.width == 8 && f.height == 8 && f.n_px == 64)
+    assert(f.px_sum == (for (x <- 0 until 8; y <- 0 until 8) yield (x + y) % 256).sum)
+    assert(f.byte_len > 0)
+    // media_id 1 is a WAV: 65 unsigned 8-bit samples (i*3 + 1) % 256
+    val a = feats.filter(col("media_id") === 1).collect().head
+    assert(a.width == 65 && a.height == 1)
+    assert(a.px_sum == (0 until 65).map(i => (i * 3 + 1) % 256).sum)
+    // media_id 2 is an animated GIF: 10x16, 4 frames
+    val v = feats.filter(col("media_id") === 2).collect().head
+    assert(v.width == 10 && v.height == 16 && v.n_px == 10L * 16 * 4)
+    assert(v.px_sum == (for (fr <- 0 until 4; x <- 0 until 10; y <- 0 until 16)
+      yield (x + y + 2 + fr * 7) % 256).sum)
     // determinism
-    val f2 = graft.multimodal.Media.extractFeatures(
-      spark, graft.multimodal.Media.asMediaTable(docs))
-      .filter(col("media_id") === 0).collect().head
+    val f2 = feats.filter(col("media_id") === 0).collect().head
     assert(f == f2)
   }
 
-  test("composed multimodal pipeline: decode stub -> feature vector -> LSH buckets") {
+  test("composed multimodal pipeline: real decode -> feature vector -> LSH buckets") {
     // the end-to-end shape a media dedup pipeline takes at scale:
-    // binary column -> partition-batched feature extraction -> a float
-    // feature vector -> LSH bucketing for candidate generation. The
-    // decode is the documented sandbox stub; everything downstream is
-    // the real Spark plumbing.
+    // binary column -> partition-batched codec decode -> a float
+    // feature vector -> LSH bucketing for candidate generation.
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet").limit(64)
     val feats = graft.multimodal.Media.extractFeatures(
       spark, graft.multimodal.Media.asMediaTable(docs))
     val vecs = feats.toDF().select(col("media_id"),
       array(col("byte_len").cast("float"), col("width").cast("float"),
         col("height").cast("float"),
-        (col("checksum") % 1000L).cast("float")).as("feature_vec"))
+        (col("px_sum") % 1000L).cast("float")).as("feature_vec"))
     val bucketed = graft.operators.Similarity
       .withLshBuckets(vecs, "feature_vec", tables = 2, planes = 4, dim = 4)
     val rows = bucketed.select("media_id", "tbl", "bucket").collect()
