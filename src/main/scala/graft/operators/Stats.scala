@@ -67,6 +67,15 @@ object Stats {
         when(sea + seb > 0,
           (sea + seb) * (sea + seb) /
             (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1))))
+      // DOCUMENTED APPROXIMATION (see StatMath): two-sided p from the
+      // regularized incomplete beta at the Welch–Satterthwaite df —
+      // the significance consumers actually read (the reference's
+      // stats results carry significant flags, not raw t). Null
+      // whenever t/df are null; spec-checked against published
+      // quantiles; NOT part of the oracle-checked surface (DuckDB has
+      // no incomplete beta).
+      .withColumn("p_value",
+        graft.functions.StatFunctions.tPValue(col("t_stat"), col("df_welch")))
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
@@ -104,6 +113,12 @@ object Stats {
       .agg(sum("__term").as("chi2"),
         ((countDistinct(col(aCol)) - 1) * (countDistinct(col(bCol)) - 1)).as("dof"),
         first(col("__n")).as("n"))
+      // DOCUMENTED APPROXIMATION (see StatMath): upper-tail p from the
+      // regularized incomplete gamma Q(dof/2, chi2/2). Null for
+      // degenerate tables (dof < 1); spec-checked, not oracle-checked.
+      .withColumn("p_value",
+        when(col("dof") >= 1,
+          graft.functions.StatFunctions.chi2PValue(col("chi2"), col("dof"))))
   }
 
   /** Per-key z-score outlier flags: rows whose value deviates from the

@@ -64,8 +64,54 @@ class StatsSpec extends AnyFunSuite {
     val rows = for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 25 }
       yield ("k", a, b)
     val r = Stats.chiSquare(rows.toDF("key", "a", "b"), Seq("key"), "a", "b")
-      .select("chi2").as[Double].head()
-    assert(math.abs(r) < 1e-12)
+      .select("chi2", "p_value").as[(Double, Double)].head()
+    assert(math.abs(r._1) < 1e-12)
+    assert(math.abs(r._2 - 1.0) < 1e-9) // chi2 ≈ 0 ⇒ p ≈ 1
+  }
+
+  test("p-value special functions match published quantile fixtures") {
+    import graft.functions.StatMath._
+    // χ² upper-tail: the textbook 0.05/0.01 critical values
+    assert(math.abs(chi2PValue(3.841458820694124, 1) - 0.05) < 1e-9)
+    assert(math.abs(chi2PValue(5.991464547107979, 2) - 0.05) < 1e-9)
+    assert(math.abs(chi2PValue(6.634896601021213, 1) - 0.01) < 1e-9)
+    assert(chi2PValue(0.0, 3) == 1.0)
+    // two-sided t: 0.05 critical values at df 1 / 10 / 30
+    assert(math.abs(tPValueTwoSided(12.706204736432095, 1) - 0.05) < 1e-9)
+    assert(math.abs(tPValueTwoSided(2.2281388519649385, 10) - 0.05) < 1e-9)
+    assert(math.abs(tPValueTwoSided(2.0422724563012373, 30) - 0.05) < 1e-9)
+    assert(tPValueTwoSided(0.0, 10) == 1.0)
+    // large-df t converges to the normal 1.96 two-sided 5%
+    assert(math.abs(tPValueTwoSided(1.9599639845400545, 1e7) - 0.05) < 1e-4)
+    // lnGamma anchor points: Γ(1)=Γ(2)=1, Γ(0.5)=√π
+    assert(math.abs(lnGamma(1.0)) < 1e-12 && math.abs(lnGamma(2.0)) < 1e-12)
+    assert(math.abs(lnGamma(0.5) - 0.5 * math.log(math.Pi)) < 1e-12)
+  }
+
+  test("p_value columns ride the operators through codegen") {
+    // welchT: symmetric cohorts with a known-ish separation — the
+    // in-plan expression must equal the direct StatMath call on the
+    // exact t/df the operator produced
+    val a = Seq(1.0, 2.0, 3.0, 4.0)
+    val b = Seq(2.0, 4.0, 6.0, 8.0, 10.0)
+    val df = (a.map(("p1", "ctl", _)) ++ b.map(("p1", "mut", _)))
+      .toDF("param", "cohort", "v")
+    val r = Stats.welchT(df, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("t_stat", "df_welch", "p_value")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._3 - graft.functions.StatMath.tPValueTwoSided(r._1, r._2)) < 1e-15)
+    assert(r._3 > 0.0 && r._3 < 1.0)
+    // chiSquare: p matches the direct call; n<2 cohort yields null p
+    val rows = Seq.fill(10)(("k", "x", "p")) ++ Seq.fill(20)(("k", "x", "q")) ++
+      Seq.fill(30)(("k", "y", "p")) ++ Seq.fill(40)(("k", "y", "q"))
+    val c = Stats.chiSquare(rows.toDF("key", "a", "b"), Seq("key"), "a", "b")
+      .select("chi2", "dof", "p_value").as[(Double, Long, Double)].head()
+    assert(math.abs(c._3 - graft.functions.StatMath.chi2PValue(c._1, c._2.toDouble)) < 1e-15)
+    val degenerate = Seq(("p1", "ctl", 1.0), ("p1", "mut", 2.0), ("p1", "mut", 3.0))
+      .toDF("param", "cohort", "v")
+    val d = Stats.welchT(degenerate, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("p_value").head()
+    assert(d.isNullAt(0))
   }
 
   test("zOutliers flags exactly the deviant rows and skips zero-variance keys") {

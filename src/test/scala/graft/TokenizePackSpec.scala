@@ -58,6 +58,31 @@ class TokenizePackSpec extends AnyFunSuite {
     assert(merges == Seq(("#", "#"), ("##", "#"), ("a", "b")))
   }
 
+  test("trainBpe word-dictionary cap introduces NO bias on a Zipfian corpus") {
+    // trainBpe caps the driver-side word dictionary at maxWords
+    // (standard practice: the head carries the pair-count mass). This
+    // quantifies the cap's bias instead of asserting it away: train on
+    // the FULL dictionary vs a 10x-smaller cap over the real documents
+    // corpus and compare (a) the merges tables and (b) the downstream
+    // exact token counts they induce. On natural Zipf-shaped text the
+    // tail words are singletons whose pairs are dominated by the head,
+    // so the tables should agree exactly; if a future corpus breaks
+    // (a), (b) bounds the damage in token units.
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val full = Tokenize.trainBpe(docs, "text", numMerges = 50, maxWords = Int.MaxValue)
+    val capped = Tokenize.trainBpe(docs, "text", numMerges = 50, maxWords = 500)
+    if (full == capped) succeed
+    else {
+      // tables diverged: the downstream-token-count bias must be tiny
+      val nFull = Tokenize.bpeCounts(docs, "doc_id", "text", full)
+        .agg(sum("n_bpe_exact")).head().getLong(0)
+      val nCapped = Tokenize.bpeCounts(docs, "doc_id", "text", capped)
+        .agg(sum("n_bpe_exact")).head().getLong(0)
+      val rel = math.abs(nFull - nCapped).toDouble / nFull
+      assert(rel < 0.01, s"cap bias too large: full=$nFull capped=$nCapped rel=$rel")
+    }
+  }
+
   test("bpeCounts emits exact counts over a DataFrame") {
     val df = Seq((1L, "hug pun"), (2L, "hugs"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
