@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
 /** Perf harness: executes every query's FULL plan (noop sink — a
   * count() would let Catalyst prune computed columns) and prints ONE
   * JSON line. Each query runs SPARK_GRAFT_ITERS times (default 2) and
@@ -7,7 +9,35 @@ package graft
   * carry 2-3x sandbox-contention noise (VERDICT r1), the min is the
   * stable signal. Failures are excluded from the total and surfaced
   * in a `failed` field instead of silently shrinking it.
+  *
+  * Observability: a SparkListener accumulates per-query shuffle
+  * read/write bytes, scan input bytes, spill, and max per-task peak
+  * execution memory — written to target/bench_full.json next to the
+  * seconds, so scaling verdicts ("did shuffle volume grow linearly?")
+  * and regression triage are mechanical instead of forensic. The
+  * stdout JSON line keeps its driver-parsed shape (seconds only).
   */
+class BenchListener extends org.apache.spark.scheduler.SparkListener {
+  val shuffleRead, shuffleWrite, input, spill, peakTaskMem = new AtomicLong
+  def reset(): Unit =
+    Seq(shuffleRead, shuffleWrite, input, spill, peakTaskMem).foreach(_.set(0))
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      input.addAndGet(m.inputMetrics.bytesRead)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      // max-over-tasks (not a sum): the hottest single task's unsafe
+      // memory watermark — the number that predicts executor OOM
+      peakTaskMem.getAndUpdate(cur => math.max(cur, m.peakExecutionMemory))
+    }
+  }
+  def snapshot: Map[String, Long] = Map(
+    "shuffle_read" -> shuffleRead.get, "shuffle_write" -> shuffleWrite.get,
+    "input" -> input.get, "spill" -> spill.get, "peak_task_mem" -> peakTaskMem.get)
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,10 +53,13 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      val attempts = (1 to iters).map { _ =>
+        listener.reset()
         val t0 = System.nanoTime()
         val elapsed =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -36,14 +69,21 @@ object Bench {
         // drop caches a query may have left behind so iterations and
         // queries are isolated (operators self-clean, belt-and-braces)
         spark.catalog.clearCache()
-        elapsed
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
+        (elapsed, listener.snapshot)
       }
-      val ok = times.filter(_ >= 0)
-      val best = if (ok.nonEmpty) ok.min else -1.0
+      val ok = attempts.filter(_._1 >= 0)
+      // metrics ride with the min-time attempt (bytes are plan-
+      // deterministic; the fastest run is the least contended capture)
+      val (best, metrics) =
+        if (ok.nonEmpty) ok.minBy(_._1) else (-1.0, Map.empty[String, Long])
       System.err.println(f"[bench] $name%-24s " +
-        (if (best >= 0) f"$best%8.2f s  (min of ${ok.size})" else "FAILED"))
-      name -> best
+        (if (best >= 0) f"$best%8.2f s  (min of ${ok.size}, " +
+          f"shW=${metrics.getOrElse("shuffle_write", 0L) / 1048576.0}%.1fMB)"
+         else "FAILED"))
+      (name, best, metrics)
     }
+    val results = runs.map { case (n, b, _) => n -> b }
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full-precision per-query map goes to a file (and stderr already has
@@ -52,8 +92,11 @@ object Bench {
     // lists queries heaviest-first and stops at a hard line budget with an
     // `omitted` count — the headline total always covers every query.
     val fullJson = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
+      val qs = runs.map { case (k, v, m) =>
+        "\"" + k + "\":{\"sec\":" + v +
+          m.toSeq.sortBy(_._1).map { case (mk, mv) => ",\"" + mk + "\":" + mv }.mkString +
+          "}"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     }
     try {

@@ -22,4 +22,10 @@ object GraftBridge {
   /** Wrap a logical plan back into a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Block until the listener bus has delivered all queued events —
+    * required before reading listener-accumulated metrics (the bus is
+    * async; `private[spark]`, hence bridged here). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }
