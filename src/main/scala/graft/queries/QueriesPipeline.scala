@@ -29,21 +29,23 @@ object QueriesPipeline {
   private val segMap = Map("AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLD",
     "FURNITURE" -> "FURN", "HOUSEHOLD" -> "HH", "MACHINERY" -> "MACH")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    "q_pipeline_e2e" -> ((s, d) => {
-      val t = Tables(s, d)
+  /** The whole reference chain as one dataflow over explicit inputs —
+    * shared verbatim by the batch query (q_pipeline_e2e) and its
+    * incremental twin (`EventStream.pipelineIncremental`, which
+    * re-runs it per micro-batch on each dirty user's full history:
+    * every stage is user-local, so a per-user restriction is exact). */
+  def wideDocs(events: DataFrame, customer: DataFrame): DataFrame = {
 
       // 1. CLEAN (experiment_cleaner.py): required-null drop + measure
       //    normalization to exact long cents in the scan projection
-      val clicks = t.events.filter(col("event_type") === "click")
+      val clicks = events.filter(col("event_type") === "click")
         .transform(Cleaning.dropRequiredNulls(Seq("event_id", "user_id", "ts")))
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("t_us"),
           floor(col("value") * 100 + 0.5).cast("long").as("m_value_c"))
 
       // the registry dims get their own cleaning (vocabulary mapping)
-      val reg = t.customer.transform(Cleaning.mapValues("c_mktsegment", segMap))
+      val reg = customer.transform(Cleaning.mapValues("c_mktsegment", segMap))
       val prim = reg.filter(col("c_acctbal") > 100)
         .select(col("c_custkey").as("pk"), col("c_mktsegment").as("segment"))
       val sec = reg.filter(col("c_custkey") < 500)
@@ -66,7 +68,7 @@ object QueriesPipeline {
       // shuffles ONCE end-to-end instead of (user,ts) then user. The
       // map-side combine given up is near-worthless here ((user,ts)
       // groups are almost unique), the saved shuffle is not.
-      val purchases = t.events.filter(col("event_type") === "purchase")
+      val purchases = events.filter(col("event_type") === "purchase")
         .repartition(col("user_id"))
         .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
         .agg(min_by(col("value"), col("event_id")).as("p_value"))
@@ -100,7 +102,13 @@ object QueriesPipeline {
         .select(col("user_id"), col("segment"), col("match_source"), col("n_obs"),
           to_json(struct(col("user_id").as("id"), col("segment").as("seg"),
             col("match_source").as("src"), col("obs"))).as("doc"))
-        .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_pipeline_e2e" -> ((s, d) => {
+      val t = Tables(s, d)
+      wideDocs(t.events, t.customer).orderBy("user_id")
     }),
 
     "q_spec_mapping" -> ((s, d) => {

@@ -256,6 +256,41 @@ object EventStream {
                      batchId: Long) => write(batch, batchId))
       .trigger(Trigger.AvailableNow())
 
+  /** STREAMING TWIN of the composed pipeline (q_pipeline_e2e run
+    * incrementally — the deployment mode the reference's scheduled
+    * batch reruns approximate): each micro-batch of raw events
+    *   1. appends to the accumulated raw-events store,
+    *   2. finds the DIRTY user set (the users the batch touched),
+    *   3. re-runs the full pipeline (`pipeline` is
+    *      QueriesPipeline.wideDocs) on those users' COMPLETE history —
+    *      every pipeline stage is user-local (clean, registry xref,
+    *      as-of, formulas, unpivot, doc assembly all key by user), so
+    *      the per-user restriction is exact, and
+    *   4. merge-upserts the recomputed docs into the docs store
+    *      (Merge.upsert semantics: replace dirty users, keep the rest).
+    * Cost per batch is O(batch users' history), not O(corpus) — the
+    * property that makes the chain incrementalizable at 100 TB.
+    * Stream-final == batch is spec-proven (PipelineOpsSpec). */
+  def pipelineIncremental(spark: SparkSession, events: DataFrame, customer: DataFrame,
+                          eventsDir: String, docsDir: String)
+                         (pipeline: (DataFrame, DataFrame) => DataFrame) =
+    sinkForeachBatch(events) { (batch, _) =>
+      batch.persist()
+      batch.write.mode("append").parquet(eventsDir)
+      val dirty = batch.select("user_id").distinct()
+      val history = spark.read.parquet(eventsDir)
+        .join(dirty, Seq("user_id"), "left_semi")
+      val recomputed = pipeline(history, customer)
+      val existing =
+        if (new java.io.File(docsDir).exists())
+          spark.read.parquet(docsDir).join(dirty, Seq("user_id"), "left_anti")
+        else recomputed.limit(0)
+      // materialize BEFORE overwriting the store the plan reads from
+      val merged = existing.unionByName(recomputed).localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(docsDir)
+      batch.unpersist()
+    }
+
   /** Per-key running totals on Spark 4's transformWithState — the
     * arbitrary-stateful-processing v2 API (typed ValueState handles,
     * RocksDB-backed, TTL-capable) that supersedes mapGroupsWithState

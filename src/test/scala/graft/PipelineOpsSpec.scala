@@ -96,4 +96,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"))
     } finally conf.set("spark.sql.adaptive.enabled", saved)
   }
+
+  test("streaming incremental pipeline converges to the batch wide docs") {
+    // the composed chain run as a stream: events arrive in 4 micro-
+    // batches; each batch recomputes ONLY its dirty users against the
+    // accumulated history and merge-upserts their docs. The final
+    // store must equal the one-shot batch run row-for-row — the
+    // incrementalizability proof for the whole composition.
+    val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pinc").toString
+    val (src, ev, docs) = (s"$tmp/src", s"$tmp/events", s"$tmp/docs")
+    t.events.repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.streaming.EventStream
+      .pipelineIncremental(spark, stream, t.customer, ev, docs)(
+        graft.queries.QueriesPipeline.wideDocs)
+      .start()
+    q.awaitTermination(180000)
+    if (q.isActive) q.stop()
+    val streamed = spark.read.parquet(docs).orderBy("user_id", "match_source")
+      .collect().map(_.toString).toSeq
+    val batch = graft.queries.QueriesPipeline.wideDocs(t.events, t.customer)
+      .orderBy("user_id", "match_source").collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
