@@ -130,10 +130,80 @@ object SimHash64 {
   }
 }
 
+/** 60-bit ENGINE-PORTABLE SimHash over an array<string> of tokens:
+  * per-token hash = first 15 hex chars of md5 (exactly Spark's
+  * `conv(substring(md5(t),1,15),16,10)` and DuckDB's md5 hex-parse —
+  * the cross-engine contract q_dedup_simhash_verify's oracle
+  * replays), votes packed the same way as [[SimHash64]]. One-pass
+  * codegen'd static loop — replaces a 60× row fan-out + (id,bit)
+  * shuffle formulation that measured ~16 s at sf0.1 with a narrow
+  * map. */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"Md5SimHash60 requires array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Md5SimHash60.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Md5SimHash60.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Md5SimHash60 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5(utf8 bytes) as a 60-bit long —
+    * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)`. */
+  def hash60(s: UTF8String): Long = {
+    val d = md.get(); d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xFFL) << 52) | ((b(1) & 0xFFL) << 44) | ((b(2) & 0xFFL) << 36) |
+      ((b(3) & 0xFFL) << 28) | ((b(4) & 0xFFL) << 20) | ((b(5) & 0xFFL) << 12) |
+      ((b(6) & 0xFFL) << 4) | ((b(7) & 0xF0L) >>> 4)
+  }
+
+  /** One primitive pass; duplicates vote once each (standard simhash
+    * weighting), same convention as [[SimHash64]]. */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash60(arr.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
 object HashFunctions {
   def minhashSig(c: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHashes))
 
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+
+  def md5simhash60(c: Column): Column =
+    GraftBridge.column(Md5SimHash60(GraftBridge.expression(c)))
 }

@@ -156,22 +156,15 @@ object Dedup {
     * Production pipelines should prefer the one-pass native
     * [[withSimHash]]; this exists to prove it.
     *
-    * Dataflow: explode tokens (narrow) → fan out 60 (token, bit)
-    * votes per token (narrow generate) → one (id, bit) partial-
-    * aggregating shuffle → one (id) shuffle to assemble the long.
-    * Linear in corpus token count. */
-  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .select(col(idCol),
-        conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long").as("__h"),
-        explode(lit((0 until 60).toArray)).as("__b"))
-    th.groupBy(col(idCol), col("__b"))
-      .agg(sum(when(expr("(shiftright(__h, __b) & 1)") === 1, 1)
-        .otherwise(-1)).as("__s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("__s") > 0, expr("shiftleft(1L, __b)")).otherwise(0L)).as("sig"))
-  }
+    * Dataflow: ONE narrow codegen'd pass per row (the
+    * [[graft.functions.Md5SimHash60]] expression — md5 per token,
+    * 60-bit vote pack) — zero shuffles for the signature. The
+    * spec proves the expression's token hash is bit-identical to
+    * `conv(substring(md5(t),1,15),16,10)`, the form the SQL oracle
+    * replays. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.HashFunctions.md5simhash60(tokens(col(textCol))).as("sig"))
 
   /** Brute-force exact-Jaccard pairs — the VERIFICATION twin of the
     * gated generators ([[minHashLsh]]/[[ngramJaccard]]): every pair in

@@ -97,6 +97,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(truth), s"LSH emitted non-truth pairs: ${lsh -- truth}")
   }
 
+  test("Md5SimHash60 token hash is bit-identical to the SQL md5 formulation") {
+    // the cross-engine contract: the native expression's 60-bit token
+    // hash must equal conv(substring(md5(t),1,15),16,10) — the form
+    // both the Spark SQL surface and the DuckDB oracle can compute
+    val toks = Seq("hello", "wörld", "", "123", "a b")
+    val sqlVals = toks.toDF("t")
+      .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      .as[Long].collect().toSeq
+    val exprVals = toks.map(t => graft.functions.Md5SimHash60.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(exprVals == sqlVals)
+  }
+
   test("portable simhash blocks + pigeonhole find ALL hamming<=3 pairs") {
     // maxHamming=3 < 4 blocks: recall is deterministically exact, so
     // the block-bucketed pairs equal the all-pairs hamming truth
