@@ -176,6 +176,70 @@ object Tokenize {
     merges.toSeq
   }
 
+  /** FULLY DISTRIBUTED BPE training — the uncapped sibling of
+    * [[trainBpe]]: the word-frequency DICTIONARY (vocabulary-sized,
+    * but unbounded) stays a DataFrame for the whole run; each merge
+    * round is ONE pair-count shuffle over the dictionary plus a
+    * 1-row top-pair collect, and the winning merge is applied as a
+    * narrow codegen'd HOF fold (no driver dict, no cap, no bias).
+    * Tie-breaks match [[trainBpe]] exactly — (count desc, left,
+    * right) — so at an unbounded cap the two trainers are
+    * spec-interchangeable; at 100 TB this is the path that trains on
+    * the FULL dictionary (numMerges small driver round-trips over a
+    * vocabulary-sized table, each partial-aggregating map-side).
+    *
+    * The fold applies the round's (l, r) merge left-to-right exactly
+    * like the scan in [[BpeCodec.encodeWord]]: a merged token l+r can
+    * never equal l (r is non-empty), so the fold's look-behind never
+    * re-merges a token the scan would have skipped.
+    *
+    * Per-round lineage is localCheckpoint-truncated (the Components
+    * lesson: 100 rounds of HOF transforms would otherwise stack into
+    * one giant plan). */
+  def trainBpeDistributed(df: DataFrame, textCol: String,
+                          numMerges: Int = 100): Seq[(String, String)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // structural-only expr (no data-derived literals embedded)
+    val charSplit = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    val adjPairs = expr(
+      "transform(sequence(0, size(syms) - 2), " +
+        "i -> struct(element_at(syms, i + 1) as l, element_at(syms, i + 2) as r))")
+    var words = df.select(explode(TextFunctions.bpeTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(charSplit.as("syms"), col("n"))
+      .filter(size(col("syms")) >= 2)
+      .localCheckpoint()
+    val merges = mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (merges.size < numMerges && continue) {
+      val top = words.select(explode(adjPairs).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty || top.head._3 < 2) continue = false // same stop rule as trainBpe
+      else {
+        val (l, r, _) = top.head
+        merges += ((l, r))
+        val mergedTok = lit(l + r)
+        val applied = words.select(
+          aggregate(col("syms"), array().cast("array<string>"), (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(mergedTok)))
+              .otherwise(concat(acc, array(s)))).as("syms"),
+          col("n"))
+          .filter(size(col("syms")) >= 2) // fully-merged words can't pair again
+        val next = applied.localCheckpoint()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
   /** Merge table as a DataFrame — spec-table symmetry with
     * [[Derive.applyMappingSpec]]: (rank, left, right) rows, collected
     * rank-ordered (config-sized by definition). */

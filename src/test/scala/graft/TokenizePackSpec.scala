@@ -83,6 +83,19 @@ class TokenizePackSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed BPE trainer equals the driver trainer uncapped") {
+    // the scale path: dictionary stays a DataFrame, one pair-count
+    // shuffle per round, narrow HOF merge apply. Same tie-breaks as
+    // the driver loop, so the two must produce IDENTICAL merge tables
+    // — on the hand-computed fixture and on the real documents corpus
+    val fixture = Tokenize.trainBpeDistributed(fixtureCorpus, "text", numMerges = 3)
+    assert(fixture == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val distributed = Tokenize.trainBpeDistributed(docs, "text", numMerges = 25)
+    val driver = Tokenize.trainBpe(docs, "text", numMerges = 25, maxWords = Int.MaxValue)
+    assert(distributed == driver)
+  }
+
   test("bpeCounts emits exact counts over a DataFrame") {
     val df = Seq((1L, "hug pun"), (2L, "hugs"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
