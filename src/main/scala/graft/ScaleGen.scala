@@ -10,19 +10,29 @@ import org.apache.spark.sql.functions._
   * target/scale/x10) — never touches the read-only testdata.
   *
   * Replication preserves workload SHAPE, not just row count:
-  *  - fact keys (doc/event/user/order/customer ids) shift by
-  *    copy × (max+1), so per-key cardinalities — as-of state sizes,
-  *    session lengths, dup-group sizes — stay what they were, and the
-  *    key count grows ×K the way a real bigger corpus grows;
+  *  - keys shift by copy × (domain max + 1), where the shift constant
+  *    is computed once per key DOMAIN (the owning table's key range)
+  *    and reused for every referencing column — c_custkey and
+  *    o_custkey shift by the same constant, l_orderkey by
+  *    o_orderkey's, events.user_id by the customer domain it joins —
+  *    so every equi-join lands on the SAME copy's replica and
+  *    per-key cardinalities (as-of state sizes, session lengths,
+  *    dup-group sizes, registry match profiles) stay exactly what
+  *    they were while key counts grow ×K. (Modulo-DERIVED keys —
+  *    q_pipeline_e2e's legacy_key = user_id % 500, q_hierarchy's
+  *    parent = key div 10 — inherently reference the base range and
+  *    cannot be shift-preserved; SCALE_r5.json notes those models.)
   *  - document TEXT goes through a per-copy bijective character
-  *    rotation over [a-z0-9] (copy 0 = identity; 36 alphabet chars ≥
-  *    32 copies ⇒ all rotations distinct). A bijection on characters
-  *    preserves every within-copy relation the text operators consume
-  *    — token boundaries, token equality, shingle-set Jaccard,
-  *    duplicate spans, exact-dup groups — while making cross-copy
-  *    vocabularies disjoint, so near-dup pair counts and ban sets
-  *    grow ×K (linear), not ×K² (every doc colliding with its own
-  *    replicas, which no real corpus does);
+  *    rotation over [a-z0-9] after lowercasing (lowercasing is what
+  *    CONFINES the alphabet so the rotation is a bijection on the
+  *    corpus — an unmapped uppercase letter would survive identical
+  *    across copies and leak shared tokens; normText lowers anyway,
+  *    so every token-level operator sees copy 0 as identity). A
+  *    bijection preserves every within-copy relation the text
+  *    operators consume — token boundaries, token equality,
+  *    shingle-set Jaccard, duplicate spans, exact-dup groups — while
+  *    making cross-copy vocabularies disjoint, so near-dup pair
+  *    counts and ban sets grow ×K (linear), not ×K².
   *  - dimension tables (region/nation/supplier/part) are copied
   *    verbatim: scaling facts against fixed dims is how a real
   *    deployment grows.
@@ -46,30 +56,40 @@ object ScaleGen {
       System.err.println(s"[scalegen] $t x$k written")
     }
 
+    // one shift constant per key DOMAIN, computed on the SOURCE table
+    // (cheap single-scan aggs, before any replication)
+    def domainMax(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head().getLong(0) + 1
+    val custD = domainMax("customer", "c_custkey")
+    val orderD = domainMax("orders", "o_orderkey")
+    val eventD = domainMax("events", "event_id")
+    val userD = custD // events.user_id equi-joins c_custkey (q_pipeline_e2e)
+    val docD = domainMax("documents", "doc_id")
+    val vecD = domainMax("embeddings", "vec_id")
+
     // k copies via a broadcast range — the fact side stays un-shuffled
     val copies = broadcast(spark.range(k).toDF("__copy"))
     def replicate(df: DataFrame): DataFrame = df.crossJoin(copies)
 
-    /** Shift each key column by copy × (max+1). */
-    def shiftKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-      keys.foldLeft(df) { (cur, kc) =>
-        val m = cur.agg(max(col(kc))).head().getLong(0) + 1
-        cur.withColumn(kc, col(kc) + col("__copy") * m)
-      }
+    /** Shift each (column → domain constant) by copy × constant. */
+    def shifted(df: DataFrame, keys: (String, Long)*): DataFrame =
+      keys.foldLeft(replicate(df)) { case (cur, (kc, d)) =>
+        cur.withColumn(kc, col(kc) + col("__copy") * d)
+      }.drop("__copy")
 
     // verbatim dims
     Seq("region", "nation", "supplier", "part").foreach(t => write(read(t), t))
 
-    // facts: shift keys
-    write(shiftKeys(replicate(read("customer")), Seq("c_custkey")).drop("__copy"), "customer")
-    write(shiftKeys(replicate(read("orders")), Seq("o_orderkey", "o_custkey")).drop("__copy"), "orders")
-    write(shiftKeys(replicate(read("lineitem")), Seq("l_orderkey")).drop("__copy"), "lineitem")
-    write(shiftKeys(replicate(read("events")), Seq("event_id", "user_id")).drop("__copy"), "events")
-    write(shiftKeys(replicate(read("embeddings")), Seq("vec_id")).drop("__copy"), "embeddings")
+    write(shifted(read("customer"), "c_custkey" -> custD), "customer")
+    write(shifted(read("orders"), "o_orderkey" -> orderD, "o_custkey" -> custD), "orders")
+    write(shifted(read("lineitem"), "l_orderkey" -> orderD), "lineitem")
+    write(shifted(read("events"), "event_id" -> eventD, "user_id" -> userD), "events")
+    write(shifted(read("embeddings"), "vec_id" -> vecD), "embeddings")
 
     // documents: shift ids + rotate text per copy. translate() is a
-    // codegen'd narrow map; the 36 rotations are prebuilt literals
-    // dispatched by a chained when (k <= 36 enforced).
+    // codegen'd narrow map; the k rotations are prebuilt literals
+    // dispatched by a chained when (k <= 36 enforced: 36 alphabet
+    // chars ⇒ 36 distinct rotations).
     require(k <= Alpha.length, s"at most ${Alpha.length} distinct rotations")
     val rotations = (0 until k).map { r =>
       val rot = Alpha.drop(r) + Alpha.take(r)
@@ -78,7 +98,8 @@ object ScaleGen {
     val rotated = rotations.zipWithIndex.tail.foldLeft(when(col("__copy") === 0, rotations.head)) {
       case (acc, (expr, i)) => acc.when(col("__copy") === i, expr)
     }
-    val docs = shiftKeys(replicate(read("documents")), Seq("doc_id"))
+    val docs = replicate(read("documents"))
+      .withColumn("doc_id", col("doc_id") + col("__copy") * docD)
       .withColumn("text", rotated)
       .drop("__copy")
     write(docs, "documents")

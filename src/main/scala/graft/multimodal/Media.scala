@@ -148,11 +148,17 @@ object Media {
     sum
   }
 
+  private val Undecodable = (0, 0, 0L, 0L)
+
   /** Decode a still image (PNG/JPEG/GIF-first-frame) via ImageIO:
-    * (width, height, n_px, exact gray-pixel sum). */
+    * (width, height, n_px, exact gray-pixel sum). ImageIO.read
+    * returns NULL (not an exception) for a payload whose magic lies
+    * about its body — degrade to the byte-level row, never fail the
+    * task over one corrupt blob. */
   private def decodeImage(payload: Array[Byte]): (Int, Int, Long, Long) = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
-    (img.getWidth, img.getHeight, img.getWidth.toLong * img.getHeight, graySum(img))
+    if (img == null) Undecodable
+    else (img.getWidth, img.getHeight, img.getWidth.toLong * img.getHeight, graySum(img))
   }
 
   /** Decode WAV via javax.sound: (n_samples, 1, n_samples, sum of
@@ -201,11 +207,15 @@ object Media {
     media.as[MediaRow].mapPartitions { it =>
       it.map { r =>
         val kind = sniffBytes(r.payload)
+        // every decoder degrades to the byte-level row on a body that
+        // does not match its magic (corrupt blob, or RIFF that is
+        // avi/webp rather than wav) — one bad payload in a 100 TB
+        // ingest must not fail the task
         val (w, h, nPx, sum) = kind match {
           case "png" | "jpeg" => decodeImage(r.payload)
-          case "gif"          => decodeGifAll(r.payload)
-          case "riff"         => decodeWav(r.payload)
-          case _              => (0, 0, 0L, 0L) // undecodable: byte-level row only
+          case "gif" => try decodeGifAll(r.payload) catch { case _: Exception => Undecodable }
+          case "riff" => try decodeWav(r.payload) catch { case _: Exception => Undecodable }
+          case _ => Undecodable // unknown magic: byte-level row only
         }
         MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, nPx, sum)
       }
@@ -221,18 +231,28 @@ object Media {
   def sampleFrames(spark: SparkSession, media: DataFrame,
                    stride: Int = 4, maxFrames: Int = 8): Dataset[FrameSample] = {
     import spark.implicits._
-    media.as[MediaRow].filter((r: MediaRow) => r.media_type == "video")
+    // dispatch on the SNIFFED payload, not the declared label (the
+    // same never-trust-the-label rule as extractFeatures: a mislabeled
+    // non-GIF "video" yields no frames rather than a task failure);
+    // one reader per PARTITION, setInput per row
+    media.as[MediaRow]
+      .filter((r: MediaRow) => r.media_type == "video" && sniffBytes(r.payload) == "gif")
       .mapPartitions { it =>
-        it.flatMap { r =>
-          val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val withCleanup = new Iterator[MediaRow] {
+          def hasNext: Boolean = { val h = it.hasNext; if (!h) reader.dispose(); h }
+          def next(): MediaRow = it.next()
+        }
+        withCleanup.flatMap { r =>
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
           try {
             reader.setInput(iis)
             val n = math.min(reader.getNumImages(true), maxFrames)
             (0 until n by stride).map { f =>
               FrameSample(r.media_id, f, graySum(reader.read(f)))
-            }
-          } finally { reader.dispose(); iis.close() }
+            }.toVector // materialize before the stream closes
+          } catch { case _: Exception => Vector.empty } // corrupt body: no frames
+          finally iis.close()
         }
       }
   }
@@ -254,12 +274,12 @@ object Media {
     "png" -> "89504E47", "jpeg" -> "FFD8FF", "gif" -> "47494638",
     "riff" -> "52494646", "flac" -> "664C6143")
 
-  /** JVM-side magic sniff (decode dispatch inside mapPartitions). */
+  /** JVM-side magic sniff (decode dispatch inside mapPartitions). A
+    * payload shorter than a magic can never match it. */
   private def sniffBytes(payload: Array[Byte]): String = {
     val prefix = payload.take(4).map(b => f"${b & 0xff}%02X").mkString
     MagicPrefixes.collectFirst {
-      case (kind, magic) if prefix.startsWith(magic.take(prefix.length)) &&
-        prefix.take(magic.length) == magic => kind
+      case (kind, magic) if prefix.startsWith(magic) => kind
     }.getOrElse("unknown")
   }
 

@@ -42,6 +42,22 @@ object Tokenize {
     override def next(): String = { val s = m.group(); ready = m.find(); s }
   }
 
+  /** Split a word into CODEPOINT symbols (not UTF-16 chars): the
+    * distributed trainer's Spark-side `substring(w, i, 1)` is
+    * codepoint-based (UTF8String counts code points), so the JVM
+    * trainer/codec must match or the two would diverge on
+    * supplementary-plane text (emoji, rare CJK). */
+  private[graft] def codepointSyms(w: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** GPT-2 merges.txt lines → ranked merge pairs. Canonical parsers
     * drop ONLY the first line when it is the `#version:` header — a
     * later rule whose LEFT symbol is literally '#version…' (possible
@@ -80,7 +96,7 @@ object Tokenize {
     def encodeWord(word: String): Array[String] = {
       val hit = cache.get(word)
       if (hit != null) return hit
-      var parts: Array[String] = word.toCharArray.map(_.toString)
+      var parts: Array[String] = codepointSyms(word)
       var done = parts.length < 2
       while (!done) {
         var bestRank = Int.MaxValue
@@ -136,7 +152,7 @@ object Tokenize {
         .map(r => (r.getString(0), r.getLong(1)))
 
     var words: Array[(Array[String], Long)] =
-      wordFreq.map { case (w, n) => (w.toCharArray.map(_.toString), n) }.toArray
+      wordFreq.map { case (w, n) => (codepointSyms(w), n) }.toArray
     val merges = mutable.ArrayBuffer[(String, String)]()
     var continue = true
     while (merges.size < numMerges && continue) {

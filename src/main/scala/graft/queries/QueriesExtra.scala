@@ -248,8 +248,14 @@ object QueriesExtra {
           col("__rows.ln").as("ln"),
           col("__rows.qty").as("qty"),
           col("__rows.price").as("price"))
+      // fact-fact join: BOTH sides scale with the corpus, so never
+      // let AQE broadcast the aggregate side — its single-threaded
+      // build went super-linear at 32x (64 s vs a linear ~8 s; at
+      // 100 TB it would OOM the driver). perOrder is already hash-
+      // clustered on l_orderkey by its groupBy, so the merge join
+      // reuses that exchange.
       t.orders.select(col("o_orderkey"), col("o_orderstatus"))
-        .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+        .join(perOrder.hint("shuffle_merge"), col("o_orderkey") === col("l_orderkey"), "left")
         .withColumn("raw_data", arrays_zip(col("ln"), col("qty"), col("price")))
         .withColumn("line_map", map_from_arrays(col("ln"), col("qty")))
         .select(col("o_orderkey"), col("o_orderstatus"),

@@ -274,17 +274,23 @@ object EventStream {
   def pipelineIncremental(spark: SparkSession, events: DataFrame, customer: DataFrame,
                           eventsDir: String, docsDir: String)
                          (pipeline: (DataFrame, DataFrame) => DataFrame) =
-    sinkForeachBatch(events) { (batch, _) =>
+    sinkForeachBatch(events) { (batch, batchId) =>
       batch.persist()
-      batch.write.mode("append").parquet(eventsDir)
+      // idempotent on replay: foreachBatch is at-least-once, so the
+      // raw append is keyed by batchId and OVERWRITTEN on redelivery
+      // — a retried batch replaces its own partition instead of
+      // double-counting events in every later recompute
+      batch.write.mode("overwrite").parquet(s"$eventsDir/batch_$batchId")
       val dirty = batch.select("user_id").distinct()
-      val history = spark.read.parquet(eventsDir)
+      val history = spark.read.parquet(s"$eventsDir/batch_*")
         .join(dirty, Seq("user_id"), "left_semi")
       val recomputed = pipeline(history, customer)
+      // probe the docs store by READING it (filesystem-agnostic — a
+      // java.io.File existence check would be wrong on hdfs/s3 paths
+      // and silently drop all prior docs)
       val existing =
-        if (new java.io.File(docsDir).exists())
-          spark.read.parquet(docsDir).join(dirty, Seq("user_id"), "left_anti")
-        else recomputed.limit(0)
+        try spark.read.parquet(docsDir).join(dirty, Seq("user_id"), "left_anti")
+        catch { case _: org.apache.spark.sql.AnalysisException => recomputed.limit(0) }
       // materialize BEFORE overwriting the store the plan reads from
       val merged = existing.unionByName(recomputed).localCheckpoint(true)
       merged.write.mode("overwrite").parquet(docsDir)

@@ -31,7 +31,10 @@ NOTES = {
         "defect."),
     "q_ancestor_arrays": (
         "same decimal-tree model as q_hierarchy (ancestor ARRAY per node: "
-        "rows x depth both grow), expected ~depth-factor over linear."),
+        "rows x depth both grow), expected ~depth-factor over linear. The "
+        "x32 run needs a 16g driver JVM under FIXED 32 shuffle partitions "
+        "(per-task array volume grows linearly when partitions don't scale "
+        "with data — the knob a real deployment turns; an 8g heap OOMs)."),
     "q_observations": (
         "shuffle grows exactly linearly (ratio 1.01); wall-time lands "
         "1.10-1.35x linear across repeat runs because the query ends in a "
@@ -63,9 +66,19 @@ def load(prefix, f):
 def main(out_path):
     runs = {f: {**load("scale", f), **load("scale2", f)} for f in FACTORS}
     queries = sorted(runs[1].keys())
-    report = {"factors": FACTORS, "queries": {}}
+    report = {"factors": FACTORS, "queries": {}, "failed": []}
     worst = (None, 0.0)
     for q in queries:
+        # a query missing from a factor file, or recorded by the bench
+        # as failed (sec = -1.0), must surface as a FAILURE — a
+        # negative ratio silently reading as "better than linear" is
+        # exactly the regression this report exists to catch
+        missing = [f for f in FACTORS if q not in runs[f]]
+        crashed = [f for f in FACTORS if q in runs[f] and runs[f][q]["sec"] < 0]
+        if missing or crashed:
+            report["failed"].append(
+                {"query": q, "missing_factors": missing, "failed_factors": crashed})
+            continue
         entry = {}
         for f in FACTORS:
             m = runs[f][q]
@@ -87,6 +100,7 @@ def main(out_path):
         report["queries"][q] = entry
     report["verdict"] = {
         "worst_time_growth_vs_linear": {"query": worst[0], "ratio": worst[1]},
+        "failed_count": len(report["failed"]),
         "note": ("ratio = (t_x32/t_x1)/32; <=1 means at-most-linear wall-time "
                  "growth at 32x the data on fixed local[32] resources. "
                  "Queries with expected_growth_note are excluded from the "
@@ -96,7 +110,12 @@ def main(out_path):
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
     print(json.dumps(report["verdict"], indent=1))
+    for f in report["failed"]:
+        print(f"{f['query']:24s} FAILED (missing {f['missing_factors']}, "
+              f"crashed {f['failed_factors']})")
     for q in queries:
+        if q not in report["queries"]:
+            continue
         e = report["queries"][q]
         flag = " *" if "expected_growth_note" in e else ""
         print(f"{q:24s} t: {e['x1']['sec']:7.2f} -> {e['x10']['sec']:7.2f} -> "
