@@ -49,5 +49,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) => {
+        if (children.size != 2) throw new IllegalArgumentException(
+          s"misra_gries requires exactly 2 arguments (string col, k), got ${children.size}")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+          case _ => throw new IllegalArgumentException(
+            "misra_gries: k must be a constant integer, not a column")
+        }
+        graft.functions.MisraGries(children.head, k).toAggregateExpression()
+      }))
   }
 }

@@ -135,6 +135,28 @@ object QueriesText {
     // into driver-visible exactness proofs (the q_shingle_clusters
     // pattern, applied to pairs).
 
+    "q_heavy_hitters" -> ((s, d) => {
+      // corpus-wide token heavy hitters: the Misra–Gries NATIVE
+      // aggregate (functions/HeavyHitters.scala — fixed k-counter
+      // state riding the partial-agg path, no full word-count
+      // shuffle) finds the head; ONE broadcast-semi-join exact pass
+      // over the token stream then makes the survivors' counts exact.
+      // rows-only: the sketch's marginal members depend on merge
+      // order; the no-overcount / bounded-undercount / heavy-item
+      // guarantees are spec-checked in StatsSpec.
+      import graft.functions.HeavyHitters
+      val toks = Tables(s, d).documents
+        .select(explode(tokens(col("text"))).as("tok"))
+      val candidates = toks
+        .agg(HeavyHitters.misraGries(col("tok"), 30).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"))
+      toks.join(broadcast(candidates), col("tok") === col("item"), "left_semi")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok"))
+    }),
+
     "q_dedup_minhash_verify" -> ((s, d) => {
       // the FULL MinHash+LSH pipeline (sketch, banding, bucket join,
       // exact-Jaccard verify) at a band config whose recall is

@@ -69,6 +69,35 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r._2 - 1.0) < 1e-9) // chi2 ≈ 0 ⇒ p ≈ 1
   }
 
+  test("Misra-Gries: no overcount, bounded undercount, heavy items present") {
+    import graft.functions.HeavyHitters.misraGries
+    // known stream: a=60, b=35, c=20, plus 85 singletons; n = 200
+    val items = Seq.fill(60)("a") ++ Seq.fill(35)("b") ++ Seq.fill(20)("c") ++
+      (0 until 85).map(i => s"x$i")
+    val n = items.size
+    val k = 5
+    // repartition(8): the guarantees must hold ACROSS partial buffers
+    // and merge order, not just for one stream
+    val out = items.toDF("tok").repartition(8)
+      .agg(misraGries(col("tok"), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est_count"))
+      .as[(String, Long)].collect().toMap
+    assert(out.size <= k)
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // est <= true (never overcounts), true - est <= n/(k+1)
+    out.foreach { case (item, est) =>
+      assert(est <= truth(item), s"overcount for $item")
+      assert(truth(item) - est <= n / (k + 1), s"undercount bound broken for $item")
+    }
+    // any item with true freq > n/(k+1) = 33 must be present
+    assert(out.contains("a") && out.contains("b"))
+    // SQL registration round-trip
+    items.toDF("tok").createOrReplaceTempView("t_hh")
+    val viaSql = spark.sql(s"SELECT misra_gries(tok, $k) FROM t_hh").head().getSeq[Any](0)
+    assert(viaSql.nonEmpty)
+  }
+
   test("p-value special functions match published quantile fixtures") {
     import graft.functions.StatMath._
     // χ² upper-tail: the textbook 0.05/0.01 critical values
