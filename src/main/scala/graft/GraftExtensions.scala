@@ -16,6 +16,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *     ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Constant-int SQL argument: accepts any non-null foldable exact
+    * integral; rejects NULL, strings, and fractional values with the
+    * function's own error instead of an analyzer-deep NPE/CCE. */
+  private def constInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other if other.foldable =>
+      other.eval() match {
+        case null => throw new IllegalArgumentException(s"$fn: $arg must not be NULL")
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long if n.longValue().isValidInt => n.intValue()
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Byte => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn: $arg must be a constant integer, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $arg must be a constant integer, not a column")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer rule: HOF dot-product pattern → native FloatVecDot
     // (plans/VecDotRewrite.scala)
@@ -36,13 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         if (children.size != 2) throw new IllegalArgumentException(
           s"minhash_sig requires exactly 2 arguments (array<string>, numHashes), got ${children.size}")
-        val n = children(1) match {
-          case Literal(v: Int, _) => v
-          case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
-          case _ => throw new IllegalArgumentException(
-            "minhash_sig: numHashes must be a constant integer, not a column")
-        }
-        MinHashSig(children.head, n)
+        MinHashSig(children.head, constInt(children(1), "minhash_sig", "numHashes"))
       }))
 
     ext.injectFunction((
@@ -56,13 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         if (children.size != 2) throw new IllegalArgumentException(
           s"misra_gries requires exactly 2 arguments (string col, k), got ${children.size}")
-        val k = children(1) match {
-          case Literal(v: Int, _) => v
-          case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
-          case _ => throw new IllegalArgumentException(
-            "misra_gries: k must be a constant integer, not a column")
-        }
-        graft.functions.MisraGries(children.head, k).toAggregateExpression()
+        graft.functions.MisraGries(children.head,
+          constInt(children(1), "misra_gries", "k")).toAggregateExpression()
       }))
   }
 }

@@ -111,11 +111,17 @@ case class MisraGries(
     })
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps a
+  // string at 65535 encoded bytes and would crash the partial-buffer
+  // shuffle on the first document-length item
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, c) => out.writeUTF(key); out.writeLong(c) }
+    buf.foreach { case (key, c) =>
+      val b = key.getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -125,7 +131,12 @@ case class MisraGries(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, "UTF-8"), in.readLong())
+      i += 1
+    }
     buf
   }
 

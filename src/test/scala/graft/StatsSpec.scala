@@ -96,6 +96,14 @@ class StatsSpec extends AnyFunSuite {
     items.toDF("tok").createOrReplaceTempView("t_hh")
     val viaSql = spark.sql(s"SELECT misra_gries(tok, $k) FROM t_hh").head().getSeq[Any](0)
     assert(viaSql.nonEmpty)
+    // document-length items survive buffer serialization (writeUTF
+    // would cap at 64KB and crash the partial-agg shuffle)
+    val big = "x" * 100000
+    val bigOut = (Seq.fill(3)(big) ++ Seq("small")).toDF("tok").repartition(2)
+      .agg(misraGries(col("tok"), 2).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est_count")).as[(String, Long)].collect()
+    assert(bigOut.exists { case (item, c) => item == big && c >= 2 })
   }
 
   test("p-value special functions match published quantile fixtures") {
