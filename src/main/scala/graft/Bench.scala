@@ -38,6 +38,30 @@ class BenchListener extends org.apache.spark.scheduler.SparkListener {
     "input" -> input.get, "spill" -> spill.get, "peak_task_mem" -> peakTaskMem.get)
 }
 
+/** Post-execution plan probe: the max broadcast build side (rows,
+  * bytes) across every execution a query triggers. This is the
+  * bench-scale plan gate's sensor — scale_report.py compares these
+  * across corpus factors and FAILS any query whose broadcast build
+  * grows with the data (a broadcast must be a fixed dim or a bounded
+  * aggregate; anything else is a deferred driver OOM). Registered as a
+  * QueryExecutionListener so it sees the noop WRITE's QueryExecution —
+  * the one whose post-AQE executed plan carries real metrics (the
+  * bench's own `df.queryExecution` is never executed). */
+class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
+  val rows, bytes = new AtomicLong
+  def reset(): Unit = { rows.set(0); bytes.set(0) }
+  override def onSuccess(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         durationNs: Long): Unit = {
+    val (r, b) = org.apache.spark.sql.GraftBridge.maxBroadcastBuild(qe.executedPlan)
+    rows.getAndUpdate(cur => math.max(cur, r))
+    bytes.getAndUpdate(cur => math.max(cur, b))
+  }
+  override def onFailure(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         exception: Exception): Unit = ()
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,11 +79,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
+    val bcast = new BroadcastProbe
+    spark.listenerManager.register(bcast)
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val attempts = (1 to iters).map { _ =>
         listener.reset()
+        bcast.reset()
         val t0 = System.nanoTime()
         val elapsed =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -70,7 +97,8 @@ object Bench {
         // queries are isolated (operators self-clean, belt-and-braces)
         spark.catalog.clearCache()
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
-        (elapsed, listener.snapshot)
+        (elapsed, listener.snapshot +
+          ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get))
       }
       val ok = attempts.filter(_._1 >= 0)
       // metrics ride with the min-time attempt (bytes are plan-

@@ -14,10 +14,19 @@ object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.min(32, Runtime.getRuntime.availableProcessors).toString)
 
+  /** Shuffle partitions, overridable INDEPENDENTLY of cores
+    * (SPARK_GRAFT_SHUFFLE_PARTITIONS): the deployment knob a real
+    * cluster turns as data grows — per-task state is total/partitions,
+    * so scaling partitions with data keeps task memory flat. The scale
+    * harness measures exactly this curve (SCALE_r6 partitions matrix);
+    * default stays = cores, AQE coalesces small shuffles either way. */
+  def shufflePartitions(cores: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores)
+
   def builder(cores: String = cpus): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", shufflePartitions(cores))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -86,14 +86,23 @@ object ScaleGen {
     write(shifted(read("events"), "event_id" -> eventD, "user_id" -> userD), "events")
     write(shifted(read("embeddings"), "vec_id" -> vecD), "embeddings")
 
-    // documents: shift ids + rotate text per copy. translate() is a
-    // codegen'd narrow map; the k rotations are prebuilt literals
-    // dispatched by a chained when (k <= 36 enforced: 36 alphabet
-    // chars ⇒ 36 distinct rotations).
-    require(k <= Alpha.length, s"at most ${Alpha.length} distinct rotations")
+    // documents: shift ids + apply a per-copy bijective character map.
+    // translate() is a codegen'd narrow map; the k permutations are
+    // prebuilt literals dispatched by a chained when. The bijection
+    // family is the AFFINE maps over Z_36 — i → (a·i + b) mod 36 with
+    // gcd(a,36)=1 — which generalizes the original rotations (a=1,
+    // b=r: copy r<36 produces byte-identical output to the r5
+    // generator) and yields 12 units × 36 shifts = 432 distinct
+    // bijections, enough for the ×100 matrix. Any bijection preserves
+    // the within-copy relations the text operators consume; distinct
+    // (a,b) keep cross-copy vocabularies (effectively) disjoint.
+    val units = (1 until Alpha.length).filter(a => BigInt(a).gcd(Alpha.length) == 1)
+    require(k <= units.length * Alpha.length,
+      s"at most ${units.length * Alpha.length} distinct affine bijections")
     val rotations = (0 until k).map { r =>
-      val rot = Alpha.drop(r) + Alpha.take(r)
-      translate(lower(col("text")), Alpha, rot)
+      val (a, b) = (units(r / Alpha.length), r % Alpha.length)
+      val perm = Alpha.indices.map(i => Alpha((a * i + b) % Alpha.length)).mkString
+      translate(lower(col("text")), Alpha, perm)
     }
     val rotated = rotations.zipWithIndex.tail.foldLeft(when(col("__copy") === 0, rotations.head)) {
       case (acc, (expr, i)) => acc.when(col("__copy") === i, expr)

@@ -162,6 +162,19 @@ object TextFunctions {
       pmod(pmod(acc, lit(1099511627776L)) * 31 + pmod(xxhash64(t), lit(1048576L)),
         lit(1099511627776L)))
 
+  /** ENGINE-PORTABLE rolling fingerprint: the same h = (h*31 + th)
+    * mod 2^40 recurrence as [[rollingFingerprint]] but with the
+    * per-token hash drawn from md5 (first 5 hex chars = 20 bits)
+    * instead of Spark-internal xxhash64 — any engine with md5 and an
+    * ordered list fold can replay it bit-for-bit (the simhashPortable
+    * pattern, Dedup.scala). Costs one md5 per token vs one xxhash64;
+    * prefer [[rollingFingerprint]] when cross-engine parity is not
+    * required. */
+  def rollingFingerprintPortable(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      pmod(acc * 31 + conv(substring(md5(t), 1, 5), 16, 10).cast("long"),
+        lit(1099511627776L)))
+
   /** Token n-gram shingles over a MATERIALIZED tokens column (pass a
     * column reference, not `tokens(text)` — Catalyst does not
     * common-subexpression-eliminate through higher-order-function

@@ -239,11 +239,17 @@ object Media {
       .filter((r: MediaRow) => r.media_type == "video" && sniffBytes(r.payload) == "gif")
       .mapPartitions { it =>
         val reader = ImageIO.getImageReadersByFormatName("gif").next()
-        val withCleanup = new Iterator[MediaRow] {
+        // dispose on TASK COMPLETION, not iterator exhaustion: a
+        // downstream early-terminating consumer (limit, take) abandons
+        // the iterator without draining it, which would leak the
+        // reader's native/cache resources
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => reader.dispose())
+        val rows = if (tc != null) it else new Iterator[MediaRow] {
           def hasNext: Boolean = { val h = it.hasNext; if (!h) reader.dispose(); h }
           def next(): MediaRow = it.next()
         }
-        withCleanup.flatMap { r =>
+        rows.flatMap { r =>
           val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
           try {
             reader.setInput(iis)
@@ -253,6 +259,68 @@ object Media {
             }.toVector // materialize before the stream closes
           } catch { case _: Exception => Vector.empty } // corrupt body: no frames
           finally iis.close()
+        }
+      }
+  }
+
+  case class ThumbRow(media_id: Long, src_w: Int, src_h: Int,
+                      thumb_w: Int, thumb_h: Int, jpeg_kind: String,
+                      jpeg_w: Int, jpeg_h: Int, png_px_sum: Long)
+
+  /** ENCODE-OUT: the write half of the image pipeline (reference
+    * jobs/transform/images_jpg_generation.py:15 — convert_image emits
+    * a full-res JPEG + a thumbnail per image). Decode → aspect-
+    * preserving nearest-neighbor raster resize → re-encode, twice:
+    * a JPEG (the reference's delivery format — lossy, so the oracle
+    * checks its container magic + exact re-decoded DIMENSIONS) and a
+    * PNG (lossless, so the re-decoded pixel sum is exactly the
+    * nearest-neighbor sampling formula and the oracle predicts it to
+    * the bit). The NN sample map is pure integer math —
+    * src(x*w/tw, y*h/th) — deliberately, so any engine can replay it;
+    * interpolating resamplers are implementation-defined.
+    *
+    * Scale posture: narrow mapPartitions, decode+encode bound, zero
+    * shuffle — the same embarrassingly-parallel shape as
+    * [[extractFeatures]]; at 100 TB the thumbnails write back out
+    * through a binary sink partitioned however the store needs. */
+  def thumbnails(spark: SparkSession, media: DataFrame,
+                 maxW: Int = 12, maxH: Int = 12): Dataset[ThumbRow] = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter((r: MediaRow) => sniffBytes(r.payload) == "png")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+          if (img == null) None // corrupt blob: skip, never fail the task
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val scale = math.min(math.min(maxW.toDouble / w, maxH.toDouble / h), 1.0)
+            val tw = math.max(1, math.floor(w * scale).toInt)
+            val th = math.max(1, math.floor(h * scale).toInt)
+            val src = img.getRaster
+            val thumb = new BufferedImage(tw, th, BufferedImage.TYPE_BYTE_GRAY)
+            val dst = thumb.getRaster
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                dst.setSample(x, y, 0, src.getSample(x * w / tw, y * h / th, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val jbos = new ByteArrayOutputStream()
+            ImageIO.write(thumb, "jpg", jbos)
+            val jpegBytes = jbos.toByteArray
+            val pbos = new ByteArrayOutputStream()
+            ImageIO.write(thumb, "png", pbos)
+            val pngBytes = pbos.toByteArray
+            // round-trip PROOF: re-decode both containers we just wrote
+            val jpegImg = ImageIO.read(new ByteArrayInputStream(jpegBytes))
+            val pngImg = ImageIO.read(new ByteArrayInputStream(pngBytes))
+            Some(ThumbRow(r.media_id, w, h, tw, th, sniffBytes(jpegBytes),
+              jpegImg.getWidth, jpegImg.getHeight, graySum(pngImg)))
+          }
         }
       }
   }

@@ -58,6 +58,37 @@ object Tokenize {
     out.toArray
   }
 
+  /** Code-point string order (== UTF-8 binary order == Spark's
+    * UTF8String comparison). The driver trainer must break ties
+    * exactly like the distributed trainer's Spark-side ORDER BY;
+    * Java String.compareTo compares UTF-16 code units, which ranks
+    * supplementary-plane symbols (surrogate pairs, 0xD800-) BELOW
+    * BMP chars in [U+E000,U+FFFF] — code-point order ranks them
+    * above. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** (count desc, left, right) with code-point string comparison —
+    * the shared tie-break rule of both trainers. */
+  private val pairCountOrdering: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      override def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val byN = java.lang.Long.compare(y._2, x._2)
+        if (byN != 0) byN
+        else {
+          val byL = codePointCompare(x._1._1, y._1._1)
+          if (byL != 0) byL else codePointCompare(x._1._2, y._1._2)
+        }
+      }
+    }
+
   /** GPT-2 merges.txt lines → ranked merge pairs. Canonical parsers
     * drop ONLY the first line when it is the `#version:` header — a
     * later rule whose LEFT symbol is literally '#version…' (possible
@@ -139,8 +170,10 @@ object Tokenize {
     * shuffle builds the word-frequency dictionary; the top `maxWords`
     * by (count desc, word) — deterministic — come to the driver and
     * the classic weighted pair-count loop runs there. Ties in pair
-    * counts break to the lexicographically smallest pair, so the
-    * trained table is a pure function of the corpus. */
+    * counts break to the smallest pair in CODE-POINT order (matching
+    * Spark's UTF8String comparison, see [[codePointCompare]]), so the
+    * trained table is a pure function of the corpus and identical to
+    * [[trainBpeDistributed]]'s even on supplementary-plane text. */
   def trainBpe(df: DataFrame, textCol: String,
                numMerges: Int = 100, maxWords: Int = 5000): Seq[(String, String)] = {
     val wordFreq: Seq[(String, Long)] =
@@ -167,8 +200,7 @@ object Tokenize {
       }
       if (pairCounts.isEmpty) continue = false
       else {
-        val (bestPair, bestN) = pairCounts.toSeq
-          .minBy { case ((l, r), n) => (-n, l, r) }
+        val (bestPair, bestN) = pairCounts.toSeq.min(pairCountOrdering)
         if (bestN < 2) continue = false // a pair seen once generalizes to nothing
         else {
           merges += bestPair

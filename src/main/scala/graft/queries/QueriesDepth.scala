@@ -453,6 +453,53 @@ object QueriesDepth {
         .orderBy("event_type")
     }),
 
+    "q_json_roundtrip" -> ((s, d) => {
+      // OpenStats-shape JSON normalization (reference
+      // open_stats_extractor.py:82–117 — object_pairs_hook parsing of
+      // schema-DRIFTING nested result packets, restructure, then
+      // dump_json_windowed_data's selective re-serialization of
+      // sub-objects back to JSON strings). Three drifting packet
+      // shapes are synthesized from table columns, parsed ONCE
+      // through a superset from_json schema plus a VARIANT path
+      // extract for the drifting numeric, restructured into a
+      // normalized summary object (re-dumped via to_json), and the
+      // untouched meta sub-object re-serialized verbatim — the full
+      // parse → reshape → re-dump round trip as one narrow
+      // zero-shuffle map. Longs-and-strings-only payload (cross-
+      // engine double formatting); to_json's null-field omission
+      // matches DuckDB's json_extract of an absent key.
+      val x = col("n_chars").cast("long") * 3 + 1
+      val raw = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("{\"result\":{\"status\":\"ok\",\"detail\":{\"p_ppm\":"), x,
+            lit(",\"effect\":"), pmod(col("doc_id"), lit(17)),
+            lit("}},\"meta\":{\"src\":\""), col("source"), lit("\"}}")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("{\"result\":{\"status\":\"ok\",\"detail\":{\"p_ppm\":"), x,
+            lit("}},\"extra\":["), pmod(col("doc_id"), lit(5)), lit(","),
+            pmod(col("doc_id"), lit(7)), lit("]}")))
+        .otherwise(
+          concat(lit("{\"result\":{\"status\":\"fail\"},\"meta\":{\"src\":\""),
+            col("source"), lit("\",\"lang\":\""), col("lang"), lit("\"}}")))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "result STRUCT<status: STRING, detail: STRUCT<p_ppm: BIGINT, effect: BIGINT>>, " +
+          "meta STRUCT<src: STRING, lang: STRING>, extra ARRAY<BIGINT>")
+      Tables(s, d).documents
+        .select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"),
+          from_json(col("__raw"), schema).as("__p"),
+          try_variant_get(parse_json(col("__raw")), "$.result.detail.p_ppm", "long")
+            .as("p_ppm"))
+        .select(col("doc_id"),
+          col("__p.result.status").as("status"),
+          col("p_ppm"),
+          to_json(struct(col("__p.result.status").as("status"),
+            coalesce(col("p_ppm"), lit(-1L)).as("p_ppm"),
+            coalesce(size(col("__p.extra")), lit(0)).as("n_extra")))
+            .as("summary_json"),
+          to_json(col("__p.meta")).as("meta_json"))
+        .orderBy("doc_id")
+    }),
+
     "q_asof_plan" -> ((s, d) => {
       // the SAME backward as-of association as q_asof_backward, but
       // executed by the custom physical operator (plans/AsOfJoin.scala:
@@ -818,6 +865,33 @@ object QueriesDepth {
         | cast(sum(cast(props->>'k' as int)) as bigint) AS k_sum,
         | cast(count(DISTINCT user_id) as bigint) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the same drifting packets from the same raw columns
+    // through DuckDB's JSON functions: json_extract of an absent key
+    // yields NULL (→ meta_json NULL on shape 1), json_object rebuilds
+    // the normalized summary with the identical key order
+    "q_json_roundtrip" ->
+      """WITH raw AS (
+        | SELECT doc_id,
+        |  CASE cast(doc_id % 3 as int)
+        |   WHEN 0 THEN '{"result":{"status":"ok","detail":{"p_ppm":' || (n_chars*3+1)
+        |     || ',"effect":' || (doc_id % 17) || '}},"meta":{"src":"' || source || '"}}'
+        |   WHEN 1 THEN '{"result":{"status":"ok","detail":{"p_ppm":' || (n_chars*3+1)
+        |     || '}},"extra":[' || (doc_id % 5) || ',' || (doc_id % 7) || ']}'
+        |   ELSE '{"result":{"status":"fail"},"meta":{"src":"' || source
+        |     || '","lang":"' || lang || '"}}'
+        |  END AS raw
+        | FROM documents),
+        |p AS (SELECT doc_id, raw,
+        |  json_extract_string(raw, '$.result.status') AS status,
+        |  cast(json_extract(raw, '$.result.detail.p_ppm') as bigint) AS p_ppm,
+        |  coalesce(cast(json_array_length(raw, '$.extra') as int), 0) AS n_extra
+        | FROM raw)
+        |SELECT doc_id, status, p_ppm,
+        | cast(json_object('status', status, 'p_ppm', coalesce(p_ppm, -1),
+        |   'n_extra', n_extra) as varchar) AS summary_json,
+        | cast(json_extract(raw, '$.meta') as varchar) AS meta_json
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_asof_plan" ->
       """WITH clicks AS (

@@ -147,6 +147,23 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    "q_token_bpe_dist" -> ((s, d) => {
+      // the 100 TB BPE path, graded and benched: the FULLY
+      // DISTRIBUTED trainer (Tokenize.trainBpeDistributed — the
+      // dictionary stays a DataFrame end-to-end; each merge round is
+      // one map-side-combined pair-count shuffle plus a 1-row
+      // collect, the merge applied as a narrow codegen'd HOF fold)
+      // feeding the same broadcast-codec exact counts as
+      // q_token_bpe_exact. Rows-only for the same reason (iterative
+      // merge folds have no SQL analog); trainer equivalence to the
+      // driver loop — including supplementary-plane tie-breaks — is
+      // spec-proven (TokenizePackSpec).
+      val docs = Tables(s, d).documents
+      val merges = Tokenize.trainBpeDistributed(docs, "text", numMerges = 30)
+      Tokenize.bpeCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // context-window assembly (operators/Pack.scala), denominated in
       // EXACT BPE tokens — train merges, count, pack into 2048-token

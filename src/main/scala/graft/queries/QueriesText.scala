@@ -71,11 +71,16 @@ object QueriesText {
     }),
 
     "q_fingerprint_rolling" -> ((s, d) => {
-      // order-sensitive rolling-hash fingerprint (no oracle: no shared
-      // hash primitive with DuckDB; semantics spec'd in ScalaTest)
+      // order-sensitive rolling-hash fingerprint, ENGINE-PORTABLE
+      // form: h = (h*31 + md5-20-bit(token)) mod 2^40, so the DuckDB
+      // oracle replays the identical recurrence with list_reduce —
+      // the simhashPortable conversion applied to the rolling hash
+      // (the xxhash64 variant stays as TextFunctions.
+      // rollingFingerprint for parity-free production use).
       Tables(s, d).documents
         .select(col("doc_id"), tokens(col("text")).as("__toks"))
-        .select(col("doc_id"), rollingFingerprint(col("__toks")).as("rolling_fp"))
+        .select(col("doc_id"),
+          rollingFingerprintPortable(col("__toks")).as("rolling_fp"))
         .orderBy("doc_id")
     }),
 
@@ -139,21 +144,31 @@ object QueriesText {
       // corpus-wide token heavy hitters: the Misra–Gries NATIVE
       // aggregate (functions/HeavyHitters.scala — fixed k-counter
       // state riding the partial-agg path, no full word-count
-      // shuffle) finds the head; ONE broadcast-semi-join exact pass
-      // over the token stream then makes the survivors' counts exact.
-      // rows-only: the sketch's marginal members depend on merge
-      // order; the no-overcount / bounded-undercount / heavy-item
-      // guarantees are spec-checked in StatsSpec.
+      // shuffle) proposes candidates; ONE broadcast-semi-join exact
+      // pass re-counts them; the EMITTED surface is the items whose
+      // EXACT count exceeds n/(k+1) — deterministic, because the MG
+      // bound guarantees every such item survives the sketch
+      // regardless of partition/merge order (sketch nondeterminism
+      // only touches sub-threshold candidates, which the final filter
+      // drops). That makes the query plain GROUP BY + HAVING in the
+      // oracle, while the Spark plan never shuffles the full word
+      // count — only k candidate counters ride the partial-agg path.
       import graft.functions.HeavyHitters
+      val k = 30
       val toks = Tables(s, d).documents
         .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
       val candidates = toks
-        .agg(HeavyHitters.misraGries(col("tok"), 30).as("hh"))
+        .agg(HeavyHitters.misraGries(col("tok"), k).as("hh"))
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("item"))
+      val total = toks.agg(count(lit(1)).as("__n"))
       toks.join(broadcast(candidates), col("tok") === col("item"), "left_semi")
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("exact_count"))
+        .crossJoin(broadcast(total))
+        .filter(col("exact_count") * (k + 1) > col("__n"))
+        .select(col("tok"), col("exact_count"))
         .orderBy(col("exact_count").desc, col("tok"))
     }),
 
@@ -161,10 +176,13 @@ object QueriesText {
       // the FULL MinHash+LSH pipeline (sketch, banding, bucket join,
       // exact-Jaccard verify) at a band config whose recall is
       // effectively exact — 16 bands of 2 rows: P[miss] = (1-j²)^16
-      // ≤ 4e-10 at j ≥ 0.9 (this corpus's qualifying pairs), so the
-      // emitted set EQUALS the oracle's brute-forced truth. Precision
-      // is exact by construction (verifyJaccard); this query makes the
-      // recall side driver-checkable too.
+      // ≤ 1.4e-11 at j ≥ 0.889 (the gate corpora's closest
+      // qualifying pairs), so the emitted set EQUALS the oracle's
+      // brute-forced truth. Precision is exact by construction
+      // (verifyJaccard); this query makes the recall side
+      // driver-checkable too. The j-distribution ASSUMPTION is
+      // guarded by a spec (TextDedupSpec "sensitive jaccard band"):
+      // corpus drift into [0.7, 0.85) fails there, not here.
       Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 16, threshold = 0.7,
           maxBucket = 100000)
@@ -456,6 +474,19 @@ object QueriesText {
         .orderBy("media_id")
     }),
 
+    "q_media_thumbs" -> ((s, d) => {
+      // encode-OUT round trip (Media.thumbnails): synthesize real
+      // PNGs, decode, nearest-neighbor resize to a 12×12 box, re-
+      // encode as JPEG + PNG, then RE-DECODE what was just written.
+      // The oracle predicts src/thumb dims, the JPEG magic, the JPEG
+      // container's stored dims, and the PNG thumb's exact pixel sum
+      // (NN sampling is integer math over the synthesis formula) —
+      // if the encoders were faked, none of those would match.
+      Media.thumbnails(s, Media.asMediaTable(Tables(s, d).documents))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     "q_media_sniff" -> ((s, d) => {
       // binary magic-number sniffing (Media.sniffKind): classify blobs
       // by their leading bytes in the scan stage — the ingest triage
@@ -483,6 +514,31 @@ object QueriesText {
     }))
 
   val oracles: Map[String, String] = Map(
+    // k=30 in the query ⇒ the deterministic surface is exact_count
+    // > n/31; the MG sketch is invisible to the oracle by design
+    "q_heavy_hitters" ->
+      s"""WITH tk AS (SELECT t AS tok FROM
+         |  (SELECT unnest($toksSql) AS t FROM documents) WHERE length(t) > 0),
+         |n AS (SELECT count(*) AS n FROM tk)
+         |SELECT tok, count(*) AS exact_count
+         |FROM tk, n GROUP BY tok, n.n
+         |HAVING count(*) * 31 > n.n
+         |ORDER BY exact_count DESC, tok""".stripMargin,
+
+    // replays rollingFingerprintPortable's h = (h*31 + md5_20(t))
+    // mod 2^40 recurrence: per-token 20-bit hash from the first 5 md5
+    // hex chars, then an ordered fold seeded with 0
+    "q_fingerprint_rolling" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks, t ->
+         |  cast(list_sum(list_transform(range(5), i ->
+         |    (strpos('0123456789abcdef', substr(md5(t), i+1, 1)) - 1)::BIGINT
+         |      << (4 * (4 - i)))) as bigint)) AS hs
+         | FROM tk)
+         |SELECT doc_id, cast(list_reduce([0::BIGINT] || hs,
+         |  (a, x) -> (a * 31 + x) % 1099511627776) as bigint) AS rolling_fp
+         |FROM h ORDER BY doc_id""".stripMargin,
+
     "q_dedup_minhash_verify" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
@@ -562,6 +618,30 @@ object QueriesText {
         | cast(u.h as int) AS height, cast(u.n_px as bigint) AS n_px, u.px_sum
         |FROM u JOIN d USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // Mirrors Media.thumbnails' integer NN-resize contract: thumb
+    // dims via least(12/w, 12/h, 1.0) IEEE-double box fit (identical
+    // rounding in both engines), PNG pixel sum via the pure-integer
+    // sample map src((x*w)//tw, (y*h)//th) over pngPx = (sx+sy+id)%256
+    "q_media_thumbs" ->
+      """WITH img AS (SELECT doc_id AS media_id,
+        |  8 + doc_id % 24 AS w, 8 + (doc_id*7) % 16 AS h
+        | FROM documents WHERE doc_id % 3 = 0),
+        |dims AS (SELECT media_id, w, h,
+        |  least(12.0 / w, 12.0 / h, 1.0) AS scale FROM img),
+        |t AS (SELECT media_id, w, h,
+        |  greatest(1, cast(floor(w * scale) as bigint)) AS tw,
+        |  greatest(1, cast(floor(h * scale) as bigint)) AS th FROM dims),
+        |px AS (SELECT t.media_id, t.w, t.h, t.tw, t.th,
+        |  cast(sum(((x.x * t.w) // t.tw + (y.y * t.h) // t.th + t.media_id) % 256)
+        |    as bigint) AS s
+        | FROM t, range(12) x(x), range(12) y(y)
+        | WHERE x.x < t.tw AND y.y < t.th GROUP BY 1, 2, 3, 4, 5)
+        |SELECT media_id, cast(w as int) AS src_w, cast(h as int) AS src_h,
+        | cast(tw as int) AS thumb_w, cast(th as int) AS thumb_h,
+        | 'jpeg' AS jpeg_kind, cast(tw as int) AS jpeg_w, cast(th as int) AS jpeg_h,
+        | s AS png_px_sum
+        |FROM px ORDER BY media_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),

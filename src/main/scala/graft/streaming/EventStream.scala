@@ -270,7 +270,18 @@ object EventStream {
     *      (Merge.upsert semantics: replace dirty users, keep the rest).
     * Cost per batch is O(batch users' history), not O(corpus) — the
     * property that makes the chain incrementalizable at 100 TB.
-    * Stream-final == batch is spec-proven (PipelineOpsSpec). */
+    * Stream-final == batch is spec-proven (PipelineOpsSpec).
+    *
+    * The docs store is batchId-VERSIONED ($docsDir/v_<batchId>), never
+    * overwritten in place: a crash mid-write leaves a version dir
+    * without _SUCCESS, readers ([[latestDocs]]) skip it, and the prior
+    * complete snapshot survives intact. The replay base is the latest
+    * COMPLETE version strictly below the replayed batchId (foreachBatch
+    * re-delivers the same id after restart, so a half-written or even
+    * complete v_<batchId> from the failed attempt is ignored and
+    * rewritten), which keeps replays deterministic and also means the
+    * plan never reads the directory it writes. Versions two behind the
+    * committed one are pruned to bound storage. */
   def pipelineIncremental(spark: SparkSession, events: DataFrame, customer: DataFrame,
                           eventsDir: String, docsDir: String)
                          (pipeline: (DataFrame, DataFrame) => DataFrame) =
@@ -285,17 +296,59 @@ object EventStream {
       val history = spark.read.parquet(s"$eventsDir/batch_*")
         .join(dirty, Seq("user_id"), "left_semi")
       val recomputed = pipeline(history, customer)
-      // probe the docs store by READING it (filesystem-agnostic — a
-      // java.io.File existence check would be wrong on hdfs/s3 paths
-      // and silently drop all prior docs)
-      val existing =
-        try spark.read.parquet(docsDir).join(dirty, Seq("user_id"), "left_anti")
-        catch { case _: org.apache.spark.sql.AnalysisException => recomputed.limit(0) }
-      // materialize BEFORE overwriting the store the plan reads from
-      val merged = existing.unionByName(recomputed).localCheckpoint(true)
-      merged.write.mode("overwrite").parquet(docsDir)
+      val existing = latestCompleteVersion(spark, docsDir, below = Some(batchId)) match {
+        case Some(prev) =>
+          spark.read.parquet(prev.toString).join(dirty, Seq("user_id"), "left_anti")
+        case None => recomputed.limit(0)
+      }
+      // new snapshot dir — the read side (v_<prev>) is never touched,
+      // so a failure here cannot destroy prior state
+      existing.unionByName(recomputed)
+        .write.mode("overwrite").parquet(s"$docsDir/v_$batchId")
+      pruneVersions(spark, docsDir, keepFrom = batchId - 1)
       batch.unpersist()
     }
+
+  /** Latest complete (_SUCCESS-bearing) docs snapshot written by
+    * [[pipelineIncremental]] — the read surface of the versioned store. */
+  def latestDocs(spark: SparkSession, docsDir: String): DataFrame =
+    latestCompleteVersion(spark, docsDir, below = None) match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None => throw new org.apache.spark.sql.AnalysisException(
+        "PATH_NOT_FOUND", Map("path" -> s"$docsDir/v_*"))
+    }
+
+  private def versionFs(spark: SparkSession, docsDir: String) =
+    new org.apache.hadoop.fs.Path(docsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Version dirs under docsDir as (id, path), complete ones only. */
+  private def latestCompleteVersion(spark: SparkSession, docsDir: String,
+                                    below: Option[Long]) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(docsDir)
+    val fs = versionFs(spark, docsDir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption.map(_ -> s.getPath))
+      .filter { case (id, p) =>
+        below.forall(id < _) && fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1).lastOption.map(_._2)
+  }
+
+  /** Delete snapshots older than keepFrom (the just-read predecessor
+    * stays for one more batch as the crash-recovery fallback). */
+  private def pruneVersions(spark: SparkSession, docsDir: String, keepFrom: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(docsDir)
+    val fs = versionFs(spark, docsDir)
+    if (fs.exists(root)) fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .flatMap(s => s.getPath.getName.stripPrefix("v_").toLongOption.map(_ -> s.getPath))
+      .filter(_._1 < keepFrom)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
 
   /** Per-key running totals on Spark 4's transformWithState — the
     * arbitrary-stateful-processing v2 API (typed ValueState handles,

@@ -116,10 +116,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(180000)
     if (q.isActive) q.stop()
-    val streamed = spark.read.parquet(docs).orderBy("user_id", "match_source")
+    val streamed = graft.streaming.EventStream.latestDocs(spark, docs)
+      .orderBy("user_id", "match_source")
       .collect().map(_.toString).toSeq
     val batch = graft.queries.QueriesPipeline.wideDocs(t.events, t.customer)
       .orderBy("user_id", "match_source").collect().map(_.toString).toSeq
     assert(streamed.nonEmpty && streamed == batch)
+    // crash-safety surface of the versioned store: a half-written next
+    // snapshot (no _SUCCESS) must be invisible to readers
+    val fs = new org.apache.hadoop.fs.Path(docs)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$docs/v_999"))
+    val afterPartial = graft.streaming.EventStream.latestDocs(spark, docs)
+      .orderBy("user_id", "match_source").collect().map(_.toString).toSeq
+    assert(afterPartial == batch)
   }
 }

@@ -97,6 +97,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(truth), s"LSH emitted non-truth pairs: ${lsh -- truth}")
   }
 
+  test("verify-gate corpora have no pairs in the LSH-sensitive jaccard band") {
+    // q_dedup_minhash_verify's hash-exact oracle rests on effectively-
+    // exact recall: at 16 bands × 2 rows, P[miss] = (1-j²)^16 ≈ 2e-5
+    // at j = 0.7 but ≤ 1.3e-9 once j ≥ 0.85. That exactness holds
+    // only while every qualifying pair sits comfortably above the 0.7
+    // threshold, so guard the ASSUMPTION itself: the brute-forced
+    // truth on each gate corpus must contain no pair with jaccard in
+    // the sensitive band [0.7, 0.85). (The current corpora's closest
+    // qualifying pairs sit at 0.889/0.9 — miss odds ≤ 1.4e-11.)
+    // Corpus regeneration that introduces a borderline pair fails
+    // HERE, loudly, instead of flaking the driver's hash compare.
+    for (dir <- Seq(SparkTestSession.sfDir, "/root/testdata/sf0.01")
+         if new java.io.File(s"$dir/documents.parquet").exists) {
+      val full = spark.read.parquet(s"$dir/documents.parquet")
+      val inBand = Dedup.bruteForceJaccard(full, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .filter(col("jaccard") >= 0.7 && col("jaccard") < 0.85)
+        .count()
+      assert(inBand == 0, s"$dir has $inBand pairs in the sensitive band [0.7, 0.85)")
+    }
+  }
+
   test("Md5SimHash60 token hash is bit-identical to the SQL md5 formulation") {
     // the cross-engine contract: the native expression's 60-bit token
     // hash must equal conv(substring(md5(t),1,15),16,10) — the form

@@ -96,6 +96,21 @@ class TokenizePackSpec extends AnyFunSuite {
     assert(distributed == driver)
   }
 
+  test("trainers agree on supplementary-plane tie-breaks") {
+    // U+1F600 (emoji, a surrogate pair in UTF-16) vs U+E000 (BMP
+    // private use): UTF-16 code-unit order ranks the emoji FIRST
+    // (0xD83D < 0xE000) while code-point order — Spark's UTF8String
+    // binary order — ranks it LAST (0x1F600 > 0xE000). A pair-count
+    // tie between the two words is exactly where a String.compareTo
+    // tie-break would silently diverge from the distributed trainer.
+    val emoji = new String(Character.toChars(0x1F600))
+    val corpus = Seq(s"$emoji!", s"$emoji!", s"${'\uE000'}!", s"${'\uE000'}!").toDF("text")
+    val driver = Tokenize.trainBpe(corpus, "text", numMerges = 1, maxWords = Int.MaxValue)
+    val dist = Tokenize.trainBpeDistributed(corpus, "text", numMerges = 1)
+    assert(driver == Seq(("\uE000", "!")), s"driver picked $driver")
+    assert(dist == driver)
+  }
+
   test("bpeCounts emits exact counts over a DataFrame") {
     val df = Seq((1L, "hug pun"), (2L, "hugs"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

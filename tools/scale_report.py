@@ -1,22 +1,46 @@
 #!/usr/bin/env python3
-"""Assemble SCALE_r{N}.json from the per-factor bench_full.json dumps
-(target/scale_x{1,10,32}.json for the core scale-critical family,
-target/scale2_x{1,10,32}.json for the extended heavy/iterative set —
-both produced by graft.Bench with SPARK_GRAFT_SF_DIR pointed at the
-ScaleGen-derived corpora).
+"""Assemble SCALE_r{N}.json from per-factor bench_full.json dumps AND
+gate it: exit non-zero when any query regresses the scale posture, so
+the round workflow (tools/run_scale.sh) fails loudly instead of
+committing a broken 100 TB story.
 
-For each query: seconds, shuffle-write bytes, and peak task memory at
-each factor, plus time/shuffle growth ratios normalized by the data
-growth — a ratio <= ~1 means at-most-linear scaling (fixed overheads
-make small-factor ratios < 1). Queries whose EXPECTED growth is not
-linear under the derived corpus carry an explanatory note instead of
-counting toward the worst-case verdict.
+Inputs (all produced by graft.Bench with SPARK_GRAFT_SF_DIR pointed at
+ScaleGen-derived corpora, copied from target/bench_full.json):
+  target/scale_x{1,10,32,100}.json   core scale-critical family
+  target/scale2_x{1,10,32,100}.json  extended heavy/iterative set
+  target/full_x{1,10}.json           the FULL query suite
+  target/part_p{32,128,256}.json     x32 corpus, q_ancestor_arrays +
+                                     q_hierarchy, shuffle.partitions
+                                     swept via SPARK_GRAFT_SHUFFLE_PARTITIONS
 
-Usage: python3 tools/scale_report.py SCALE_r5.json
+For each query: seconds, shuffle-write bytes, peak task memory, spill,
+and (round 6+) the max broadcast build side (rows/bytes) at each
+factor, plus growth ratios normalized by the data growth — ratio <= ~1
+means at-most-linear scaling (fixed overheads make small-factor ratios
+< 1). Queries whose EXPECTED growth is not linear under the derived
+corpus carry an explanatory note instead of counting toward the gate.
+
+GATE (exit 1 on any violation):
+  1. a query missing from, or crashed at, any factor it should cover;
+  2. time_growth_vs_linear at the top factor > TIME_RATIO_MAX (1.2)
+     without an expected_growth_note;
+  3. broadcast build bytes growing with the corpus: top-factor
+     bcast_bytes > BCAST_ABS_FLOOR and > BCAST_RATIO_MAX x the x1
+     bytes, without a note — the q_doc_assembly class of bug (AQE
+     broadcasting a fact-sized side: invisible at test SF, driver OOM
+     at 100 TB). This check would have caught that bug at x32.
+  4. full-suite x10: ratio > TIME_RATIO_MAX with t_x10 > FULL_T_FLOOR
+     (absolute floor keeps sub-second scheduler noise out of the gate).
+
+Usage: python3 tools/scale_report.py SCALE_r6.json
 """
 import json, os, sys
 
-FACTORS = [1, 10, 32]
+FACTORS = [1, 10, 32, 100]
+TIME_RATIO_MAX = 1.2
+BCAST_RATIO_MAX = 4.0
+BCAST_ABS_FLOOR = 16 * 1024 * 1024
+FULL_T_FLOOR = 5.0
 
 # Queries where the derived corpus itself changes the workload model,
 # so raw ratio-vs-linear is the wrong yardstick. Ratios are still
@@ -25,33 +49,53 @@ NOTES = {
     "q_hierarchy": (
         "edges form ONE decimal-digit tree (parent = key div 10) whose depth "
         "grows ~log10(n) with the key range, so closure work is n x depth "
-        "(super-linear by the depth factor, ~1.3x linear at x32). A real "
-        "ontology is a FIXED dimension that does not deepen when facts grow; "
-        "the measured growth matches the n x depth model, not an operator "
-        "defect."),
+        "(super-linear by the depth factor). A real ontology is a FIXED "
+        "dimension that does not deepen when facts grow; the measured growth "
+        "matches the n x depth model, not an operator defect."),
     "q_ancestor_arrays": (
         "same decimal-tree model as q_hierarchy (ancestor ARRAY per node: "
-        "rows x depth both grow), expected ~depth-factor over linear. The "
-        "x32 run needs a 16g driver JVM under FIXED 32 shuffle partitions "
-        "(per-task array volume grows linearly when partitions don't scale "
-        "with data — the knob a real deployment turns; an 8g heap OOMs)."),
+        "rows x depth both grow), expected ~depth-factor over linear. "
+        "Per-task array volume is total/partitions, so the deployment knob "
+        "is scaling shuffle.partitions with data — MEASURED in this "
+        "report's partitions_matrix (x32 corpus, 8g JVM throughout: at 32 "
+        "partitions the x32 run needs a big heap, at 128+ peak task memory "
+        "drops ~4x and the default heap holds; no special JVM)."),
     "q_observations": (
-        "shuffle grows exactly linearly (ratio 1.01); wall-time lands "
-        "1.10-1.35x linear across repeat runs because the query ends in a "
-        "GLOBAL range sort (96M rows at x32) kept only for oracle-hash "
-        "determinism — n log n, and the measured overage matches the "
-        "log-factor (log 96M / log 3M ~ 1.23). Production writes "
-        "partitioned-unsorted (SURVEY §5's orderBy-for-oracle note)."),
+        "shuffle grows exactly linearly; wall-time lands modestly over "
+        "linear because the query ends in a GLOBAL range sort kept only for "
+        "oracle-hash determinism — n log n, and the overage matches the "
+        "log-factor. Production writes partitioned-unsorted (SURVEY section "
+        "5's orderBy-for-oracle note)."),
     "q_salted_join": (
-        "the derived corpus scales orders x32, and this query uses orders as "
-        "the BROADCAST DIM side — the salted-broadcast pattern targets a "
+        "the derived corpus scales orders x K, and this query uses orders "
+        "as the BROADCAST DIM side — the salted-broadcast pattern targets a "
         "skewed fact against a FIXED dim, so dim-side growth distorts the "
-        "workload. The measurements actually show AQE doing the right thing: "
-        "at x10 the join still broadcasts (shuffle_write 0, time dominated by "
-        "the 1.5M-row broadcast build), at x32 AQE flips to a shuffle join "
-        "(shuffle_write jumps from 0, wall-time FLAT vs x10) — the runtime "
-        "re-plan this pattern relies on when a dim outgrows the threshold. "
-        "The shuffle ratio divides by ~0 and is meaningless here."),
+        "workload. The measurements show AQE doing the right thing: at x10 "
+        "the join still broadcasts, at larger factors AQE flips to a "
+        "shuffle join (shuffle_write jumps from 0) — the runtime re-plan "
+        "this pattern relies on when a dim outgrows the threshold. The "
+        "broadcast-bytes growth this report flags is therefore EXPECTED "
+        "here (the dim itself scales; AQE caps the build side by flipping "
+        "to shuffle), and the shuffle ratio divides by ~0 and is "
+        "meaningless."),
+    "q_token_bpe_dist": (
+        "each of the 30 merge rounds is one map-side-combined pair-count "
+        "shuffle whose volume is the DISTINCT pair dictionary, not the "
+        "corpus: dictionary growth is sublinear in corpus size (vocab "
+        "saturates), so wall-time is dominated by fixed per-round job "
+        "overhead (30 x ~0.3s scheduling) at small factors and grows "
+        "sublinearly; the x1 baseline is almost pure overhead, making the "
+        "raw ratio noisy rather than a scaling signal."),
+}
+
+# The full-suite x10 section reuses NOTES plus these (queries whose
+# oracle-parity surface, not the operator, is the super-linear part).
+FULL_NOTES = {
+    "q_unpivot_measures": (
+        "ends in a global ORDER BY over the exploded 60k x 3 -> 1.8M-row "
+        "long table at x10, kept only for oracle-hash determinism (n log n "
+        "sort + single-writer coalesce dominates; the unpivot itself is a "
+        "narrow projection)."),
 }
 
 
@@ -63,17 +107,34 @@ def load(prefix, f):
         return json.load(fh)["queries"]
 
 
+def entry_at(m):
+    return {
+        "sec": round(m["sec"], 3),
+        "shuffle_write": m.get("shuffle_write", 0),
+        "peak_task_mem": m.get("peak_task_mem", 0),
+        "spill": m.get("spill", 0),
+        "bcast_rows": m.get("bcast_rows", 0),
+        "bcast_bytes": m.get("bcast_bytes", 0),
+    }
+
+
 def main(out_path):
     runs = {f: {**load("scale", f), **load("scale2", f)} for f in FACTORS}
     queries = sorted(runs[1].keys())
-    report = {"factors": FACTORS, "queries": {}, "failed": []}
+    top = max(f for f in FACTORS if runs[f])
+    report = {
+        "factors": FACTORS,
+        "top_factor": top,
+        "config_note": (
+            "x1/x10/x32 run at the default shuffle.partitions=32; x100 runs "
+            "at 128 (SPARK_GRAFT_SHUFFLE_PARTITIONS) — scaling partitions "
+            "with data is the deployment contract, measured in isolation by "
+            "partitions_matrix. All runs: local[32], 8g driver JVM."),
+        "queries": {}, "failed": [], "gate_violations": [],
+    }
     worst = (None, 0.0)
     for q in queries:
-        # a query missing from a factor file, or recorded by the bench
-        # as failed (sec = -1.0), must surface as a FAILURE — a
-        # negative ratio silently reading as "better than linear" is
-        # exactly the regression this report exists to catch
-        missing = [f for f in FACTORS if q not in runs[f]]
+        missing = [f for f in FACTORS if runs[f] and q not in runs[f]]
         crashed = [f for f in FACTORS if q in runs[f] and runs[f][q]["sec"] < 0]
         if missing or crashed:
             report["failed"].append(
@@ -81,31 +142,107 @@ def main(out_path):
             continue
         entry = {}
         for f in FACTORS:
-            m = runs[f][q]
-            entry[f"x{f}"] = {
-                "sec": round(m["sec"], 3),
-                "shuffle_write": m.get("shuffle_write", 0),
-                "peak_task_mem": m.get("peak_task_mem", 0),
-                "spill": m.get("spill", 0),
-            }
-        t1, t32 = runs[1][q]["sec"], runs[32][q]["sec"]
+            if runs[f]:
+                entry[f"x{f}"] = entry_at(runs[f][q])
+        t1, tN = runs[1][q]["sec"], runs[top][q]["sec"]
         s1 = max(1, runs[1][q].get("shuffle_write", 0))
-        s32 = runs[32][q].get("shuffle_write", 0)
-        entry["time_growth_vs_linear_x32"] = round((t32 / t1) / 32.0, 3)
-        entry["shuffle_growth_vs_linear_x32"] = round((s32 / s1) / 32.0, 3)
-        if q in NOTES:
+        sN = runs[top][q].get("shuffle_write", 0)
+        b1 = runs[1][q].get("bcast_bytes", 0)
+        bN = runs[top][q].get("bcast_bytes", 0)
+        entry[f"time_growth_vs_linear_x{top}"] = round((tN / t1) / top, 3)
+        entry[f"shuffle_growth_vs_linear_x{top}"] = round((sN / s1) / top, 3)
+        entry[f"bcast_bytes_x1_to_x{top}"] = [b1, bN]
+        noted = q in NOTES
+        if noted:
             entry["expected_growth_note"] = NOTES[q]
-        elif entry["time_growth_vs_linear_x32"] > worst[1]:
-            worst = (q, entry["time_growth_vs_linear_x32"])
+        tr = entry[f"time_growth_vs_linear_x{top}"]
+        if not noted and tr > worst[1]:
+            worst = (q, tr)
+        if not noted and tr > TIME_RATIO_MAX:
+            report["gate_violations"].append(
+                {"query": q, "rule": "time_growth", "ratio": tr})
+        if (not noted and bN > BCAST_ABS_FLOOR
+                and bN > BCAST_RATIO_MAX * max(1, b1)):
+            report["gate_violations"].append(
+                {"query": q, "rule": "broadcast_growth",
+                 "bcast_bytes_x1": b1, f"bcast_bytes_x{top}": bN})
         report["queries"][q] = entry
+
+    # ---- full-suite x10 ----
+    full = {f: load("full", f) for f in (1, 10)}
+    if full[1] and full[10]:
+        sec = {}
+        for q in sorted(full[1]):
+            if q not in full[10]:
+                report["failed"].append(
+                    {"query": q, "missing_factors": ["full_x10"], "failed_factors": []})
+                continue
+            t1, t10 = full[1][q]["sec"], full[10][q]["sec"]
+            if t1 < 0 or t10 < 0:
+                report["failed"].append(
+                    {"query": q, "missing_factors": [],
+                     "failed_factors": [f for f, t in [(1, t1), (10, t10)] if t < 0]})
+                continue
+            r = round((t10 / t1) / 10, 3)
+            e = {"x1_sec": round(t1, 3), "x10_sec": round(t10, 3),
+                 "time_growth_vs_linear_x10": r,
+                 "spill_x10": full[10][q].get("spill", 0)}
+            note = NOTES.get(q) or FULL_NOTES.get(q)
+            if note:
+                e["expected_growth_note"] = note
+            elif r > TIME_RATIO_MAX and t10 > FULL_T_FLOOR:
+                report["gate_violations"].append(
+                    {"query": q, "rule": "full_suite_time_growth",
+                     "ratio": r, "x10_sec": t10})
+            b10 = full[10][q].get("bcast_bytes", 0)
+            b1 = full[1][q].get("bcast_bytes", 0)
+            if (not note and b10 > BCAST_ABS_FLOOR
+                    and b10 > BCAST_RATIO_MAX * max(1, b1)):
+                report["gate_violations"].append(
+                    {"query": q, "rule": "broadcast_growth_full_x10",
+                     "bcast_bytes_x1": b1, "bcast_bytes_x10": b10})
+            sec[q] = e
+        report["full_suite_x10"] = {
+            "queries": sec,
+            "total_x1_sec": round(sum(v["x1_sec"] for v in sec.values()), 1),
+            "total_x10_sec": round(sum(v["x10_sec"] for v in sec.values()), 1),
+        }
+
+    # ---- partitions matrix (x32 corpus, 8g JVM, partitions swept) ----
+    parts = {}
+    for p in (32, 128, 256):
+        path = f"target/part_p{p}.json"
+        if os.path.exists(path):
+            with open(path) as fh:
+                parts[p] = json.load(fh)["queries"]
+    if parts:
+        pm = {}
+        for q in sorted(next(iter(parts.values()))):
+            pm[q] = {
+                f"p{p}": {"sec": round(parts[p][q]["sec"], 3),
+                          "peak_task_mem": parts[p][q].get("peak_task_mem", 0),
+                          "spill": parts[p][q].get("spill", 0)}
+                for p in sorted(parts) if q in parts[p]}
+        report["partitions_matrix"] = {
+            "corpus": "x32", "jvm": "8g driver heap throughout",
+            "note": ("per-task state = total/partitions: peak_task_mem must "
+                     "fall ~linearly as partitions rise, converting the "
+                     "'needs a 16g JVM at fixed 32 partitions' caveat into "
+                     "the measured deployment knob"),
+            "queries": pm}
+
     report["verdict"] = {
         "worst_time_growth_vs_linear": {"query": worst[0], "ratio": worst[1]},
         "failed_count": len(report["failed"]),
-        "note": ("ratio = (t_x32/t_x1)/32; <=1 means at-most-linear wall-time "
-                 "growth at 32x the data on fixed local[32] resources. "
-                 "Queries with expected_growth_note are excluded from the "
-                 "worst-case (their expected model is not linear under the "
-                 "derived corpus — see each note)."),
+        "gate_violation_count": len(report["gate_violations"]),
+        "note": (f"ratio = (t_x{top}/t_x1)/{top}; <=1 means at-most-linear "
+                 "wall-time growth on fixed local[32] resources. Queries "
+                 "with expected_growth_note are excluded from the gate "
+                 "(their expected model is not linear under the derived "
+                 "corpus — see each note). Gate: time ratio > "
+                 f"{TIME_RATIO_MAX}, or broadcast build bytes growing "
+                 f">{BCAST_RATIO_MAX}x past {BCAST_ABS_FLOOR >> 20}MB, "
+                 "without a note -> exit 1."),
     }
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
@@ -113,16 +250,20 @@ def main(out_path):
     for f in report["failed"]:
         print(f"{f['query']:24s} FAILED (missing {f['missing_factors']}, "
               f"crashed {f['failed_factors']})")
+    for v in report["gate_violations"]:
+        print(f"{v['query']:24s} GATE VIOLATION: {v}")
     for q in queries:
         if q not in report["queries"]:
             continue
         e = report["queries"][q]
         flag = " *" if "expected_growth_note" in e else ""
-        print(f"{q:24s} t: {e['x1']['sec']:7.2f} -> {e['x10']['sec']:7.2f} -> "
-              f"{e['x32']['sec']:7.2f}  (x32 time ratio/linear "
-              f"{e['time_growth_vs_linear_x32']:.2f}, shuffle "
-              f"{e['shuffle_growth_vs_linear_x32']:.2f}){flag}")
+        ts = " -> ".join(f"{e[f'x{f}']['sec']:7.2f}" for f in FACTORS if f"x{f}" in e)
+        print(f"{q:24s} t: {ts}  (x{top} time ratio/linear "
+              f"{e[f'time_growth_vs_linear_x{top}']:.2f}, shuffle "
+              f"{e[f'shuffle_growth_vs_linear_x{top}']:.2f}){flag}")
+    bad = report["failed"] or report["gate_violations"]
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r5.json")
+    main(sys.argv[1] if len(sys.argv) > 1 else "SCALE_r6.json")
