@@ -109,9 +109,14 @@ object Pack {
         "bin_id", "n_docs", "total_tokens", "pos", "doc_id_str")
       .select(col("bin_id"), col("n_docs"), col("total_tokens"), col("pos"),
         col("doc_id_str").cast("long").as("__id"))
+    // merge hint: the token-array side scales with the corpus, but its
+    // column-pruned size ESTIMATE looks broadcastable to the static
+    // planner (measured: a growing multi-hundred-MB broadcast at x10 —
+    // a deferred driver OOM). Pin the sort-merge join the scaladoc
+    // promises; both sides shuffle on __id and stay spillable.
     members
-      .join(tokens.select(col(idCol).cast("long").as("__id"), col(tokCol).as("__toks")),
-        "__id")
+      .join(tokens.select(col(idCol).cast("long").as("__id"), col(tokCol).as("__toks"))
+        .hint("merge"), "__id")
       .groupBy("bin_id", "n_docs", "total_tokens")
       .agg(flatten(transform(
         sort_array(collect_list(struct(col("pos"), col("__toks")))),

@@ -75,8 +75,13 @@ object QueriesCore {
 
     "q_semi_join" -> ((s, d) => {
       val t = Tables(s, d)
+      // merge hint: the EXISTS side is fact-sized (orders keys scale
+      // with the corpus) but its single-column pruned estimate looks
+      // broadcastable to the static planner — measured growing
+      // linearly at x10 (the bench bcast probe). Shuffle semi-join is
+      // the 100 TB shape; AQE still coalesces the tiny test-SF case.
       t.customer
-        .join(t.orders.filter(col("o_totalprice") > 200000), // EXISTS
+        .join(t.orders.filter(col("o_totalprice") > 200000).hint("merge"), // EXISTS
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
@@ -85,8 +90,9 @@ object QueriesCore {
     "q_anti_join" -> ((s, d) => {
       val t = Tables(s, d)
       // skip-list drop analog (experiment_cleaner.py:234): NOT EXISTS
+      // merge hint: same corpus-scaling build side as q_semi_join
       t.customer
-        .join(t.orders.filter(col("o_orderstatus") === "F"),
+        .join(t.orders.filter(col("o_orderstatus") === "F").hint("merge"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")

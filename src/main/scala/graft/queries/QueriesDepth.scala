@@ -301,7 +301,13 @@ object QueriesDepth {
       val o = t.orders.withColumn("pr", expr("nullif(o_orderpriority, '1-URGENT')"))
       val dim = o.select(col("pr").as("dpr")).distinct()
         .withColumn("label", coalesce(col("dpr"), lit("URGENT_BUCKET")))
-      o.join(dim, col("pr") <=> col("dpr"))
+      // broadcast the DIM: it is a distinct over a 5-value priority
+      // domain (≤6 rows at any corpus size). Unhinted, the static
+      // planner broadcast the FACT side instead — o's single-column
+      // pruned estimate looks smaller than the aggregate's — which
+      // grew linearly at x10 (bcast probe): the q_doc_assembly bug
+      // class, fixed by pinning the genuinely bounded side.
+      o.join(broadcast(dim), col("pr") <=> col("dpr"))
         .groupBy("label").agg(count(lit(1)).as("n"))
         .orderBy("label")
     }),
@@ -365,7 +371,11 @@ object QueriesDepth {
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
       val w = Window.partitionBy("user_id").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
-      grid.join(daily, Seq("user_id", "day"), "left")
+      // merge hint: daily is a corpus-scaling per-user-day aggregate;
+      // the static planner's aggregate estimate picked a broadcast
+      // that grew linearly at x10 (bcast probe). Shuffle join on
+      // (user_id, day); the LOCF window repartitions by user_id after.
+      grid.join(daily.hint("merge"), Seq("user_id", "day"), "left")
         .withColumn("__filled", last(col("day_val"), ignoreNulls = true).over(w))
         .select(col("user_id"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
@@ -421,8 +431,12 @@ object QueriesDepth {
       val a = prios(1996).agg(sort_array(collect_set(col("o_orderpriority"))).as("p96"))
       val b = prios(1997).agg(sort_array(collect_set(col("o_orderpriority"))).as("p97"))
       // set results emitted as sorted joined strings — the gate's
-      // row-hash compares scalars (same convention as q_collect_set)
-      a.join(b, "o_custkey")
+      // row-hash compares scalars (same convention as q_collect_set).
+      // merge hint: both sides are per-custkey AGGREGATES that scale
+      // with the corpus; aggregate size estimates are guesswork to the
+      // static planner, which picked a growing broadcast (bcast probe,
+      // x10). Sort-merge stays spillable at any factor.
+      a.join(b.hint("merge"), "o_custkey")
         .select(col("o_custkey"),
           array_contains(col("p96"), "1-URGENT").as("had_urgent_96"),
           array_join(sort_array(array_except(col("p96"), col("p97"))), ",").as("dropped"),

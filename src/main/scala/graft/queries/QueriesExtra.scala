@@ -184,11 +184,16 @@ object QueriesExtra {
 
     "q_cross_ref" -> ((s, d) => {
       // multi-step left-join enrichment chain with 'unknown' fallbacks
-      // (specimen→colony→gene cross-referencing analog)
+      // (specimen→colony→gene cross-referencing analog). customer is
+      // UNHINTED on purpose: it scales with the corpus, so forcing a
+      // broadcast is a deferred driver OOM — AQE broadcasts it while
+      // its shuffle stats stay under threshold and flips to shuffle
+      // join beyond (the bench's bcast probe + scale gate watch this);
+      // nation is a fixed dim, safe to pin.
       val t = Tables(s, d)
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"), "left")
-        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"), "left")
+        .join(t.customer, col("o_custkey") === col("c_custkey"), "left")
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
         .groupBy(coalesce(col("n_name"), lit("unknown")).as("nation"),
           coalesce(col("o_orderstatus"), lit("unknown")).as("status"))

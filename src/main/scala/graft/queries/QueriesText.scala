@@ -422,7 +422,11 @@ object QueriesText {
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "term").crossJoin(broadcast(n))
+      // merge hint: dfreq is the corpus VOCABULARY (term, df) — it
+      // grows with the corpus, and the static planner's aggregate
+      // estimate picked a broadcast that grew linearly at x10 (bcast
+      // probe). Both sides shuffle on term; spillable at any factor.
+      tf.join(dfreq.hint("merge"), "term").crossJoin(broadcast(n))
         .withColumn("score", (col("tf") * col("n")).cast("double") / col("df").cast("double"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
