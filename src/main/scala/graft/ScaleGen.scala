@@ -39,7 +39,24 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  private val Alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private[graft] val Alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  /** The per-copy alphabet bijections: affine maps i → (a·i + b) mod 36
+    * with gcd(a,36)=1 — 12 units × 36 shifts = 432 distinct
+    * permutations; copy r<36 is the plain rotation by r (the round-5
+    * series, so earlier growth curves stay comparable). Exposed for
+    * the spec: bijectivity and pairwise distinctness are what keep
+    * within-copy token structure intact and cross-copy vocabularies
+    * disjoint (near-dup pairs grow ×k, not ×k²). */
+  private[graft] def charPerms(k: Int): Seq[String] = {
+    val units = (1 until Alpha.length).filter(a => BigInt(a).gcd(Alpha.length) == 1)
+    require(k <= units.length * Alpha.length,
+      s"at most ${units.length * Alpha.length} distinct affine bijections")
+    (0 until k).map { r =>
+      val (a, b) = (units(r / Alpha.length), r % Alpha.length)
+      Alpha.indices.map(i => Alpha((a * i + b) % Alpha.length)).mkString
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, kStr) = args
@@ -86,24 +103,11 @@ object ScaleGen {
     write(shifted(read("events"), "event_id" -> eventD, "user_id" -> userD), "events")
     write(shifted(read("embeddings"), "vec_id" -> vecD), "embeddings")
 
-    // documents: shift ids + apply a per-copy bijective character map.
-    // translate() is a codegen'd narrow map; the k permutations are
-    // prebuilt literals dispatched by a chained when. The bijection
-    // family is the AFFINE maps over Z_36 — i → (a·i + b) mod 36 with
-    // gcd(a,36)=1 — which generalizes the original rotations (a=1,
-    // b=r: copy r<36 produces byte-identical output to the r5
-    // generator) and yields 12 units × 36 shifts = 432 distinct
-    // bijections, enough for the ×100 matrix. Any bijection preserves
-    // the within-copy relations the text operators consume; distinct
-    // (a,b) keep cross-copy vocabularies (effectively) disjoint.
-    val units = (1 until Alpha.length).filter(a => BigInt(a).gcd(Alpha.length) == 1)
-    require(k <= units.length * Alpha.length,
-      s"at most ${units.length * Alpha.length} distinct affine bijections")
-    val rotations = (0 until k).map { r =>
-      val (a, b) = (units(r / Alpha.length), r % Alpha.length)
-      val perm = Alpha.indices.map(i => Alpha((a * i + b) % Alpha.length)).mkString
-      translate(lower(col("text")), Alpha, perm)
-    }
+    // documents: shift ids + apply a per-copy bijective character map
+    // ([[charPerms]]). translate() is a codegen'd narrow map; the k
+    // permutations are prebuilt literals dispatched by a chained when.
+    val rotations = charPerms(k).map(perm =>
+      translate(lower(col("text")), Alpha, perm))
     val rotated = rotations.zipWithIndex.tail.foldLeft(when(col("__copy") === 0, rotations.head)) {
       case (acc, (expr, i)) => acc.when(col("__copy") === i, expr)
     }

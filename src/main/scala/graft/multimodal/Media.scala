@@ -108,12 +108,21 @@ object Media {
   }
 
   /** Synthesize the typed media table: REAL container bytes (PNG /
-    * WAV / animated GIF) per id. Narrow mapPartitions — encoder state
-    * is partition-local; only `doc_id` is read from the input. */
+    * WAV / animated GIF) per id. Encoder state is partition-local;
+    * only `doc_id` is read from the input.
+    *
+    * The id column REPARTITIONS to the session parallelism first:
+    * scan splits follow file BYTES (maxPartitionBytes), but codec
+    * work is per-ROW — a doc table that compresses into one small
+    * parquet file would otherwise serialize the whole encode/decode
+    * chain onto a single core at every corpus size (measured: the
+    * x32 media queries ran single-threaded, wall-time ~linear instead
+    * of /32). Shuffling the 8-byte ids costs nothing next to codec
+    * work; the expensive payloads are BORN post-shuffle. */
   def asMediaTable(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    documents.select(col("doc_id").cast("long")).as[Long]
+    documents.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val t = mediaTypeOf(id)

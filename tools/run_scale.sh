@@ -62,13 +62,16 @@ bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE
 bench scale_x100.json target/scale/x100 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128
 
-# partitions knob, measured in isolation: the two array-growth queries
-# on the x32 corpus, default 8g JVM, partitions 32 -> 128 -> 256.
-# per-task state = total/partitions, so peak_task_mem must fall ~4x per
-# step; p32 at 8g MAY crash (that is the caveat being measured away).
+# partitions knob, measured in isolation on the x32 corpus, default 8g
+# JVM, partitions 32 -> 128 -> 256: the two array-growth queries (whose
+# per-task ancestor-array volume is total/partitions), the global-sort
+# query (spill is sort-buffer/partitions), and the unique-key
+# countDistinct (partial-agg hash state is rows/partitions). peak mem
+# and spill must fall as partitions rise — the deployment knob, shown
+# rather than asserted.
 for p in 32 128 256; do
   bench part_p$p.json target/scale/x32 \
-    SPARK_GRAFT_ONLY=q_ancestor_arrays,q_hierarchy \
+    SPARK_GRAFT_ONLY=q_ancestor_arrays,q_hierarchy,q_observations,q_file_provenance \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=$p
 done
 
