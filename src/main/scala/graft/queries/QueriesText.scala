@@ -291,9 +291,17 @@ object QueriesText {
         .withColumn("q_ok",
           qualityScoreOf(tokenCountOfTokens(col("__toks")), punctRatio(col("text")),
             stopwordRatioOfTokens(col("__toks"))) >= 0.5)
-      val canon = docs.groupBy("__fp").agg(min(col("doc_id")).as("__keep_id"))
-      docs.join(canon, "__fp")
-        .withColumn("is_canonical", col("doc_id") === col("__keep_id"))
+      // canonical-flag via a window MIN over the fingerprint, not a
+      // self-join against a groupBy: the join form computes the
+      // expensive tokenize/lang/quality chain TWICE (once per side)
+      // and its physical strategy flapped run-to-run at x10 (AQE
+      // broadcast vs SMJ of the aggregate — 2x wall-time variance).
+      // The window is one deterministic hash shuffle on __fp with the
+      // chain evaluated once; no orderBy in the frame, so it is an
+      // unbounded-frame agg, not a sort window.
+      val wf = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+      docs
+        .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(wf))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("is_canonical") && col("lang_ok") && col("q_ok"), 1L)

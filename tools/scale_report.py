@@ -105,6 +105,25 @@ FULL_NOTES = {
         "long table at x10, kept only for oracle-hash determinism (n log n "
         "sort + single-writer coalesce dominates; the unpivot itself is a "
         "narrow projection)."),
+    "q_derived_params": (
+        "a narrow per-row formula map whose only wide op is the trailing "
+        "global ORDER BY over the full 6M-row output at x10, kept for "
+        "oracle-hash determinism: n log n plus range-sampling re-runs the "
+        "narrow chain, so the ratio sits just over 1 and straddles the "
+        "gate with run noise. Production writes partitioned-unsorted."),
+    "q_map_ops": (
+        "same oracle-sort tail as q_derived_params over the 1.5M-row map- "
+        "algebra output at x10 (map_entries/transform allocate per row — "
+        "heavy constants, linear growth modulo the trailing sort)."),
+    "q_file_provenance": (
+        "count(DISTINCT key) over a PER-ROW-UNIQUE key: the distinct "
+        "pre-aggregation gets zero reduction, so per-task hash state is "
+        "rows/partitions and grows linearly under FIXED 32 partitions "
+        "(cache-miss growth makes measured wall super-linear). The "
+        "partitions_matrix measures the deployment knob on this exact "
+        "query: at 128/256 partitions per-task state shrinks and the "
+        "growth flattens; at 100 TB approx_count_distinct is the stated "
+        "alternative (q_approx_distinct)."),
 }
 
 
