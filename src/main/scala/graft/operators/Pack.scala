@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -11,21 +10,25 @@ import scala.collection.mutable
   * exact BPE token counts ([[Tokenize.bpeCounts]]). Greedy first-fit
   * over a deterministic document order.
   *
-  * Scale posture: documents hash-partition on md5(id) into a FIXED
-  * number of shards (not the session's parallelism — the output must
-  * not depend on cluster size), sort within each shard by the same
-  * md5 order, and pack per-shard with zero cross-shard coordination —
-  * embarrassingly parallel, one shuffle total. Per-shard state is the
-  * open-bin list, capped at `maxOpenBins` (first-fit over an unbounded
-  * list is quadratic; when the cap is hit the FULLEST bin is retired,
-  * which is also the bin least likely to fit anything again). Only
-  * (id, token count) ride the shuffle — never the text.
+  * Scale posture: documents shard on an md5-DERIVED VALUE
+  * ([[Shard.md5Shard]]) into a FIXED number of shards (not the
+  * session's parallelism — the output must not depend on cluster
+  * size), sort within each shard by md5 order, and pack per-shard with
+  * zero cross-shard coordination — embarrassingly parallel, one
+  * shuffle total. Per-shard state is the open-bin list, capped at
+  * `maxOpenBins` (first-fit over an unbounded list is quadratic; when
+  * the cap is hit the FULLEST bin is retired, which is also the bin
+  * least likely to fit anything again). Only (id, token count) ride
+  * the shuffle — never the text.
   *
   * Determinism: output is a pure function of (data, maxTokens,
-  * numShards, maxOpenBins) — md5 order fixes both the shard assignment
-  * and the within-shard scan order. Oversize docs (n > maxTokens) pack
-  * alone into their own flagged bin rather than being silently dropped
-  * or truncated — the caller decides the truncation policy.
+  * numShards, maxOpenBins) — the shard id in `bin_id` is the md5
+  * value itself, NOT the physical partition id, so the result is
+  * identical under any partitioner, engine hash function, or cluster
+  * size (several md5 shards may co-reside in one task; the fold
+  * resets per shard). Oversize docs (n > maxTokens) pack alone into
+  * their own flagged bin rather than being silently dropped or
+  * truncated — the caller decides the truncation policy.
   */
 object Pack {
 
@@ -43,13 +46,16 @@ object Pack {
     val prepared = docs
       .select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("int").as("n_tok"),
-        md5(col(idCol).cast("string")).as("__ord"))
-      .repartition(numShards, col("__ord"))
-      .sortWithinPartitions("__ord")
-      .as[(Long, Int, String)]
+        md5(col(idCol).cast("string")).as("__ord"),
+        Shard.md5Shard(col(idCol).cast("string"), numShards).as("__shard"))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions("__shard", "__ord")
+      .as[(Long, Int, String, Int)]
 
     prepared.mapPartitions { it =>
-      val shard = TaskContext.getPartitionId().toLong
+      // per-md5-shard greedy fold; state resets at each shard boundary
+      // (a physical partition may carry several md5 shards)
+      var shard = -1L
       final class Bin(val seq: Long) {
         var used = 0
         val ids = new mutable.ArrayBuffer[Long]()
@@ -61,7 +67,9 @@ object Pack {
       val done = new mutable.ArrayBuffer[(Long, Int, Int, Double, Boolean, String)]()
       var nextSeq = 0L
       def newBin(): Bin = { val b = new Bin(nextSeq); nextSeq += 1; open += b; b }
-      it.foreach { case (id, nTokRaw, _) =>
+      def flush(): Unit = { open.foreach(b => done += b.row(over = false)); open.clear() }
+      it.foreach { case (id, nTokRaw, _, sh) =>
+        if (sh.toLong != shard) { flush(); shard = sh.toLong; nextSeq = 0L }
         val n = math.max(nTokRaw, 0)
         if (n > maxTokens) {
           // oversize: its own flagged bin, never mixed
@@ -86,7 +94,7 @@ object Pack {
           }
         }
       }
-      open.foreach(b => done += b.row(over = false))
+      flush()
       done.iterator
     }.toDF("bin_id", "n_docs", "total_tokens", "fill_ratio", "oversize", "doc_ids")
   }

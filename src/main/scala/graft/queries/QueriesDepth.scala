@@ -208,16 +208,25 @@ object QueriesDepth {
     }),
 
     "q_sample_stratified" -> ((s, d) => {
-      // stratified downsampling for corpus balancing (seeded sampleBy):
-      // over-represented strata are thinned to a target fraction — the
-      // standard rebalancing step before LLM training-data mixing.
-      // Rows-only (per-row Bernoulli draws aren't SQL-replicable);
-      // SamplingSpec asserts strata membership, determinism, and rates.
-      // Scale: narrow per-partition Bernoulli filter, zero shuffle
-      // before the (tiny) per-stratum count.
+      // stratified downsampling for corpus balancing, HASH-THRESHOLD
+      // form: keep a row iff its md5-derived uniform (first 6 hex
+      // digits of md5("smp" || vec_id), an integer in [0, 16^6)) falls
+      // below the stratum's fraction of 16^6 — over-represented strata
+      // (labels 5-9) thin to 30%, the rest keep everything. Unlike a
+      // seeded Bernoulli draw (engine-private RNG, layout-dependent
+      // replay — that surface is spec-covered in OperatorsSpec), the
+      // hash threshold is what a 100 TB curation pipeline actually
+      // wants: ANY engine recomputes the identical sample (DuckDB
+      // oracle-checked), membership is stable under repartitioning,
+      // and the sample GROWS MONOTONICALLY as the fraction rises.
+      // Scale: narrow per-row filter, zero shuffle before the tiny
+      // per-stratum count.
       val t = Tables(s, d)
-      val fractions = (0 to 4).map(_ -> 1.0).toMap ++ (5 to 9).map(_ -> 0.3).toMap
-      t.embeddings.stat.sampleBy("label", fractions, seed = 42L)
+      val u = conv(substring(md5(concat(lit("smp"),
+        col("vec_id").cast("string"))), 1, 6), 16, 10).cast("long")
+      val keep = u < when(col("label") >= 5, lit(5033164L)) // floor(0.3 * 16^6)
+        .otherwise(lit(16777216L))                          // 16^6: keep all
+      t.embeddings.filter(keep)
         .groupBy("label").agg(count(lit(1)).as("n_sampled"))
         .orderBy("label")
     }),
@@ -661,6 +670,24 @@ object QueriesDepth {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // replays the md5-threshold stratified sampler digit-for-digit:
+    // the first 6 hex digits of md5('smp' || vec_id) assembled into an
+    // integer via the same strpos ladder the shard/fingerprint oracles
+    // use, compared to the stratum's integer threshold of 16^6
+    "q_sample_stratified" ->
+      """WITH u AS (
+        | SELECT label,
+        |  ((((cast(strpos('0123456789abcdef', substr(m, 1, 1)) - 1 as bigint) * 16
+        |    + strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(m, 4, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(m, 5, 1)) - 1) * 16
+        |    + strpos('0123456789abcdef', substr(m, 6, 1)) - 1 AS uval
+        | FROM (SELECT label, md5('smp' || cast(vec_id as varchar)) AS m FROM embeddings))
+        |SELECT label, count(*) AS n_sampled FROM u
+        |WHERE uval < CASE WHEN label >= 5 THEN 5033164 ELSE 16777216 END
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "q_cond_distinct" ->
       """SELECT o_orderstatus,

@@ -196,6 +196,28 @@ object QueriesPipeline {
         .orderBy("bin_id")
     }),
 
+    "q_pack_verify" -> ((s, d) => {
+      // oracle-checked verification twin for the packing family (the
+      // same pattern the minhash/ngram/simhash dedups use): the SAME
+      // greedy packer — Pack.sequences with its md5 shard assignment,
+      // md5 scan order, and oversize isolation — denominated in
+      // SQL-expressible whitespace tokens and run at maxOpenBins = 1,
+      // where first-fit degenerates to a single-open-bin state machine
+      // that DuckDB replays EXACTLY with a recursive CTE carrying the
+      // per-shard (cur_seq, next_seq, used) fold state. maxTokens =
+      // 512 (a power of two) keeps fill_ratio an exact binary double
+      // in both engines. The production path (q_pack_sequences,
+      // BPE-denominated, maxOpenBins = 256) stays rows-only; this
+      // entry pins the fold itself — shard math, scan order, bin
+      // numbering, oversize policy — to an engine-independent truth.
+      val counts = Tables(s, d).documents
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+      Pack.sequences(counts, "doc_id", "n_tok", maxTokens = 512,
+          numShards = 16, maxOpenBins = 1)
+        .orderBy("bin_id")
+    }),
+
     "q_mix_weighted" -> ((s, d) => {
       // weighted source mixing (operators/Mix.scala): oversample src0
       // 2.25x ("epochs"), keep src1-3 at 1.5/1/1, thin src4-6, drop the
@@ -275,6 +297,58 @@ object QueriesPipeline {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // replays Pack.sequences at maxOpenBins = 1 exactly: md5 shard
+    // byte (% 16), md5 scan order, then a recursive CTE advancing
+    // every shard one document per iteration while carrying the greedy
+    // fold's (cur_seq, next_seq, used) state — oversize docs take the
+    // next seq without touching the open bin, a fitting doc joins
+    // cur_seq, anything else retires the open bin and starts a new one
+    "q_pack_verify" ->
+      """WITH RECURSIVE dcounts AS (
+        | SELECT doc_id AS id,
+        |  CASE WHEN length(nrm) = 0 THEN 0
+        |       ELSE cast(len(string_split(nrm, ' ')) as int) END AS n_tok,
+        |  md5(cast(doc_id as varchar)) AS ord
+        | FROM (SELECT doc_id,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nrm
+        |  FROM documents)),
+        |sh AS (
+        | SELECT id, n_tok, ord,
+        |  cast(((strpos('0123456789abcdef', substr(ord, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(ord, 2, 1)) - 1) % 16 as int) AS shard
+        | FROM dcounts),
+        |sq AS (
+        | SELECT *, cast(row_number() OVER (PARTITION BY shard ORDER BY ord) as int) AS rn
+        | FROM sh),
+        |step AS (
+        | SELECT shard, 0 AS rn, cast(NULL as bigint) AS id, 0 AS n_tok,
+        |        false AS oversize, -1 AS bin_seq, -1 AS cur_seq, 0 AS next_seq, 0 AS used
+        | FROM (SELECT DISTINCT shard FROM sq)
+        | UNION ALL
+        | SELECT d.shard, d.rn, d.id, d.n_tok, d.n_tok > 512,
+        |  CASE WHEN d.n_tok > 512 THEN s.next_seq
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq
+        |       ELSE s.next_seq END,
+        |  CASE WHEN d.n_tok > 512 THEN s.cur_seq
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq
+        |       ELSE s.next_seq END,
+        |  CASE WHEN d.n_tok > 512 THEN s.next_seq + 1
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.next_seq
+        |       ELSE s.next_seq + 1 END,
+        |  CASE WHEN d.n_tok > 512 THEN s.used
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.used + d.n_tok
+        |       ELSE d.n_tok END
+        | FROM step s JOIN sq d ON d.shard = s.shard AND d.rn = s.rn + 1)
+        |SELECT cast(shard as bigint) * 4294967296 + bin_seq AS bin_id,
+        | cast(count(*) as int) AS n_docs,
+        | cast(sum(n_tok) as int) AS total_tokens,
+        | cast(sum(n_tok) as double) / 512 AS fill_ratio,
+        | bool_or(oversize) AS oversize,
+        | string_agg(cast(id as varchar), ',' ORDER BY rn) AS doc_ids
+        |FROM step WHERE rn > 0
+        |GROUP BY shard, bin_seq
+        |ORDER BY bin_id""".stripMargin,
 
     "q_pipeline_e2e" ->
       """WITH clicks AS (
