@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's) on a global int8 integer grid —
+  * an ORACLE-CHECKABLE iterative clustering operator.
+  *
+  * Everything after quantization is exact integer arithmetic:
+  *  - one corpus-wide symmetric scale (global max |x| / 127) maps all
+  *    vectors onto a common integer grid (per-vector scales would put
+  *    vectors in incomparable spaces — fine for storage, wrong for
+  *    clustering);
+  *  - assignment: argmin of the exact integer squared L2 distance,
+  *    ties to the smallest cluster id;
+  *  - update: per-dimension floor(sum / count) — floor-of-double
+  *    division, exact below 2^52 and identical in every engine
+  *    (unlike `div`, whose negative-operand truncation direction
+  *    differs between Spark and DuckDB);
+  *  - empty clusters keep their previous centroid.
+  * So the full trajectory (assignments, centroids, inertia) is a pure
+  * function of the data and DuckDB can replay the unrolled iterations
+  * bit-for-bit — the same portability discipline as the md5 shard /
+  * rolling-fingerprint / simhash families.
+  *
+  * Scale posture (the 100 TB k-means shape): centroids are k x dim
+  * longs — a CONFIG-SIZED driver collect per iteration (k = 8: 512
+  * values, the capped merges-table class), shipped back as literals.
+  * Assignment is then a NARROW codegen'd map: k scored structs,
+  * array_sort, take the head — the IVF probe pattern; no crossJoin,
+  * no shuffle, no window. Each update is ONE map-side-combined
+  * (cluster, pos) shuffle whose reduced volume is k x dim x
+  * partitions, independent of row count. Total: `iters` shuffles of
+  * bounded reduced size + one final bounded aggregation.
+  *
+  * Reference analog: the stats pipeline's grouping of result packets
+  * into phenotype clusters is config-driven; this supplies the
+  * data-driven variant an embedding-bearing corpus needs (cell
+  * training for IVF ANN, mixture balancing, near-dup cluster seeding).
+  */
+object Cluster {
+
+  /** @return one row per cluster: (cluster, n_members, inertia,
+    *         centroid_fp) — counts/inertia from the final assignment
+    *         against the pre-update centroids, fingerprint of the
+    *         post-update centroid (md5 of the comma-joined longs). */
+  def kmeansInt8(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int, iters: Int): DataFrame = {
+    require(k > 0 && k <= 64, s"k is a config-sized literal; got $k")
+    require(iters >= 1 && iters <= 8, s"iters bounded (each is a pass); got $iters")
+    val spark = emb.sparkSession
+
+    // global symmetric grid: scale = max |x| / 127 over the corpus
+    val gmaxRow = emb.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
+      .head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val gscale = if (gmax == 0.0) 1.0 else gmax / 127.0
+    // lazily lineage-truncated: q feeds every assignment pass and the
+    // final aggregation — without the checkpoint each pass re-runs the
+    // scan + quantization chain (same discipline as q_corpus_e2e's
+    // Mix-stage boundary)
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
+      .localCheckpoint(false)
+
+    // deterministic init: the k smallest ids' vectors, cluster id by
+    // that order (a bounded k-row collect — NOT a sort of the corpus:
+    // TakeOrderedAndProject)
+    var centroids: IndexedSeq[Seq[Long]] = q.orderBy("id").limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toIndexedSeq: Seq[Long]).toIndexedSeq
+    require(centroids.nonEmpty, "empty input")
+
+    // narrow argmin map against the centroid literals: k scored
+    // structs, sorted; struct order (dist, cid) breaks ties low
+    def assign(cents: IndexedSeq[Seq[Long]]): DataFrame = {
+      val scored = array(cents.indices.map { c =>
+        struct(
+          aggregate(
+            zip_with(col("q"), typedlit(cents(c)), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("dist"),
+          lit(c).as("cid"))
+      }: _*)
+      q.withColumn("best", element_at(array_sort(scored), 1))
+        .select(col("id"), col("q"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      // lazily checkpointed: the update's collect below materializes
+      // the assignment, and the final membership/inertia aggregation
+      // reuses the checkpointed RDD instead of re-running the argmin
+      // map — which also keeps Catalyst from pushing the argmin
+      // lambda chain into an inferred isnotnull Filter under the
+      // output join (the interpreted re-derivation PlanAuditSpec
+      // gates against)
+      assigned = assign(centroids).localCheckpoint(false)
+      // ONE shuffle: (cid, pos) partial-agg; k x dim reduced rows
+      val sums = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byC = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byC.get(c) match {
+          case Some(rows) =>
+            val dim = centroids(c).length
+            val arr = new Array[Long](dim)
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+            }
+            arr.toSeq
+          case None => centroids(c) // empty cluster: keep previous
+        }
+      }
+    }
+
+    // final surface: membership + inertia from the last assignment,
+    // fingerprint of the post-update centroid (hashed by Spark's own
+    // md5 — same MD5-of-UTF-8 the oracle's md5() computes)
+    import spark.implicits._
+    val fpDf = centroids.zipWithIndex
+      .map { case (cent, c) => (c, cent.mkString(",")) }
+      .toDF("cluster", "__cs")
+      .select(col("cluster"), md5(col("__cs")).as("centroid_fp"))
+    assigned.groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(fpDf, Seq("cluster"), "right") // empty clusters still emit
+      .select(col("cluster"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("centroid_fp"))
+  }
+}

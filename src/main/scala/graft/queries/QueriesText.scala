@@ -280,6 +280,28 @@ object QueriesText {
         .orderBy("query_id", "rk")
     }),
 
+    "q_kmeans" -> ((s, d) => {
+      // ORACLE-checked distributed k-means (operators/Cluster.scala):
+      // Lloyd's, 2 iterations, on a GLOBAL int8 grid — one corpus-wide
+      // scale puts every vector in a common integer space, so
+      // assignment distances, floor-of-mean centroid updates, and
+      // inertia are EXACT integer arithmetic DuckDB replays
+      // bit-for-bit with the iterations unrolled. Deterministic init
+      // (the k smallest vec_ids), argmin ties to the smallest cluster
+      // id, empty clusters keep their centroid. The iterative-ML
+      // counterpart of q_shingle_clusters' oracle-checked graph
+      // clustering; IVF's cell-training primitive, here driver-checked.
+      // Scale: per iteration — broadcast-literal centroids (k x dim, a
+      // config-sized collect) -> NARROW codegen'd argmin map
+      // (array_sort of k scored structs, the IVF probe pattern; no
+      // crossJoin, no window) -> ONE map-side-combined (cluster, pos)
+      // shuffle whose reduced size is k x dim x partitions. The
+      // textbook 100 TB k-means plan shape.
+      graft.operators.Cluster.kmeansInt8(Tables(s, d).embeddings,
+          "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("cluster")
+    }),
+
     "q_corpus_filter" -> ((s, d) => {
       // composed curation pipeline: language-consistency + quality
       // + exact-dedup canonical flags -> per-language keep/drop counts
@@ -526,6 +548,69 @@ object QueriesText {
     }))
 
   val oracles: Map[String, String] = Map(
+    // replays Cluster.kmeansInt8 bit-for-bit with the two Lloyd
+    // iterations UNROLLED: global int8 grid (max |x| / 127), init =
+    // the 8 smallest ids, exact integer L2 argmin with (dist, cid)
+    // tie-break, per-dimension floor-of-double-mean centroid updates
+    // (dim fixed at 64 = the embeddings table's width), empty
+    // clusters inherit the prior centroid via the positions x c_prev
+    // left join, membership/inertia from the final assignment and the
+    // post-update centroid fingerprinted as md5 of the joined longs
+    "q_kmeans" ->
+      """WITH g AS (
+        | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
+        | FROM embeddings),
+        |sc AS (SELECT CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS gs FROM g),
+        |qv AS (
+        | SELECT vec_id AS id,
+        |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
+        | FROM embeddings, sc),
+        |c0 AS (
+        | SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid, q AS cq
+        | FROM (SELECT id, q FROM qv ORDER BY id LIMIT 8)),
+        |a1 AS (
+        | SELECT id, q, cid, dist FROM (
+        |  SELECT id, q, cid, dist,
+        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT qv.id, qv.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM qv, c0 c)) WHERE rk = 1),
+        |u1 AS (
+        | SELECT cid, i AS pos,
+        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (
+        | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
+        | FROM (SELECT c0.cid, t.i, c0.cq[t.i] AS cv FROM c0, range(1, 65) t(i)) g
+        | LEFT JOIN u1 u ON u.cid = g.cid AND u.pos = g.i
+        | GROUP BY g.cid),
+        |a2 AS (
+        | SELECT id, q, cid, dist FROM (
+        |  SELECT id, q, cid, dist,
+        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT qv.id, qv.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM qv, c1 c)) WHERE rk = 1),
+        |u2 AS (
+        | SELECT cid, i AS pos,
+        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+        |c2 AS (
+        | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
+        | FROM (SELECT c1.cid, t.i, c1.cq[t.i] AS cv FROM c1, range(1, 65) t(i)) g
+        | LEFT JOIN u2 u ON u.cid = g.cid AND u.pos = g.i
+        | GROUP BY g.cid),
+        |m AS (SELECT cid, count(*) AS n, cast(sum(dist) as bigint) AS inertia
+        |      FROM a2 GROUP BY cid)
+        |SELECT c2.cid AS cluster,
+        | coalesce(m.n, 0) AS n_members,
+        | cast(coalesce(m.inertia, 0) as bigint) AS inertia,
+        | md5(array_to_string(c2.cq, ',')) AS centroid_fp
+        |FROM c2 LEFT JOIN m ON m.cid = c2.cid
+        |ORDER BY cluster""".stripMargin,
+
     // k=30 in the query ⇒ the deterministic surface is exact_count
     // > n/31; the MG sketch is invisible to the oracle by design
     "q_heavy_hitters" ->
