@@ -487,6 +487,39 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_token_surprise" -> ((s, d) => {
+      // unigram-LM surprisal quality filter (the CCNet/KenLM
+      // perplexity signal), INTEGER-EXACT: a token's surprisal is the
+      // decimal digit count of floor(N_total / count(tok)) — a
+      // ceil-log10 of its inverse frequency, so rare tokens cost more
+      // — and a document scores the mean surprisal of its tokens in
+      // ppm (integer division). Low mean = natural high-frequency
+      // text, high mean = gibberish/rare-token soup; `keep` thresholds
+      // at 2.5 digits. Integer digits instead of float log-probs keep
+      // the oracle hash-exact (float log sums are order-dependent).
+      // Scale: the token-cost table is the full corpus VOCABULARY, so
+      // it joins by shuffle (merge hint — the q_tfidf_terms lesson:
+      // the static planner's aggregate estimate would broadcast a
+      // corpus-scaling side), then one map-side-combined doc_id agg.
+      // The 1-row total crossJoins broadcast, as everywhere else.
+      val toks = Tables(s, d).documents
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val total = toks.agg(count(lit(1)).as("__n"))
+      val costs = toks.groupBy("tok").agg(count(lit(1)).as("__c"))
+        .crossJoin(broadcast(total))
+        .select(col("tok"),
+          length(expr("__n div __c").cast("string")).as("__cost"))
+      toks.join(costs.hint("merge"), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("__cost").cast("long")).as("total_surprise"))
+        .withColumn("mean_surprise_ppm",
+          expr("total_surprise * 1000000 div n_tokens"))
+        .withColumn("keep", col("mean_surprise_ppm") <= 2500000L)
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, d) => {
       // corpus length profile: fixed-width binning of n_chars — the
       // pre-curation length-distribution check (narrow map + tiny agg)
@@ -858,6 +891,25 @@ object QueriesText {
          | cast(count(*) FILTER (WHERE vtok IS NULL) as bigint) AS n_oov,
          | (count(*) FILTER (WHERE vtok IS NULL)) * 1000000 // count(*) AS oov_ppm
          |FROM joined GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // replays the integer surprisal: digits of (total // count) per
+    // token, mean per doc in ppm via exact integer division
+    "q_token_surprise" ->
+      s"""WITH tf AS (
+         | SELECT doc_id, tok FROM
+         |  (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         | WHERE length(tok) > 0),
+         |n AS (SELECT count(*) AS total FROM tf),
+         |costs AS (
+         | SELECT tok, length(cast(total // count(*) as varchar)) AS cost
+         | FROM tf, n GROUP BY tok, total),
+         |j AS (SELECT tf.doc_id, c.cost FROM tf JOIN costs c USING (tok))
+         |SELECT doc_id, count(*) AS n_tokens,
+         | cast(sum(cost) as bigint) AS total_surprise,
+         | cast(sum(cost) as bigint) * 1000000 // count(*) AS mean_surprise_ppm,
+         | (cast(sum(cost) as bigint) * 1000000 // count(*)) <= 2500000 AS keep
+         |FROM j GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
     "q_length_histogram" ->
