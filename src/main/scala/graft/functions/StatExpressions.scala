@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -150,6 +150,48 @@ object StatMath {
   def tPValueTwoSided(t: Double, df: Double): Double =
     if (t.isNaN || df <= 0.0) Double.NaN
     else incBeta(df / (df + t * t), df / 2.0, 0.5)
+
+  /** Two-sided standard-normal p-value P[|Z| ≥ z] = erfc(|z|/√2),
+    * computed as the χ²(1) upper tail of z² (the same identity every
+    * stats text uses; reuses the deterministic incomplete gamma). */
+  def normalPTwoSided(z: Double): Double =
+    if (z.isNaN) Double.NaN else chi2PValue(z * z, 1.0)
+
+  /** ln C(n, k) via ln-gamma (exact enough for hypergeometric sums;
+    * |err| ~ 1e-12 relative for the count magnitudes a 2×2 table of
+    * row counts can hold). */
+  private def lnChoose(n: Long, k: Long): Double =
+    lnGamma(n + 1.0) - lnGamma(k + 1.0) - lnGamma(n - k + 1.0)
+
+  /** Two-sided Fisher exact p for the 2×2 table [[a,b],[c,d]]:
+    * the sum of every hypergeometric table probability no larger than
+    * the observed one (R's `fisher.test` convention, including its
+    * 1+1e-7 relative slack so ties caused by float rounding count as
+    * "as extreme"). The support is at most min(r1,c1)+1 terms — a
+    * bounded driver-free loop inside codegen, deterministic across
+    * partitions/retries. Degenerate margins (an empty row or column)
+    * mean the observed table is the only table: p = 1. */
+  def fisherExactP(a: Long, b: Long, c: Long, d: Long): Double = {
+    if (a < 0 || b < 0 || c < 0 || d < 0) return Double.NaN
+    val r1 = a + b; val r2 = c + d; val c1 = a + c; val n = r1 + r2
+    if (r1 == 0 || r2 == 0 || c1 == 0 || n - c1 == 0) return 1.0
+    val lnDenom = lnChoose(n, c1)
+    def lnPmf(k: Long): Double =
+      lnChoose(r1, k) + lnChoose(r2, c1 - k) - lnDenom
+    val lo = math.max(0L, c1 - r2)
+    val hi = math.min(c1, r1)
+    val lnPObs = lnPmf(a)
+    // compare in log space: ln p(k) ≤ ln p(obs) + ln(1+1e-7)
+    val thresh = lnPObs + 1e-7
+    var k = lo
+    var p = 0.0
+    while (k <= hi) {
+      val lp = lnPmf(k)
+      if (lp <= thresh) p += math.exp(lp)
+      k += 1
+    }
+    if (p > 1.0) 1.0 else p
+  }
 }
 
 /** Two-sided Student/Welch t p-value expression: (t_stat, df) →
@@ -197,6 +239,57 @@ case class Chi2PValue(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Two-sided standard-normal p-value expression: z → P[|Z| ≥ z].
+  * Backs the rank-sum test's normal approximation. Codegen'd; null in,
+  * null out. */
+case class NormalPValue(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"NormalPValue requires double, got $t")
+    }
+
+  override def nullSafeEval(z: Any): Any =
+    StatMath.normalPTwoSided(z.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, z =>
+      s"${ev.value} = graft.functions.StatMath.normalPTwoSided($z);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Fisher exact two-sided p-value expression over the 2×2 cell counts
+  * (n11, n10, n01, n00). Codegen'd — the hypergeometric sum runs as a
+  * bounded loop inside the generated code, no UDF boundary. Null if
+  * any count is null. */
+case class FisherPValue(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(first, second, third, fourth).map(_.dataType) match {
+      case ts if ts.forall(_ == LongType) => TypeCheckResult.TypeCheckSuccess
+      case ts => TypeCheckResult.TypeCheckFailure(s"FisherPValue requires 4 bigint counts, got $ts")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    StatMath.fisherExactP(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long], d.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.StatMath.fisherExactP($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object StatFunctions {
   def tPValue(t: Column, df: Column): Column =
     GraftBridge.column(TPValue(
@@ -205,4 +298,12 @@ object StatFunctions {
   def chi2PValue(x: Column, k: Column): Column =
     GraftBridge.column(Chi2PValue(
       GraftBridge.expression(x.cast("double")), GraftBridge.expression(k.cast("double"))))
+
+  def normalPValue(z: Column): Column =
+    GraftBridge.column(NormalPValue(GraftBridge.expression(z.cast("double"))))
+
+  def fisherPValue(n11: Column, n10: Column, n01: Column, n00: Column): Column =
+    GraftBridge.column(FisherPValue(
+      GraftBridge.expression(n11.cast("long")), GraftBridge.expression(n10.cast("long")),
+      GraftBridge.expression(n01.cast("long")), GraftBridge.expression(n00.cast("long"))))
 }

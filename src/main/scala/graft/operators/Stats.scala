@@ -214,4 +214,117 @@ object Stats {
         when(varxn > 0 && varyn > 0, covn * covn / (varxn * varyn)))
       .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
   }
+
+  /** Wilcoxon–Mann–Whitney rank-sum test per key between cohorts `a`
+    * and `b`: U statistics from midranks, the tie-corrected normal
+    * z, and its two-sided p (the nonparametric sibling of [[welchT]]
+    * — the test the reference's stats layer reaches for when
+    * normality fails on a continuous parameter).
+    *
+    * Exactness: midranks are kept DOUBLED (2·rank stays integral even
+    * through .5 tie midpoints), so rank sums and the tie term
+    * Σ(t³−t) are exact integer aggregates; U itself is an exact
+    * half-integer. Only z is double — a fixed dag over those
+    * integers, bit-identical across engines. The p-value rides the
+    * spec-checked normal approximation ([[graft.functions.StatMath]]),
+    * not the oracle surface.
+    *
+    * Scale: the rank window hash-partitions by key and the follow-up
+    * aggregation groups by the same key, so Catalyst reuses the
+    * exchange — ONE shuffle over (key, value, cohort), with the
+    * per-key sort bounded by the largest key's row count (the same
+    * contract as every per-key window in this library). */
+  def mannWhitneyU(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   cohortCol: String, a: String, b: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(valueCol))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy((keyCols :+ valueCol).map(col): _*)
+    val ranked = df
+      .filter(col(cohortCol).isin(a, b) && col(valueCol).isNotNull)
+      // doubled midrank: 2·min_rank + (tie_count − 1) — integral
+      // (rank cast to long: 2·rank must not wrap on a billion-row key)
+      .withColumn("__r2",
+        lit(2L) * rank().over(w).cast("long") + count(lit(1)).over(wTie) - 1)
+      .withColumn("__t", count(lit(1)).over(wTie))
+    val agg = ranked.groupBy(keyCols.map(col): _*)
+      .agg(count(when(col(cohortCol) === a, 1)).as("n_a"),
+        count(when(col(cohortCol) === b, 1)).as("n_b"),
+        sum(when(col(cohortCol) === a, col("__r2"))).as("__r2a"),
+        // each member of a tie group of size t contributes t²−1,
+        // so the sum over rows is exactly Σ_groups (t³−t)
+        sum(col("__t") * col("__t") - 1).as("__tie3"))
+    val na = col("n_a"); val nb = col("n_b"); val nn = na + nb
+    // U_a = R_a − n_a(n_a+1)/2, via the doubled rank sum (exact)
+    val ua = (col("__r2a") - na * (na + 1)) / lit(2.0)
+    val varU = na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - col("__tie3") / (nn * (nn - lit(1.0))))
+    agg
+      .withColumn("u_a", ua)
+      .withColumn("u_b", na * nb - col("u_a"))
+      // all-tied keys have zero variance: no sampling distribution,
+      // surface null z/p rather than Inf/NaN
+      .withColumn("z",
+        when(varU > 0, (col("u_a") - na * nb / lit(2.0)) / sqrt(varU)))
+      .withColumn("p_value", graft.functions.StatFunctions.normalPValue(col("z")))
+      .drop("__r2a", "__tie3")
+  }
+
+  /** Fisher's exact test per key on the 2×2 table spanned by two
+    * boolean factors — THE test the reference's categorical
+    * significance layer runs (OpenStats applies Fisher exact to
+    * categorical parameters; stats_results_mapping_helper.py carries
+    * its results). One contingency aggregation (four conditional
+    * counts — no self-join, no cells shuffle), then the odds ratio
+    * as exact integer arithmetic and the hypergeometric p as a
+    * codegen'd bounded sum ([[graft.functions.StatMath.fisherExactP]]).
+    * Rows where either factor is null are excluded (complete-case, as
+    * [[chiSquare]]). The counts and odds ratio are the oracle-checked
+    * surface; the p-value is spec-checked against exact rational
+    * fixtures. */
+  def fisherExact(df: DataFrame, keyCols: Seq[String], aFlag: Column,
+                  bFlag: Column): DataFrame = {
+    val agg = df
+      .filter(aFlag.isNotNull && bFlag.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(when(aFlag && bFlag, 1)).as("n11"),
+        count(when(aFlag && !bFlag, 1)).as("n10"),
+        count(when(!aFlag && bFlag, 1)).as("n01"),
+        count(when(!aFlag && !bFlag, 1)).as("n00"))
+    agg
+      // cross-product ratio; null when a zero cell makes it undefined
+      .withColumn("odds_ratio",
+        when(col("n10") * col("n01") > 0,
+          (col("n11") * col("n00")).cast("double") / (col("n10") * col("n01"))))
+      .withColumn("p_value",
+        graft.functions.StatFunctions.fisherPValue(
+          col("n11"), col("n10"), col("n01"), col("n00")))
+  }
+
+  /** Benjamini–Hochberg FDR adjustment over a results table: rank the
+    * scores ascending, step up p·m/rank, then the running minimum from
+    * the worst rank down (adjusted_i = min_{j≥i} p_j·m/j, capped at 1)
+    * — the multiple-testing correction applied to exactly the kind of
+    * per-parameter significance table the reference emits (thousands
+    * of parameter tests per release; OpenStats consumers read
+    * FDR-adjusted calls). Tied scores provably receive identical
+    * adjusted values under any tie order, so row_number's arbitrary
+    * tie-break does not leak into results.
+    *
+    * Scale: the two global windows sort ONE |tests|-sized table — the
+    * results table is dimension-sized (per parameter, not per row), so
+    * a single-partition sort is the honest plan; the fact-scale work
+    * happened upstream in the statistic aggregations. */
+  def bhAdjust(df: DataFrame, pCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byP = Window.orderBy(col(pCol))
+    val fromWorst = Window.orderBy(col(pCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.filter(col(pCol).isNotNull)
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__rank", row_number().over(byP))
+      .withColumn("p_adjusted",
+        least(lit(1.0), min(col(pCol) * col("__m") / col("__rank")).over(fromWorst)))
+      .drop("__m", "__rank")
+  }
 }

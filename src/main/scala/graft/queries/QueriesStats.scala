@@ -133,6 +133,56 @@ object QueriesStats {
           round(col("intercept"), 6).as("intercept"),
           round(col("r2"), 6).as("r2"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_mannwhitney" -> ((s, d) => {
+      // nonparametric control-vs-mutant per parameter: the rank-sum
+      // sibling of q_ttest_welch (the test the reference's stats
+      // layer uses when normality fails). U/z are exact-integer
+      // derived — oracle-checked; p_value is spec-checked only.
+      val ev = Tables(s, d).events
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "ctl").otherwise("mut"))
+      Stats.mannWhitneyU(ev, Seq("event_type"), "value", "cohort", "ctl", "mut")
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("u_a"), col("u_b"), round(col("z"), 6).as("z"))
+        .orderBy("event_type")
+    }),
+
+    "q_fisher_exact" -> ((s, d) => {
+      // categorical association per parameter as an EXACT test — the
+      // reference's OpenStats layer runs Fisher exact on categorical
+      // parameters. Cells/odds-ratio oracle-checked; the
+      // hypergeometric p-value is spec-checked against exact
+      // rational fixtures (DuckDB has no hypergeometric tail).
+      val ev = Tables(s, d).events
+      Stats.fisherExact(ev, Seq("event_type"),
+          col("user_id") % 2 === 0, col("value") >= 35.0)
+        .select(col("event_type"), col("n11"), col("n10"),
+          col("n01"), col("n00"),
+          round(col("odds_ratio"), 6).as("odds_ratio"))
+        .orderBy("event_type")
+    }),
+
+    "q_fdr_bh" -> ((s, d) => {
+      // multiple-testing correction over a per-(parameter, month)
+      // results table — the adjustment pass the reference's
+      // thousands-of-parameter-tests release needs before calling
+      // significance. Input score: a monotone transform of the
+      // rank-sum z² (bit-reproducible across engines, so the BH
+      // arithmetic itself is the oracle-checked surface; real
+      // p-values flow through the same operator in the spec).
+      val ev = Tables(s, d).events
+        .withColumn("cohort",
+          when(col("user_id") % 2 === 0, "ctl").otherwise("mut"))
+        .withColumn("month", month(col("ts")).cast("long"))
+      val tests = Stats.mannWhitneyU(ev, Seq("event_type", "month"),
+          "value", "cohort", "ctl", "mut")
+        .withColumn("p_score", round(lit(1.0) / (lit(1.0) + col("z") * col("z")), 9))
+      Stats.bhAdjust(tests, "p_score")
+        .select(col("event_type"), col("month"), col("p_score"),
+          round(col("p_adjusted"), 9).as("p_adjusted"))
+        .orderBy("event_type", "month")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -271,5 +321,88 @@ object QueriesStats {
         | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |  THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |   ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
-        |FROM m ORDER BY 1, 2""".stripMargin)
+        |FROM m ORDER BY 1, 2""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH r AS (
+        | SELECT event_type,
+        |  CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'mut' END AS cohort,
+        |  2 * rank() OVER (PARTITION BY event_type ORDER BY value)
+        |   + count(*) OVER (PARTITION BY event_type, value) - 1 AS r2,
+        |  count(*) OVER (PARTITION BY event_type, value) AS t
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type,
+        |  count(CASE WHEN cohort = 'ctl' THEN 1 END) AS n_a,
+        |  count(CASE WHEN cohort = 'mut' THEN 1 END) AS n_b,
+        |  sum(CASE WHEN cohort = 'ctl' THEN r2 END) AS r2a,
+        |  sum(t * t - 1) AS tie3
+        | FROM r GROUP BY 1),
+        |u AS (
+        | SELECT event_type, n_a, n_b,
+        |  (r2a - n_a * (n_a + 1)) / 2.0 AS u_a, tie3,
+        |  n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+        |   - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0))) AS var_u
+        | FROM m)
+        |SELECT event_type, n_a, n_b, u_a, n_a * n_b - u_a AS u_b,
+        | round(CASE WHEN var_u > 0
+        |  THEN (u_a - n_a * n_b / 2.0) / sqrt(var_u) END, 6) AS z
+        |FROM u ORDER BY event_type""".stripMargin,
+
+    "q_fisher_exact" ->
+      """WITH c AS (
+        | SELECT event_type,
+        |  count(CASE WHEN user_id % 2 = 0 AND value >= 35.0 THEN 1 END) AS n11,
+        |  count(CASE WHEN user_id % 2 = 0 AND NOT value >= 35.0 THEN 1 END) AS n10,
+        |  count(CASE WHEN user_id % 2 <> 0 AND value >= 35.0 THEN 1 END) AS n01,
+        |  count(CASE WHEN user_id % 2 <> 0 AND NOT value >= 35.0 THEN 1 END) AS n00
+        | FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n11, n10, n01, n00,
+        | round(CASE WHEN n10 * n01 > 0
+        |  THEN cast(n11 * n00 as double) / (n10 * n01) END, 6) AS odds_ratio
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "q_fdr_bh" ->
+      """WITH r AS (
+        | SELECT event_type, cast(month(cast(ts as timestamp)) as bigint) AS month,
+        |  CASE WHEN user_id % 2 = 0 THEN 'ctl' ELSE 'mut' END AS cohort,
+        |  2 * rank() OVER (PARTITION BY event_type, month(cast(ts as timestamp)) ORDER BY value)
+        |   + count(*) OVER (PARTITION BY event_type, month(cast(ts as timestamp)), value) - 1 AS r2,
+        |  count(*) OVER (PARTITION BY event_type, month(cast(ts as timestamp)), value) AS t
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT event_type, month,
+        |  count(CASE WHEN cohort = 'ctl' THEN 1 END) AS n_a,
+        |  count(CASE WHEN cohort = 'mut' THEN 1 END) AS n_b,
+        |  sum(CASE WHEN cohort = 'ctl' THEN r2 END) AS r2a,
+        |  sum(t * t - 1) AS tie3
+        | FROM r GROUP BY 1, 2),
+        |u AS (
+        | SELECT event_type, month,
+        |  (r2a - n_a * (n_a + 1)) / 2.0 AS u_a,
+        |  n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+        |   - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0))) AS var_u,
+        |  n_a, n_b
+        | FROM m),
+        |zed AS (
+        | SELECT event_type, month,
+        |  CASE WHEN var_u > 0
+        |   THEN (u_a - n_a * n_b / 2.0) / sqrt(var_u) END AS z
+        | FROM u),
+        |p AS (
+        | SELECT event_type, month,
+        |  round(1.0 / (1.0 + z * z), 9) AS p_score
+        | FROM zed),
+        |ranked AS (
+        | SELECT event_type, month, p_score,
+        |  count(*) OVER () AS m_tests,
+        |  row_number() OVER (ORDER BY p_score) AS rk
+        | FROM p WHERE p_score IS NOT NULL),
+        |adj AS (
+        | SELECT event_type, month, p_score,
+        |  least(1.0, min(p_score * m_tests / rk)
+        |   OVER (ORDER BY p_score ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adjusted
+        | FROM ranked)
+        |SELECT event_type, month, p_score, round(p_adjusted, 9) AS p_adjusted
+        |FROM adj ORDER BY event_type, month""".stripMargin)
 }

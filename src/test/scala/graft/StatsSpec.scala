@@ -274,4 +274,116 @@ class StatsSpec extends AnyFunSuite {
     assert(r._1 == 3L)
     assert(math.abs(r._2 - 2.0) < 1e-9 && math.abs(r._3 - 1.0) < 1e-9)
   }
+
+  /** Naive midrank Mann–Whitney reference: sort, average tied ranks,
+    * tie-corrected normal variance. */
+  private def naiveMwu(a: Seq[Double], b: Seq[Double]): (Double, Double, Double) = {
+    val all = (a.map((_, "a")) ++ b.map((_, "b"))).sortBy(_._1)
+    val rank = all.zipWithIndex.groupBy(_._1._1).flatMap { case (_, g) =>
+      val mid = g.map(_._2 + 1.0).sum / g.size
+      g.map { case ((_, c), i) => (i, c, mid) }
+    }.toSeq
+    val ra = rank.filter(_._2 == "a").map(_._3).sum
+    val na = a.size.toDouble; val nb = b.size.toDouble; val n = na + nb
+    val ua = ra - na * (na + 1) / 2
+    val tie3 = all.groupBy(_._1).values.map(g => math.pow(g.size, 3) - g.size).sum
+    val varU = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    (ua, na * nb - ua, (ua - na * nb / 2) / math.sqrt(varU))
+  }
+
+  test("mannWhitneyU matches a naive midrank reference with ties") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(2.0, 3.0, 4.0, 5.0)
+    val df = (a.map(("p1", "ctl", _)) ++ b.map(("p1", "mut", _)))
+      .toDF("param", "cohort", "v")
+    val r = Stats.mannWhitneyU(df, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("n_a", "n_b", "u_a", "u_b", "z", "p_value")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val (ua, ub, z) = naiveMwu(a, b)
+    assert(r._1 == 3L && r._2 == 4L)
+    assert(math.abs(r._3 - ua) < 1e-9 && math.abs(r._4 - ub) < 1e-9)
+    assert(math.abs(r._5 - z) < 1e-9)
+    // hand check of the worked example: U_a = 8 − 6 = 2
+    assert(math.abs(r._3 - 2.0) < 1e-12)
+    assert(r._6 > 0 && r._6 < 1)
+  }
+
+  test("mannWhitneyU: all-tied key surfaces null z, equal halves get z = 0") {
+    val df = (Seq.fill(3)(("t", "ctl", 5.0)) ++ Seq.fill(4)(("t", "mut", 5.0)) ++
+        Seq(("s", "ctl", 1.0), ("s", "mut", 2.0), ("s", "ctl", 2.0), ("s", "mut", 1.0)))
+      .toDF("param", "cohort", "v")
+    val rows = Stats.mannWhitneyU(df, Seq("param"), "v", "cohort", "ctl", "mut")
+      .select("param", "z").collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("t").isNullAt(1), "zero-variance key must yield null z")
+    assert(math.abs(rows("s").getDouble(1)) < 1e-12, "symmetric key z = 0")
+  }
+
+  test("mannWhitneyU p-value matches the normal two-sided tail") {
+    // P[|Z| >= 1.959964] = 0.05 (published normal quantile)
+    assert(math.abs(graft.functions.StatMath.normalPTwoSided(1.959964) - 0.05) < 1e-5)
+    assert(math.abs(graft.functions.StatMath.normalPTwoSided(2.575829) - 0.01) < 1e-5)
+    assert(math.abs(graft.functions.StatMath.normalPTwoSided(0.0) - 1.0) < 1e-12)
+  }
+
+  test("fisherExact p matches exact rational fixtures (incl. R's tea-tasting table)") {
+    import graft.functions.StatMath.fisherExactP
+    // truths computed with exact Fraction arithmetic over the full
+    // hypergeometric support (R fisher.test agrees to print precision)
+    val fixtures = Seq(
+      ((3L, 1L, 1L, 3L), 0.4857142857142857),
+      ((1L, 9L, 11L, 3L), 0.0027594561852200836),
+      ((10L, 20L, 30L, 5L), 2.5950857028014678e-05),
+      ((0L, 5L, 8L, 2L), 0.006993006993006993),
+      ((2L, 0L, 0L, 3L), 0.1),
+      ((12L, 5L, 29L, 2L), 0.08026855207410465),
+      ((100L, 50L, 30L, 80L), 4.487226130108583e-10))
+    for (((a, b, c, d), want) <- fixtures) {
+      val got = fisherExactP(a, b, c, d)
+      assert(math.abs(got - want) <= 1e-9 * want + 1e-12,
+        s"($a,$b,$c,$d): got $got want $want")
+    }
+    // degenerate margins: the observed table is the only table
+    assert(fisherExactP(0L, 0L, 3L, 4L) == 1.0)
+    assert(fisherExactP(5L, 3L, 0L, 0L) == 1.0)
+  }
+
+  test("fisherExact operator assembles the 2x2 and rides codegen") {
+    val df = Seq(("p1", true, true), ("p1", true, true), ("p1", true, true),
+        ("p1", true, false), ("p1", false, true),
+        ("p1", false, false), ("p1", false, false), ("p1", false, false))
+      .toDF("param", "fa", "fb")
+    val r = Stats.fisherExact(df, Seq("param"), col("fa"), col("fb"))
+      .select("n11", "n10", "n01", "n00", "odds_ratio", "p_value")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4) == ((3L, 1L, 1L, 3L)))
+    assert(math.abs(r._5 - 9.0) < 1e-12)
+    assert(math.abs(r._6 - 0.4857142857142857) < 1e-9)
+  }
+
+  test("bhAdjust reproduces the hand-worked step-up, caps at 1, tie-invariant") {
+    // classic fixture: sorted p (.005,.01,.03,.04), m=4 →
+    // raw (.02,.02,.04,.04); running min keeps (.02,.02,.04,.04)
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005))
+      .toDF("test_id", "p")
+    val got = Stats.bhAdjust(df, "p")
+      .select("test_id", "p_adjusted").as[(String, Double)].collect().toMap
+    assert(math.abs(got("d") - 0.02) < 1e-12)
+    assert(math.abs(got("a") - 0.02) < 1e-12)
+    assert(math.abs(got("c") - 0.04) < 1e-12)
+    assert(math.abs(got("b") - 0.04) < 1e-12)
+    // a flat tail adjusts to exactly its own p (the rank-m raw value
+    // is p·m/m = p, and the suffix min includes it — which is also
+    // why the least(1,·) cap can only ever bind on score inputs > 1)
+    val flat = Seq.tabulate(5)(i => (s"t$i", 0.9)).toDF("test_id", "p")
+    val capped = Stats.bhAdjust(flat, "p")
+      .select("p_adjusted").as[Double].collect()
+    assert(capped.forall(v => math.abs(v - 0.9) < 1e-12))
+    // ties: every tied p receives the identical adjusted value no
+    // matter which row_number order the sort happened to pick
+    val tied = Seq(("x", 0.02), ("y", 0.02), ("z", 0.5)).toDF("test_id", "p")
+    val t = Stats.bhAdjust(tied, "p")
+      .select("test_id", "p_adjusted").as[(String, Double)].collect().toMap
+    assert(t("x") == t("y"))
+    assert(math.abs(t("x") - 0.03) < 1e-12)
+  }
 }
