@@ -666,10 +666,37 @@ object QueriesDepth {
         .groupBy("tok")
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("tok")
+    }),
+
+    "q_bloom_join" -> ((s, d) => {
+      // bloom-filter semi-join reduction (operators/BloomPrune.scala):
+      // the fact side is pruned at the scan by an in-plan bloom of the
+      // SELECTIVE dim's keys before the join shuffle — the 100 TB
+      // middle path when the dim is too big to broadcast but the join
+      // survivor rate is low. False positives are eliminated by the
+      // exact join, so the plain join IS the oracle.
+      val t = Tables(s, d)
+      val dim = t.part.filter(col("p_size") <= 5)
+      graft.operators.BloomPrune.join(t.lineitem, dim, "l_partkey", "p_partkey",
+          expectedItems = 200000L, numBits = 1L << 22)
+        .groupBy("p_brand")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("brand_revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q_bloom_join" ->
+      """SELECT p_brand,
+        | cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) AS brand_revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the md5-threshold stratified sampler digit-for-digit:
     // the first 6 hex digits of md5('smp' || vec_id) assembled into an
