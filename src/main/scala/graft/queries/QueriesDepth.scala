@@ -685,8 +685,36 @@ object QueriesDepth {
           .cast("double").as("brand_revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")
+    }),
+
+    "q_zorder" -> ((s, d) => {
+      // Z-order layout audit (operators/ZOrder.scala): interleave two
+      // quantized dims of lineitem into a Morton key, then report each
+      // 256-key bucket's bounding box — the per-file min/max stats a
+      // zordered write would carry. Tight boxes (≤16 per dim) are WHY
+      // multi-predicate file skipping works; contrast a plain sort,
+      // whose second dim spans the full 0..255 (spec-asserted).
+      // Pure integer bit-shuffle → hash-exact oracle.
+      val t = Tables(s, d)
+      val li = t.lineitem.select((col("l_partkey") % 256).as("px"),
+        (col("l_suppkey") % 256).as("sx"))
+      li.withColumn("z",
+          graft.operators.ZOrder.zValue(Seq(col("px"), col("sx")), bits = 8))
+        .withColumn("bucket", shiftright(col("z"), 8))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("px").as("px_lo"), max("px").as("px_hi"),
+          min("sx").as("sx_lo"), max("sx").as("sx_hi"))
+        .orderBy("bucket")
     })
   )
+
+  /** The q_zorder oracle's interleave, generated with the same
+    * (i·d + j) bit placement as [[graft.operators.ZOrder.zValue]] —
+    * DuckDB's integer shift/and/or replays it digit-for-digit. */
+  private def zOrderSqlExpr(dims: Seq[String], bits: Int): String =
+    (for { (c, j) <- dims.zipWithIndex; i <- 0 until bits }
+      yield s"((($c >> $i) & 1) << ${i * dims.size + j})").mkString(" | ")
 
   val oracles: Map[String, String] = Map(
 
@@ -697,6 +725,19 @@ object QueriesDepth {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 5
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_zorder" ->
+      s"""WITH q AS (
+         | SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx
+         | FROM lineitem),
+         |z AS (
+         | SELECT px, sx,
+         |  (${zOrderSqlExpr(Seq("px", "sx"), 8)}) AS z
+         | FROM q)
+         |SELECT (z >> 8) AS bucket, count(*) AS n,
+         | min(px) AS px_lo, max(px) AS px_hi,
+         | min(sx) AS sx_lo, max(sx) AS sx_hi
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // replays the md5-threshold stratified sampler digit-for-digit:
     // the first 6 hex digits of md5('smp' || vec_id) assembled into an
