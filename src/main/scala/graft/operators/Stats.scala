@@ -301,6 +301,63 @@ object Stats {
           col("n11"), col("n10"), col("n01"), col("n00")))
   }
 
+  /** Per-dimension robust profile of an embedding column — exact
+    * nearest-rank percentiles (p25/median/p75), IQR, and Tukey-fence
+    * outlier counts, computed by HISTOGRAM COUNTING on a global int8
+    * grid rather than by sorting values.
+    *
+    * Why this shape at 100 TB: an exact percentile normally needs a
+    * per-group sort (or a collect-style percentile aggregate holding
+    * every value). On a quantized domain the whole distribution per
+    * dimension is ≤ 255 cells, so ONE map-side-combined (dim, cell)
+    * count shuffle — reduced volume dim×255 regardless of row count —
+    * replaces the sort, and the nearest-rank statistic falls out of a
+    * cumulative sum over the tiny cells table. Same global-grid
+    * discipline as [[Cluster.kmeansInt8]] (per-vector scales would put
+    * vectors in incomparable spaces); everything after quantization is
+    * integer arithmetic, so any engine replays it bit-for-bit.
+    *
+    * Outlier fences are kept integral by comparing 2·q against
+    * 2·p25 − 3·iqr (the 1.5·IQR Tukey fence times two). */
+  def robustProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    // corpus-wide symmetric scale, in-plan (1-row agg, broadcast by
+    // the crossJoin — never materialized on the driver)
+    val gscale = emb.agg(
+      coalesce(
+        when(max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))) > 0,
+          max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))) / 127.0),
+        lit(1.0)).as("__gscale"))
+    val cells = emb.crossJoin(broadcast(gscale))
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")), col("__gscale"))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("__x").cast("double") / col("__gscale") + 0.5).cast("long").as("q"))
+      .groupBy("dim", "q").agg(count(lit(1)).as("cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("dim").orderBy("q")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = cells.withColumn("__cum", sum("cnt").over(wCum))
+      .withColumn("__n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("dim")))
+    def nearestRank(p: Double): Column =
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("q")))
+    val pct = cum.groupBy("dim")
+      .agg(first("__n").as("n"),
+        nearestRank(0.25).as("p25"),
+        nearestRank(0.50).as("median"),
+        nearestRank(0.75).as("p75"))
+      .withColumn("iqr", col("p75") - col("p25"))
+    // Tukey fences on the same cells table (KB-sized; AQE broadcasts)
+    cells.join(pct, "dim")
+      .groupBy("dim")
+      .agg(first("n").as("n"), first("p25").as("p25"),
+        first("median").as("median"), first("p75").as("p75"),
+        first("iqr").as("iqr"),
+        sum(when(col("q") * 2 < col("p25") * 2 - col("iqr") * 3
+          || col("q") * 2 > col("p75") * 2 + col("iqr") * 3,
+          col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a results table: rank the
     * scores ascending, step up p·m/rank, then the running minimum from
     * the worst rank down (adjusted_i = min_{j≥i} p_j·m/j, capped at 1)

@@ -238,6 +238,17 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_embed_robust" -> ((s, d) => {
+      // per-dimension robust feature profile (Stats.robustProfile):
+      // EXACT nearest-rank p25/median/p75 + Tukey outlier counts by
+      // histogram counting on the global int8 grid — the sort-free,
+      // collect-free way to get exact percentiles at corpus scale
+      // (reduced shuffle volume = dim x 255 cells, independent of
+      // rows). Pure integers after quantization → hash-exact oracle.
+      graft.operators.Stats.robustProfile(Tables(s, d).embeddings, "embedding")
+        .orderBy("dim")
+    }),
+
     "q_ann_bruteforce" -> ((s, d) => {
       val t = Tables(s, d)
       // native FloatVecDot folds left-to-right exactly like the
@@ -1033,6 +1044,41 @@ object QueriesText {
         | round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 6) AS l2_norm,
         | round(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))), 6) AS sq_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_embed_robust" ->
+      """WITH g AS (
+        | SELECT CASE WHEN max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) > 0
+        |  THEN max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) / 127.0
+        |  ELSE 1.0 END AS gscale
+        | FROM embeddings),
+        |e AS (
+        | SELECT cast(generate_subscripts(embedding, 1) - 1 as bigint) AS dim,
+        |  unnest(embedding) AS x
+        | FROM embeddings),
+        |cells AS (
+        | SELECT dim, cast(floor(cast(x as double) / g.gscale + 0.5) as bigint) AS q,
+        |  count(*) AS cnt
+        | FROM e, g GROUP BY 1, 2),
+        |cum AS (
+        | SELECT dim, q, cnt,
+        |  sum(cnt) OVER (PARTITION BY dim ORDER BY q
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |  sum(cnt) OVER (PARTITION BY dim) AS n
+        | FROM cells),
+        |pct AS (
+        | SELECT dim, cast(max(n) as bigint) AS n,
+        |  min(CASE WHEN c >= ceil(0.25 * n) THEN q END) AS p25,
+        |  min(CASE WHEN c >= ceil(0.50 * n) THEN q END) AS median,
+        |  min(CASE WHEN c >= ceil(0.75 * n) THEN q END) AS p75
+        | FROM cum GROUP BY 1)
+        |SELECT cells.dim, max(pct.n) AS n, max(p25) AS p25,
+        | max(median) AS median, max(p75) AS p75,
+        | max(p75 - p25) AS iqr,
+        | cast(sum(CASE WHEN cells.q * 2 < p25 * 2 - (p75 - p25) * 3
+        |   OR cells.q * 2 > p75 * 2 + (p75 - p25) * 3
+        |  THEN cells.cnt ELSE 0 END) as bigint) AS n_outliers
+        |FROM cells JOIN pct ON cells.dim = pct.dim
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ann_quantized" ->
       """WITH base AS (

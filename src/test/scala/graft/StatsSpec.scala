@@ -360,6 +360,44 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r._6 - 0.4857142857142857) < 1e-9)
   }
 
+  test("robustProfile: exact nearest-rank percentiles and Tukey counts vs a naive reference") {
+    // dim 0: values quantize (scale = 100/127... actually gmax = 100 →
+    // scale = 100/127) — check against a naive quantize+sort reference
+    val vecs = Seq(
+      Array(10f, -5f), Array(20f, -5f), Array(30f, 0f), Array(40f, 5f),
+      Array(50f, 5f), Array(60f, 0f), Array(70f, -5f), Array(100f, 0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Stats.robustProfile(df, "embedding")
+      .orderBy("dim")
+      .select("dim", "n", "p25", "median", "p75", "iqr", "n_outliers")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val gscale = 100.0 / 127.0
+    def naive(dimVals: Seq[Float]): (Long, Long, Long, Long) = {
+      val qs = dimVals.map(x => math.floor(x / gscale + 0.5).toLong).sorted
+      def nr(p: Double) = qs(math.ceil(p * qs.size).toInt - 1)
+      val (a, m, b) = (nr(0.25), nr(0.50), nr(0.75))
+      val iqr = b - a
+      val out = qs.count(q => q * 2 < a * 2 - iqr * 3 || q * 2 > b * 2 + iqr * 3)
+      (a, m, b, out.toLong)
+    }
+    for (d <- 0 to 1) {
+      val (a, m, b, out) = naive(vecs.map(_(d)))
+      val r = got(d)
+      assert(r._2 == 8L)
+      assert((r._3, r._4, r._5) == ((a, m, b)), s"dim $d percentiles")
+      assert(r._6 == b - a && r._7 == out, s"dim $d iqr/outliers")
+    }
+  }
+
+  test("robustProfile: all-zero corpus degrades to scale 1, zero iqr, zero outliers") {
+    val df = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Stats.robustProfile(df, "embedding")
+      .select("p25", "median", "p75", "iqr", "n_outliers")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r.forall(_ == ((0L, 0L, 0L, 0L, 0L))))
+  }
+
   test("bhAdjust reproduces the hand-worked step-up, caps at 1, tie-invariant") {
     // classic fixture: sorted p (.005,.01,.03,.04), m=4 →
     // raw (.02,.02,.04,.04); running min keeps (.02,.02,.04,.04)
