@@ -238,6 +238,20 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_quality_model" -> ((s, d) => {
+      // hashed-feature linear classifier inference (operators/
+      // Infer.scala): the fastText-style quality model run as a plan —
+      // weights are a literal array riding the task binary (no join),
+      // features are md5-hashed unigrams (engine-portable buckets),
+      // one map-side-combined per-doc aggregation. The "model" here is
+      // a fixed arithmetic function of the bucket id so the oracle can
+      // derive every weight: w(i) = (i * 2654435761) % 2003 - 1001.
+      val weights = Array.tabulate(4096)(i => (i.toLong * 2654435761L) % 2003L - 1001L)
+      graft.operators.Infer.linearScore(Tables(s, d).documents,
+          "doc_id", "text", weights.toSeq, bias = 7L)
+        .orderBy("doc_id")
+    }),
+
     "q_embed_robust" -> ((s, d) => {
       // per-dimension robust feature profile (Stats.robustProfile):
       // EXACT nearest-rank p25/median/p75 + Tukey outlier counts by
@@ -1044,6 +1058,28 @@ object QueriesText {
         | round(sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))), 6) AS l2_norm,
         | round(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double))), 6) AS sq_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_quality_model" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+        | FROM documents),
+        |f AS (
+        | SELECT doc_id,
+        |  ((strpos('0123456789abcdef', substr(md5('fh' || tok), 1, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5('fh' || tok), 2, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5('fh' || tok), 3, 1)) - 1)) AS bucket
+        | FROM toks WHERE len(tok) > 0),
+        |s AS (
+        | SELECT doc_id, count(*) AS n_tokens,
+        |  cast(sum((bucket * 2654435761) % 2003 - 1001) as bigint) AS sw
+        | FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        | coalesce(s.n_tokens, 0) AS n_tokens,
+        | coalesce(s.sw, 0) + 7 AS score,
+        | (coalesce(s.sw, 0) + 7) > 0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_robust" ->
       """WITH g AS (
