@@ -68,4 +68,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"no codegen span in: $offenders")
   }
+
+  test("q_bloom_join prunes the fact scan with might_contain") {
+    // the filter must reach the lineitem side BEFORE the join — if a
+    // rewrite ever drops it, the query silently degrades to the plain
+    // join (correct, but the whole point of the operator gone)
+    val plan = plans("q_bloom_join")
+    assert(plan.contains("might_contain"), "bloom predicate missing")
+    assert(plan.contains("bloom_filter_agg") || plan.contains("Subquery"),
+      "bloom must be built in-plan")
+  }
+
+  test("q_mannwhitney runs on a single fact-scale hash exchange") {
+    // rank window + tie window + the U aggregation all cluster by
+    // event_type: Catalyst must reuse ONE hashpartitioning exchange
+    // (the only other exchange is the display orderBy's range one)
+    val hashExchanges = plans("q_mannwhitney").linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+  }
 }

@@ -89,6 +89,24 @@ NOTES = {
         "here (the dim itself scales; AQE caps the build side by flipping "
         "to shuffle), and the shuffle ratio divides by ~0 and is "
         "meaningless."),
+    "q_mannwhitney": (
+        "the rank window externally sorts each key's rows, and this corpus "
+        "has only FIVE event_type keys: parallelism is bounded by 5 no "
+        "matter the cluster, so wall-time grows ~ (n/5) log n while shuffle "
+        "stays linear. A real parameter space has thousands of keys; "
+        "q_fdr_bh runs the same operator keyed by (type, month) with 12x "
+        "the key count and shows the parallel behavior."),
+    "q_fdr_bh": (
+        "upstream is the q_mannwhitney rank-sum keyed by (type, month) — "
+        "60 keys, linear shuffle; the BH windows themselves act on the "
+        "|tests|-sized results table (60 rows at EVERY factor — constant), "
+        "so growth tracks the upstream window sort (n log n over 60-way "
+        "parallelism)."),
+    "q_quality_model": (
+        "token explode + per-doc combine are linear; the trailing global "
+        "ORDER BY doc_id (oracle-hash determinism, SURVEY section 5's "
+        "orderBy-for-oracle note) adds the n log n tail q_observations "
+        "documents. Production writes partitioned-unsorted."),
     "q_token_bpe_dist": (
         "each of the 30 merge rounds is one map-side-combined pair-count "
         "shuffle whose volume is the DISTINCT pair dictionary, not the "
