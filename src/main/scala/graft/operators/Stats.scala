@@ -358,6 +358,44 @@ object Stats {
           col("cnt")).otherwise(lit(0L))).as("n_outliers"))
   }
 
+  /** Pairwise Pearson correlation matrix over the leading `dims`
+    * entries of a vector column, in ONE pass: every per-dim sum,
+    * square and cross-product accumulates in a single global
+    * aggregation (dims + dims·(dims+1)/2 exact-decimal moments — a
+    * config-sized reduced row, so the "shuffle" is one row per
+    * partition), and the d·(d−1)/2 correlations then unfold from that
+    * one row by a driver-free explode. The feature-diagnostics pass a
+    * training corpus runs before dropping redundant embedding dims —
+    * and the same exact-moment discipline as [[welchT]]/[[linreg]]:
+    * decimal sums are partition-order independent, the closed form is
+    * a fixed double dag, so the oracle matches bit-for-bit before
+    * display rounding. Rows shorter than `dims` are excluded
+    * (complete-case). */
+  def corrPairs(emb: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims >= 2 && dims <= 16,
+      s"moment count grows quadratically; dims bounded at 16, got $dims")
+    def x(i: Int) = element_at(col(vecCol), i + 1).cast("double").cast("decimal(18,6)")
+    val base = emb.filter(size(col(vecCol)) >= dims)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("__n")) ++
+        (0 until dims).map(i =>
+          sum(x(i).cast("decimal(28,6)")).cast("double").as(s"__s$i")) ++
+        (for { i <- 0 until dims; j <- i until dims }
+          yield sum(x(i) * x(j)).cast("double").as(s"__p${i}_$j"))
+    val m = base.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    val pairs = for { i <- 0 until dims; j <- (i + 1) until dims } yield {
+      val cov = n * col(s"__p${i}_$j") - col(s"__s$i") * col(s"__s$j")
+      val vi = n * col(s"__p${i}_$i") - col(s"__s$i") * col(s"__s$i")
+      val vj = n * col(s"__p${j}_$j") - col(s"__s$j") * col(s"__s$j")
+      struct(lit(i).cast("long").as("dim_i"), lit(j).cast("long").as("dim_j"),
+        col("__n").as("n"),
+        // constant dims have no correlation — null, never NaN
+        round(when(vi > 0 && vj > 0, cov / sqrt(vi * vj)), 6).as("r"))
+    }
+    m.select(explode(array(pairs: _*)).as("__pr")).select(col("__pr.*"))
+  }
+
   /** Benjamini–Hochberg FDR adjustment over a results table: rank the
     * scores ascending, step up p·m/rank, then the running minimum from
     * the worst rank down (adjusted_i = min_{j≥i} p_j·m/j, capped at 1)

@@ -183,7 +183,44 @@ object QueriesStats {
         .select(col("event_type"), col("month"), col("p_score"),
           round(col("p_adjusted"), 9).as("p_adjusted"))
         .orderBy("event_type", "month")
+    }),
+
+    "q_corr_matrix" -> ((s, d) => {
+      // pairwise Pearson correlations of the leading embedding dims in
+      // ONE pass (Stats.corrPairs): all moments in a single global
+      // aggregation (config-sized reduced row), correlations unfolded
+      // in-plan — the redundancy screen before dropping embedding
+      // dims. Exact decimal moments → bit-reproducible r.
+      Stats.corrPairs(Tables(s, d).embeddings, "embedding", dims = 6)
+        .orderBy("dim_i", "dim_j")
     }))
+
+  /** q_corr_matrix oracle generator: the same moment dag and closed
+    * form as [[graft.operators.Stats.corrPairs]], one UNION ALL branch
+    * per dim pair. */
+  private def corrOracleSql(dims: Int): String = {
+    val xs = (0 until dims).map(i =>
+      s"cast(cast(embedding[${i + 1}] as double) as decimal(18,6)) AS x$i")
+    val sums = (0 until dims).map(i =>
+      s"cast(sum(cast(x$i as decimal(28,6))) as double) AS s$i")
+    val prods = for { i <- 0 until dims; j <- i until dims }
+      yield s"cast(sum(x$i * x$j) as double) AS p${i}_$j"
+    val branches = for { i <- 0 until dims; j <- (i + 1) until dims } yield {
+      val (vi, vj) = (s"(n * p${i}_$i - s$i * s$i)", s"(n * p${j}_$j - s$j * s$j)")
+      s"""SELECT cast($i as bigint) AS dim_i, cast($j as bigint) AS dim_j, n,
+         | round(CASE WHEN $vi > 0 AND $vj > 0
+         |  THEN (n * p${i}_$j - s$i * s$j) / sqrt($vi * $vj) END, 6) AS r
+         |FROM m""".stripMargin
+    }
+    s"""WITH b AS (
+       | SELECT ${xs.mkString(", ")}
+       | FROM embeddings WHERE len(embedding) >= $dims),
+       |m AS (
+       | SELECT count(*) AS n, ${(sums ++ prods).mkString(", ")}
+       | FROM b)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY dim_i, dim_j""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -404,5 +441,7 @@ object QueriesStats {
         |   OVER (ORDER BY p_score ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adjusted
         | FROM ranked)
         |SELECT event_type, month, p_score, round(p_adjusted, 9) AS p_adjusted
-        |FROM adj ORDER BY event_type, month""".stripMargin)
+        |FROM adj ORDER BY event_type, month""".stripMargin,
+
+    "q_corr_matrix" -> corrOracleSql(6))
 }

@@ -252,6 +252,17 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_cooccur_pmi" -> ((s, d) => {
+      // vocabulary-bounded token co-occurrence with integer-exact PMI
+      // lift (operators/CoOccur.scala): top-40 document-frequency
+      // vocab (deterministic ties) caps the pair join; lift ppm > 1e6
+      // marks above-chance collocations. All counts/divisions integer
+      // → hash-exact oracle.
+      graft.operators.CoOccur.pmi(Tables(s, d).documents, "doc_id", "text",
+          topV = 40, minPairCount = 3L)
+        .orderBy("tok_a", "tok_b")
+    }),
+
     "q_embed_robust" -> ((s, d) => {
       // per-dimension robust feature profile (Stats.robustProfile):
       // EXACT nearest-rank p25/median/p75 + Tukey outlier counts by
@@ -1080,6 +1091,31 @@ object QueriesText {
         | (coalesce(s.sw, 0) + 7) > 0 AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      """WITH raw AS (
+        | SELECT doc_id AS doc,
+        |  unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok
+        | FROM documents),
+        |toks AS (
+        | SELECT DISTINCT doc, tok FROM raw WHERE len(tok) > 0),
+        |vocab AS (
+        | SELECT tok, c FROM (
+        |  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        |  FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1))
+        | WHERE rk <= 40),
+        |nd AS (SELECT count(DISTINCT doc) AS n_docs FROM toks),
+        |kept AS (SELECT doc, tok FROM toks JOIN vocab USING (tok)),
+        |pairs AS (
+        | SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_xy
+        | FROM kept a JOIN kept b ON a.doc = b.doc AND a.tok < b.tok
+        | GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT tok_a, tok_b, c_xy, va.c AS c_x, vb.c AS c_y, nd.n_docs,
+        | ((c_xy * 1000000) // va.c) * nd.n_docs // vb.c AS lift_ppm
+        |FROM pairs
+        | JOIN vocab va ON tok_a = va.tok
+        | JOIN vocab vb ON tok_b = vb.tok, nd
+        |ORDER BY tok_a, tok_b""".stripMargin,
 
     "q_embed_robust" ->
       """WITH g AS (

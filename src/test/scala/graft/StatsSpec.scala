@@ -390,6 +390,44 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("corrPairs: perfect/anti/zero correlation and constant-dim null, vs naive Pearson") {
+    // dim0 = t, dim1 = 2t (r=1), dim2 = -t (r=-1), dim3 = constant
+    // (null), dim4 = symmetric pattern uncorrelated with t (r=0)
+    val ts = Seq(-2f, -1f, 0f, 1f, 2f)
+    val sym = Seq(1f, -1f, 0f, -1f, 1f) // orthogonal to t
+    val df = ts.zip(sym).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, Array(t, 2 * t, -t, 3f, s))
+    }.toDF("vec_id", "embedding")
+    val got = graft.operators.Stats.corrPairs(df, "embedding", dims = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got.size == 10)
+    assert(got((0L, 1L)).get == 1.0)
+    assert(got((0L, 2L)).get == -1.0)
+    assert(got((0L, 3L)).isEmpty, "constant dim must be null")
+    assert(got((0L, 4L)).get == 0.0)
+    // a non-trivial pair against naive Pearson: dims 2 and 4
+    def pearson(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = a.size
+      val (ma, mb) = (a.sum / n, b.sum / n)
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val (va, vb) = (a.map(x => (x - ma) * (x - ma)).sum, b.map(y => (y - mb) * (y - mb)).sum)
+      cov / math.sqrt(va * vb)
+    }
+    val want = math.rint(pearson(ts.map(-_), sym) * 1e6) / 1e6
+    assert(math.abs(got((2L, 4L)).get - want) < 1e-9)
+  }
+
+  test("corrPairs excludes short vectors and bounds dims") {
+    val df = Seq((1L, Array(1f, 2f, 3f)), (2L, Array(4f, 5f, 6f)),
+      (3L, Array(7f, 8f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Stats.corrPairs(df, "embedding", dims = 3)
+    assert(r.select("n").as[Long].head() == 2L, "short vector excluded")
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats.corrPairs(df, "embedding", dims = 17)
+    }
+  }
+
   test("robustProfile: all-zero corpus degrades to scale 1, zero iqr, zero outliers") {
     val df = Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f))).toDF("vec_id", "embedding")
     val r = graft.operators.Stats.robustProfile(df, "embedding")
