@@ -39,20 +39,36 @@ object EventStream {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Streaming file source over the events table, correct under BOTH
+    * on-disk layouts: the driver testdata's single FILE
+    * `$sfDir/events.parquet` and ScaleGen's DIRECTORY of part files
+    * under the same name. The round-6 scale runs silently read ZERO
+    * files at ×10 because the glob `events.parquet` was applied at
+    * `sfDir` and matched no part file inside the directory layout
+    * (VERDICT r6 finding 1) — so the source now targets the directory
+    * itself when it is one, and the harness independently fails any
+    * scaled query that returns 0 rows (tools/scale_report.py). */
+  private[graft] def eventsSource(spark: SparkSession, sfDir: String): DataFrame = {
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val src =
+      if (fs.getFileStatus(path).isDirectory)
+        reader.option("pathGlobFilter", "*.parquet").parquet(path.toString)
+      else // the file source needs a directory; glob down to the file
+        reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Run the streaming query synchronously over a static parquet dir
     * (memory sink), returning the final result — lets the batch
     * correctness oracle check streaming semantics. */
   def runBatchEquivalent(spark: SparkSession, sfDir: String,
                          queryName: String = "graft_stream"): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet — conf set once in
-    // GraftSession (see Tables.events)
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // the file source needs a directory; glob-filter down to events
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsSource(spark, sfDir)
     withNarrowShuffle(spark) {
       val q = windowedAgg(stream)
         .writeStream.outputMode("complete")
@@ -74,12 +90,7 @@ object EventStream {
   def runSessionEquivalent(spark: SparkSession, sfDir: String,
                            gap: String = "30 minutes",
                            queryName: String = "graft_sessions"): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventsSource(spark, sfDir)
     // single source of session semantics: sessionWindowAgg (the
     // helper), this runner only formats + sinks
     withNarrowShuffle(spark) {
@@ -205,12 +216,7 @@ object EventStream {
     * formatted and value rounded for oracle dtype parity. */
   def runIntervalEquivalent(spark: SparkSession, sfDir: String,
                             queryName: String = "graft_interval"): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def src = eventsSource(spark, sfDir)
     withNarrowShuffle(spark) {
       val q = intervalJoin(src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase"))
