@@ -49,13 +49,18 @@ class BenchListener extends org.apache.spark.scheduler.SparkListener {
   * bench's own `df.queryExecution` is never executed). */
 class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
   val rows, bytes = new AtomicLong
-  def reset(): Unit = { rows.set(0); bytes.set(0) }
+  val outRows = new AtomicLong(-1)
+  def reset(): Unit = { rows.set(0); bytes.set(0); outRows.set(-1) }
   override def onSuccess(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
                          durationNs: Long): Unit = {
     val (r, b) = org.apache.spark.sql.GraftBridge.maxBroadcastBuild(qe.executedPlan)
     rows.getAndUpdate(cur => math.max(cur, r))
     bytes.getAndUpdate(cur => math.max(cur, b))
+    // rows the sink wrote (max across the executions a query triggers:
+    // helper jobs write 0/-1, the final noop write carries the result)
+    outRows.getAndUpdate(cur =>
+      math.max(cur, org.apache.spark.sql.GraftBridge.writtenRows(qe.executedPlan)))
   }
   override def onFailure(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
@@ -84,6 +89,7 @@ object Bench {
     val runs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      var lastErr: String = null
       val attempts = (1 to iters).map { _ =>
         listener.reset()
         bcast.reset()
@@ -92,13 +98,17 @@ object Bench {
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
                 (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: $e"); -1.0 }
+            System.err.println(s"[bench] $name failed: $e")
+            lastErr = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")
+            -1.0 }
         // drop caches a query may have left behind so iterations and
         // queries are isolated (operators self-clean, belt-and-braces)
         spark.catalog.clearCache()
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
         (elapsed, listener.snapshot +
-          ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get))
+          ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get,
+            "out_rows" -> bcast.outRows.get))
       }
       val ok = attempts.filter(_._1 >= 0)
       // metrics ride with the min-time attempt (bytes are plan-
@@ -108,10 +118,10 @@ object Bench {
       System.err.println(f"[bench] $name%-24s " +
         (if (best >= 0) f"$best%8.2f s  (min of ${ok.size}, " +
           f"shW=${metrics.getOrElse("shuffle_write", 0L) / 1048576.0}%.1fMB)"
-         else "FAILED"))
-      (name, best, metrics)
+         else s"FAILED ($lastErr)"))
+      (name, best, metrics, if (best >= 0) null else lastErr)
     }
-    val results = runs.map { case (n, b, _) => n -> b }
+    val results = runs.map { case (n, b, _, _) => n -> b }
     val failed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Full-precision per-query map goes to a file (and stderr already has
@@ -119,10 +129,18 @@ object Bench {
     // tail-capped log capture (~2000 chars incl. the sbt trailer), so it
     // lists queries heaviest-first and stops at a hard line budget with an
     // `omitted` count — the headline total always covers every query.
+    // JSON string escape for err messages (same posture as Verify's)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val fullJson = {
-      val qs = runs.map { case (k, v, m) =>
+      val qs = runs.map { case (k, v, m, err) =>
         "\"" + k + "\":{\"sec\":" + v +
           m.toSeq.sortBy(_._1).map { case (mk, mv) => ",\"" + mk + "\":" + mv }.mkString +
+          (if (err == null) "" else ",\"err\":" + jstr(err)) +
           "}"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""

@@ -22,24 +22,44 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf, set ONCE in
-    * [[graft.GraftSession]] — a getter must not mutate shared session
-    * state) and truncate to microseconds (integer `div` — a double
-    * division would lose precision above 2^53). DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast truncates identically. */
-  def events: DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.GraftSession)")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  /** events.ts has shipped in TWO on-disk layouts across testdata
+    * generations: TIMESTAMP(NANOS) (read as long under the legacy
+    * nanosAsLong conf [[graft.GraftSession]] sets) and plain
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). A robust reader
+    * branches on the READ schema instead of hard-coding either layout
+    * — the reference's own extractors tolerate exactly this kind of
+    * upstream drift (impc_etl standardize_schema and the
+    * impc_etl/jobs/transform jobs). See [[Tables.normalizeEventTs]]. */
+  def events: DataFrame = Tables.normalizeEventTs(table("events"))
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
 
 object Tables {
+
+  /** Normalize an events frame's `ts` column to session-zoned
+    * TimestampType regardless of the on-disk layout:
+    *   - LongType → nanos-as-long (legacy TIMESTAMP(NANOS) files read
+    *     under spark.sql.legacy.parquet.nanosAsLong): truncate to
+    *     micros with integer `div` (a double division would lose
+    *     precision above 2^53) — DuckDB's TIMESTAMP_NS → TIMESTAMP
+    *     cast truncates identically;
+    *   - TimestampNTZType → cast to TimestampType. The session tz is
+    *     UTC (GraftSession), so the cast is value-identity and keeps
+    *     every downstream consumer on the dtype it has always seen;
+    *   - TimestampType → pass through.
+    * Any other dtype is a real schema error and fails loudly. */
+  def normalizeEventTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(tsCol).dataType match {
+      case LongType         => df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.$tsCol: expected LongType (nanos-as-long), TIMESTAMP_NTZ or TIMESTAMP, got $other")
+    }
+  }
 
   /** TSV reader with schema + DROPMALFORMED, as the reference's
     * extract_tsv (shared/utils.py:20). */

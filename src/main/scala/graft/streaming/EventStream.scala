@@ -45,22 +45,32 @@ object EventStream {
     * under the same name. The round-6 scale runs silently read ZERO
     * files at ×10 because the glob `events.parquet` was applied at
     * `sfDir` and matched no part file inside the directory layout
-    * (VERDICT r6 finding 1) — so the source now targets the directory
-    * itself when it is one, and the harness independently fails any
-    * scaled query that returns 0 rows (tools/scale_report.py). */
-  private[graft] def eventsSource(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "build the session with spark.sql.legacy.parquet.nanosAsLong=true (graft.GraftSession)")
+    * (VERDICT r6 finding 1) — so the source targets the directory
+    * itself when it is one. The `ts` dtype is likewise
+    * schema-adaptive (nanos-as-long vs TIMESTAMP(MICROS) testdata
+    * generations) via [[graft.sources.Tables.normalizeEventTs]]. */
+  private[graft] def eventsSource(spark: SparkSession, sfDir: String): DataFrame =
+    eventsSourceFactory(spark, sfDir)()
+
+  /** One-time schema + layout detection for [[eventsSource]]; the
+    * returned thunk builds a fresh stream reader per call without
+    * re-running the batch schema inference or getFileStatus (callers
+    * that need two source instances, e.g. a self-join's two sides,
+    * pay detection once). */
+  private[graft] def eventsSourceFactory(spark: SparkSession, sfDir: String)
+      : () => DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val reader = spark.readStream.schema(schema)
-    val src =
-      if (fs.getFileStatus(path).isDirectory)
-        reader.option("pathGlobFilter", "*.parquet").parquet(path.toString)
-      else // the file source needs a directory; glob down to the file
-        reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val isDir = fs.getFileStatus(path).isDirectory
+    () => {
+      val reader = spark.readStream.schema(schema)
+      val src =
+        if (isDir) reader.option("pathGlobFilter", "*.parquet").parquet(path.toString)
+        else // the file source needs a directory; glob down to the file
+          reader.option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      graft.sources.Tables.normalizeEventTs(src)
+    }
   }
 
   /** Run the streaming query synchronously over a static parquet dir
@@ -216,10 +226,10 @@ object EventStream {
     * formatted and value rounded for oracle dtype parity. */
   def runIntervalEquivalent(spark: SparkSession, sfDir: String,
                             queryName: String = "graft_interval"): DataFrame = {
-    def src = eventsSource(spark, sfDir)
+    val src = eventsSourceFactory(spark, sfDir)
     withNarrowShuffle(spark) {
-      val q = intervalJoin(src.filter(col("event_type") === "click"),
-          src.filter(col("event_type") === "purchase"))
+      val q = intervalJoin(src().filter(col("event_type") === "click"),
+          src().filter(col("event_type") === "purchase"))
         .writeStream.outputMode("append")
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())

@@ -56,4 +56,22 @@ object GraftBridge {
     walk(plan)
     (rows, bytes)
   }
+
+  /** Rows the EXECUTED plan's sink wrote: the `numOutputRows` metric of
+    * the topmost node that carries one (the V2 write exec for the
+    * bench's noop sink), descending through AQE wrappers. -1 when no
+    * node reports the metric. The scale harness gates on this — a
+    * scaled run that silently reads zero files (the round-6/7 class of
+    * environment drift) shows 0 written rows, which the gate turns
+    * into a loud failure instead of a suspiciously-fast timing. */
+  def writtenRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Long = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case n => n.metrics.get("numOutputRows").map(_.value)
+        .getOrElse(n.children.iterator.map(walk).find(_ >= 0).getOrElse(-1L))
+    }
+    walk(plan)
+  }
 }

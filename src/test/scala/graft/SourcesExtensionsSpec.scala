@@ -192,7 +192,7 @@ class StreamingStateSpec extends AnyFunSuite {
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       val stream = spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.sources.Tables.normalizeEventTs(_))
       val q = graft.streaming.EventStream.runningTotals(spark, stream)
         .toDF("user_id", "n_events", "value_sum")
         .writeStream.outputMode("append").format("memory")
@@ -249,7 +249,7 @@ class StreamingStateSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.sources.Tables.normalizeEventTs(_))
     val q = graft.streaming.EventStream.asOfEnrich(spark, stream)
       .toDF("event_id", "user_id", "purchase_id", "p_value")
       .writeStream.outputMode("append").format("memory")
@@ -568,7 +568,7 @@ class StreamJoinSpec extends AnyFunSuite {
     val schema = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet").schema
     def stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(SparkTestSession.sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.sources.Tables.normalizeEventTs(_))
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")

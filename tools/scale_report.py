@@ -21,6 +21,14 @@ means at-most-linear scaling (fixed overheads make small-factor ratios
 corpus carry an explanatory note instead of counting toward the gate.
 
 GATE (exit 1 on any violation):
+  0. a scaled run that wrote ZERO output rows (out_rows == 0 — the
+     round-6/7 class of silent environment drift: a glob matching no
+     files or a schema mismatch reads as an implausibly fast empty
+     run, not an error), or whose top-factor wall-time ratio vs linear
+     is < MIN_TIME_RATIO (0.05): both mean the scaled corpus was not
+     actually processed. out_rows == -1 (dump predates the probe) is
+     exempt; a genuinely-empty result would already fail its
+     correctness oracle.
   1. a query missing from, or crashed at, any factor it should cover;
   2. time_growth_vs_linear at the top factor > TIME_RATIO_MAX (1.2)
      without an expected_growth_note;
@@ -47,6 +55,7 @@ import json, os, sys
 
 FACTORS = [1, 10, 32, 100]
 TIME_RATIO_MAX = 1.2
+MIN_TIME_RATIO = 0.05
 BCAST_RATIO_MAX = 4.0
 BCAST_ABS_FLOOR = 256 * 1024 * 1024
 FULL_T_FLOOR = 5.0
@@ -172,7 +181,23 @@ def entry_at(m):
         "spill": m.get("spill", 0),
         "bcast_rows": m.get("bcast_rows", 0),
         "bcast_bytes": m.get("bcast_bytes", 0),
+        "out_rows": m.get("out_rows", -1),
     }
+
+
+def empty_run_violations(q, runs_by_factor, top, time_ratio):
+    """Gate rule 0: detect a scaled run that did not actually process
+    the scaled corpus — zero sink rows at any factor, or a top-factor
+    wall-time implausibly below linear."""
+    out = []
+    zero = [f for f, m in runs_by_factor.items()
+            if m is not None and m.get("out_rows", -1) == 0]
+    if zero:
+        out.append({"query": q, "rule": "zero_output_rows", "factors": zero})
+    if time_ratio is not None and time_ratio < MIN_TIME_RATIO:
+        out.append({"query": q, "rule": "implausible_speedup",
+                    "ratio": time_ratio})
+    return out
 
 
 def main(out_path):
@@ -213,6 +238,8 @@ def main(out_path):
         if noted:
             entry["expected_growth_note"] = NOTES[q]
         tr = entry[f"time_growth_vs_linear_x{top}"]
+        report["gate_violations"].extend(empty_run_violations(
+            q, {f: runs[f].get(q) for f in FACTORS if runs[f]}, top, tr))
         if not noted and tr > worst[1]:
             worst = (q, tr)
         if not noted and tr > TIME_RATIO_MAX:
@@ -243,7 +270,10 @@ def main(out_path):
             r = round((t10 / t1) / 10, 3)
             e = {"x1_sec": round(t1, 3), "x10_sec": round(t10, 3),
                  "time_growth_vs_linear_x10": r,
-                 "spill_x10": full[10][q].get("spill", 0)}
+                 "spill_x10": full[10][q].get("spill", 0),
+                 "out_rows_x10": full[10][q].get("out_rows", -1)}
+            report["gate_violations"].extend(empty_run_violations(
+                q, {1: full[1][q], 10: full[10][q]}, 10, r))
             note = NOTES.get(q) or FULL_NOTES.get(q)
             if note:
                 e["expected_growth_note"] = note
