@@ -29,79 +29,118 @@ object QueriesPipeline {
   private val segMap = Map("AUTOMOBILE" -> "AUTO", "BUILDING" -> "BLD",
     "FURNITURE" -> "FURN", "HOUSEHOLD" -> "HH", "MACHINERY" -> "MACH")
 
+  // --- the six pipeline stages as named functions, composed inline by
+  // wideDocs (one lineage chain) and as parquet-target stages by
+  // wideDocsStages (Targets.run — the Luigi-analog operating mode).
+
+  /** 1. CLEAN (experiment_cleaner.py): required-null drop + measure
+    * normalization to exact long cents in the scan projection. */
+  private[graft] def stageCleanClicks(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .transform(Cleaning.dropRequiredNulls(Seq("event_id", "user_id", "ts")))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("m_value_c"))
+
+  /** The registry dims get their own cleaning (vocabulary mapping). */
+  private[graft] def stageRegistry(customer: DataFrame): DataFrame =
+    customer.transform(Cleaning.mapValues("c_mktsegment", segMap))
+
+  /** 2. CROSS-REF (specimen_cross_ref.py:130): primary registry on
+    * user id, unmatched remainder retries a legacy key. */
+  private[graft] def stageXref(clicks: DataFrame, reg: DataFrame): DataFrame = {
+    val prim = reg.filter(col("c_acctbal") > 100)
+      .select(col("c_custkey").as("pk"), col("c_mktsegment").as("segment"))
+    val sec = reg.filter(col("c_custkey") < 500)
+      .select(col("c_custkey").as("sk"), col("c_mktsegment").as("segment"))
+    Joins.fallbackJoin(
+        clicks.withColumn("legacy_key", col("user_id") % 500),
+        prim, ("user_id", "pk"), sec, ("legacy_key", "sk"))
+      .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
+  }
+
+  /** 3. TEMPORAL ASSOCIATION (experiment_bw_age_calculator.py:291):
+    * most recent purchase at-or-before each click — the custom
+    * physical as-of operator (one shuffle+sort per side, O(1)
+    * streaming merge), right side deduped per (key, instant).
+    * repartition by user_id BEFORE the (user, instant) dedup: the
+    * hash clustering on user_id satisfies both the dedup's grouping
+    * (subset key) and the as-of's distribution, so the right side
+    * shuffles ONCE end-to-end instead of (user,ts) then user. The
+    * map-side combine given up is near-worthless here ((user,ts)
+    * groups are almost unique), the saved shuffle is not. */
+  private[graft] def stageAssoc(xref: DataFrame, events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .repartition(col("user_id"))
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(min_by(col("value"), col("event_id")).as("p_value"))
+      .select(col("p_user"), unix_micros(col("p_ts")).as("p_t_us"),
+        floor(col("p_value") * 100 + 0.5).cast("long").as("m_pvalue_c"))
+    graft.plans.AsOfJoin.backward(xref, purchases,
+      "user_id", "p_user", "t_us", "p_t_us")
+  }
+
+  /** 4. DERIVE (experiment_parameter_derivator.py): runtime string
+    * formulas over the associated row, later ones reading earlier. */
+  private[graft] def stageDerive(assoc: DataFrame): DataFrame =
+    Derive.applyFormulas(assoc, Seq(
+      "m_lag_us" -> "t_us - p_t_us",
+      "m_total_c" -> "m_value_c + coalesce(m_pvalue_c, cast(0 as bigint))",
+      "m_ratio_pm" -> ("CASE WHEN m_pvalue_c IS NULL OR m_pvalue_c <= 0 THEN NULL " +
+        "ELSE m_value_c * 1000 div m_pvalue_c END")))
+
+  /** 5. OBSERVATIONS (observation_mapper.py:125): wide → long, null
+    * measures dropped (a parameter the association didn't yield). */
+  private[graft] def stageObservations(derived: DataFrame): DataFrame =
+    Reshape.unpivot(
+        Seq("user_id", "segment", "match_source", "event_id"),
+        Seq("m_value_c", "m_pvalue_c", "m_lag_us", "m_total_c", "m_ratio_pm"),
+        "measure", "value", castTo = Some("bigint"))(derived)
+      .filter(col("value").isNotNull)
+
+  /** 6. WIDE DOC (impc_api_mapper.py:535): one JSON doc per user —
+    * sorted observation array, longs-and-strings-only payload. */
+  private[graft] def stageWideDoc(obs: DataFrame): DataFrame =
+    obs.groupBy("user_id", "segment", "match_source")
+      .agg(sort_array(collect_list(struct(col("event_id").as("e"),
+          col("measure").as("m"), col("value").as("v")))).as("obs"),
+        count(lit(1)).as("n_obs"))
+      .select(col("user_id"), col("segment"), col("match_source"), col("n_obs"),
+        to_json(struct(col("user_id").as("id"), col("segment").as("seg"),
+          col("match_source").as("src"), col("obs"))).as("doc"))
+
   /** The whole reference chain as one dataflow over explicit inputs —
     * shared verbatim by the batch query (q_pipeline_e2e) and its
     * incremental twin (`EventStream.pipelineIncremental`, which
     * re-runs it per micro-batch on each dirty user's full history:
     * every stage is user-local, so a per-user restriction is exact). */
-  def wideDocs(events: DataFrame, customer: DataFrame): DataFrame = {
+  def wideDocs(events: DataFrame, customer: DataFrame): DataFrame =
+    stageWideDoc(stageObservations(stageDerive(
+      stageAssoc(stageXref(stageCleanClicks(events), stageRegistry(customer)),
+        events))))
 
-      // 1. CLEAN (experiment_cleaner.py): required-null drop + measure
-      //    normalization to exact long cents in the scan projection
-      val clicks = events.filter(col("event_type") === "click")
-        .transform(Cleaning.dropRequiredNulls(Seq("event_id", "user_id", "ts")))
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("t_us"),
-          floor(col("value") * 100 + 0.5).cast("long").as("m_value_c"))
-
-      // the registry dims get their own cleaning (vocabulary mapping)
-      val reg = customer.transform(Cleaning.mapValues("c_mktsegment", segMap))
-      val prim = reg.filter(col("c_acctbal") > 100)
-        .select(col("c_custkey").as("pk"), col("c_mktsegment").as("segment"))
-      val sec = reg.filter(col("c_custkey") < 500)
-        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("segment"))
-
-      // 2. CROSS-REF (specimen_cross_ref.py:130): primary registry on
-      //    user id, unmatched remainder retries a legacy key
-      val xref = Joins.fallbackJoin(
-          clicks.withColumn("legacy_key", col("user_id") % 500),
-          prim, ("user_id", "pk"), sec, ("legacy_key", "sk"))
-        .withColumn("segment", coalesce(col("segment"), lit("UNKNOWN")))
-
-      // 3. TEMPORAL ASSOCIATION (experiment_bw_age_calculator.py:291):
-      //    most recent purchase at-or-before each click — the custom
-      //    physical as-of operator (one shuffle+sort per side, O(1)
-      //    streaming merge), right side deduped per (key, instant)
-      // repartition by user_id BEFORE the (user, instant) dedup: the
-      // hash clustering on user_id satisfies both the dedup's grouping
-      // (subset key) and the as-of's distribution, so the right side
-      // shuffles ONCE end-to-end instead of (user,ts) then user. The
-      // map-side combine given up is near-worthless here ((user,ts)
-      // groups are almost unique), the saved shuffle is not.
-      val purchases = events.filter(col("event_type") === "purchase")
-        .repartition(col("user_id"))
-        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
-        .agg(min_by(col("value"), col("event_id")).as("p_value"))
-        .select(col("p_user"), unix_micros(col("p_ts")).as("p_t_us"),
-          floor(col("p_value") * 100 + 0.5).cast("long").as("m_pvalue_c"))
-      val assoc = graft.plans.AsOfJoin.backward(xref, purchases,
-        "user_id", "p_user", "t_us", "p_t_us")
-
-      // 4. DERIVE (experiment_parameter_derivator.py): runtime string
-      //    formulas over the associated row, later ones reading earlier
-      val derived = Derive.applyFormulas(assoc, Seq(
-        "m_lag_us" -> "t_us - p_t_us",
-        "m_total_c" -> "m_value_c + coalesce(m_pvalue_c, cast(0 as bigint))",
-        "m_ratio_pm" -> ("CASE WHEN m_pvalue_c IS NULL OR m_pvalue_c <= 0 THEN NULL " +
-          "ELSE m_value_c * 1000 div m_pvalue_c END")))
-
-      // 5. OBSERVATIONS (observation_mapper.py:125): wide → long, null
-      //    measures dropped (a parameter the association didn't yield)
-      val obs = Reshape.unpivot(
-          Seq("user_id", "segment", "match_source", "event_id"),
-          Seq("m_value_c", "m_pvalue_c", "m_lag_us", "m_total_c", "m_ratio_pm"),
-          "measure", "value", castTo = Some("bigint"))(derived)
-        .filter(col("value").isNotNull)
-
-      // 6. WIDE DOC (impc_api_mapper.py:535): one JSON doc per user —
-      //    sorted observation array, longs-and-strings-only payload
-      obs.groupBy("user_id", "segment", "match_source")
-        .agg(sort_array(collect_list(struct(col("event_id").as("e"),
-            col("measure").as("m"), col("value").as("v")))).as("obs"),
-          count(lit(1)).as("n_obs"))
-        .select(col("user_id"), col("segment"), col("match_source"), col("n_obs"),
-          to_json(struct(col("user_id").as("id"), col("segment").as("seg"),
-            col("match_source").as("src"), col("obs"))).as("doc"))
+  /** The SAME chain as a Targets DAG (operators/Targets.scala) — the
+    * reference's Luigi operating mode: each stage materializes a
+    * parquet target, a re-run skips complete targets, and an upstream
+    * change re-runs exactly its downstream cone. The stage functions
+    * are shared with wideDocs, so DAG output == inline output by
+    * construction (spec-asserted, TargetsSpec). */
+  def wideDocsStages(sfDir: String): Seq[graft.operators.Targets.Stage] = {
+    import graft.operators.Targets.Stage
+    Seq(
+      Stage("clean_clicks", Nil,
+        (s, _) => stageCleanClicks(Tables(s, sfDir).events)),
+      Stage("registry", Nil,
+        (s, _) => stageRegistry(Tables(s, sfDir).customer)),
+      Stage("xref", Seq("clean_clicks", "registry"),
+        (_, up) => stageXref(up("clean_clicks"), up("registry"))),
+      Stage("assoc", Seq("xref"),
+        (s, up) => stageAssoc(up("xref"), Tables(s, sfDir).events)),
+      Stage("derived", Seq("assoc"), (_, up) => stageDerive(up("assoc"))),
+      Stage("observations", Seq("derived"),
+        (_, up) => stageObservations(up("derived"))),
+      Stage("wide_doc", Seq("observations"),
+        (_, up) => stageWideDoc(up("observations"))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

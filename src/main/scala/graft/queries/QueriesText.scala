@@ -316,6 +316,22 @@ object QueriesText {
         .orderBy("query_id", "rk")
     }),
 
+    "q_ann_ivf_verify" -> ((s, d) => {
+      // ORACLE twin of q_ann_ivf: probe EVERY cell (nprobe = nlist).
+      // With all cells probed the candidate set is the whole corpus,
+      // so the IVF plumbing (ML KMeans cell assignment, centroid
+      // probe ranking, candidate join, cosine top-k) must reproduce
+      // exact brute force REGARDLESS of what the seed-dependent
+      // clustering learned — which makes the seedless brute-force SQL
+      // a hash-exact oracle for the production path's machinery. The
+      // production q_ann_ivf (nprobe=4) stays rows-only by design:
+      // its recall depends on the learned cells.
+      val t = Tables(s, d)
+      Similarity.ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
+          k = 5, nlist = 16, nprobe = 16)
+        .orderBy("query_id", "rk")
+    }),
+
     "q_kmeans" -> ((s, d) => {
       // ORACLE-checked distributed k-means (operators/Cluster.scala):
       // Lloyd's, 2 iterations, on a GLOBAL int8 grid — one corpus-wide
@@ -1173,6 +1189,21 @@ object QueriesText {
         |       ORDER BY score DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, neighbor_id, round(score, 6) AS qscore, cast(rk as int) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // exhaustive-probe IVF == brute force by construction (every cell
+    // probed -> candidates = corpus), so the twin shares the oracle.
+    "q_ann_ivf_verify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        | pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |     p -> cast(p[1] as double) * cast(p[2] as double)))
+        |   / (sqrt(list_sum(list_transform(q.qv, x -> cast(x as double) * cast(x as double))))
+        |    * sqrt(list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))))) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, cast(rk as int) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),

@@ -31,11 +31,15 @@ object EventStream {
   /** Stateful streaming ops commit one state store per shuffle
     * partition per micro-batch; at batch-test scale that commit
     * overhead dominates the work, so the test runners execute narrow
-    * (a real deployment sizes partitions to executors and uses
-    * RocksDB). Restores the session's partition count afterwards. */
+    * by default (4). SPARK_GRAFT_STREAM_PARTITIONS overrides — the
+    * deployment knob a real cluster turns as the stream grows (sized
+    * to executors, RocksDB state store); the scale harness raises it
+    * with the corpus factor exactly like the batch shuffle knob.
+    * Restores the session's partition count afterwards. */
   private def withNarrowShuffle[A](spark: SparkSession)(body: => A): A = {
     val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 

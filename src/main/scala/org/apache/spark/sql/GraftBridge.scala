@@ -66,9 +66,14 @@ object GraftBridge {
     * into a loud failure instead of a suspiciously-fast timing. */
   def writtenRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
     import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
     def walk(p: SparkPlan): Long = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec        => walk(s.plan)
+      case r: ReusedExchangeExec    => walk(r.child)
+      case w: WholeStageCodegenExec => walk(w.child)
       case n => n.metrics.get("numOutputRows").map(_.value)
         .getOrElse(n.children.iterator.map(walk).find(_ >= 0).getOrElse(-1L))
     }

@@ -72,6 +72,43 @@ class TargetsSpec extends AnyFunSuite {
     assert(counters.map(_.get) == Seq(1, 2, 2))
   }
 
+  test("the REAL q_pipeline_e2e chain runs as a Targets DAG: output parity, all-skip re-run, cone re-run") {
+    // the six production stages (QueriesPipeline.wideDocsStages) over
+    // the actual testdata — not a toy DAG: this is the reference's
+    // Luigi operating mode on the engine's flagship composed pipeline
+    val sfDir = SparkTestSession.sfDir
+    val root = java.nio.file.Files.createTempDirectory("targets_e2e").toString
+    val stages = graft.queries.QueriesPipeline.wideDocsStages(sfDir)
+    val first = Targets.run(spark, root, stages)
+    assert(first.ran == Seq("clean_clicks", "registry", "xref", "assoc",
+      "derived", "observations", "wide_doc") && first.skipped.isEmpty)
+
+    // DAG-materialized output == the inline lineage chain
+    val t = graft.sources.Tables(spark, sfDir)
+    val inline = graft.queries.QueriesPipeline.wideDocs(t.events, t.customer)
+      .collect().map(_.toSeq).toSet
+    val viaDag = Targets.read(spark, root, "wide_doc")
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty && viaDag == inline)
+
+    // second materialization: ALL skip, nothing recomputed
+    val second = Targets.run(spark, root, stages)
+    assert(second.ran.isEmpty && second.skipped.size == 7)
+
+    // cone re-run on the real chain: xref invalidated -> exactly its
+    // downstream (assoc, derived, observations, wide_doc) re-runs,
+    // the two roots stay skipped
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      Targets.targetPath(root, "xref") + "/_SUCCESS"), false)
+    val cone = Targets.run(spark, root, stages)
+    assert(cone.ran == Seq("xref", "assoc", "derived", "observations", "wide_doc"))
+    assert(cone.skipped.toSet == Set("clean_clicks", "registry"))
+    assert(Targets.read(spark, root, "wide_doc")
+      .collect().map(_.toSeq).toSet == inline)
+  }
+
   test("topoSort orders by dependency regardless of declaration order and rejects cycles") {
     val counters = Seq.fill(3)(new AtomicInteger)
     val shuffled = dag(counters: _*).reverse

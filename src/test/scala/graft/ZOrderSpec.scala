@@ -58,6 +58,60 @@ class ZOrderSpec extends AnyFunSuite {
     assert(plain.exists { case (_, ys) => ys >= 63 })
   }
 
+  test("z-clustered parquet SKIPS row groups on a second-dim predicate; x-sorted parquet cannot") {
+    // The payoff measurement (not just the bounding-box proxy): write
+    // both layouts as real parquet — one file per partition, one row
+    // group per file at this size, so row-group pruning == file
+    // skipping — then scan with a predicate on the NON-sort dim and
+    // read the scan's own metrics. Stats-based pruning is driven by
+    // each row group's min/max: tight y-boxes (z-order) let the reader
+    // skip; full-span y (x-sort) forces it to read everything.
+    val n = 1 << 16 // 256x256 grid, 16 files of 4096 rows
+    val grid = spark.range(0, n)
+      .select((col("id") / 256).cast("long").as("x"), (col("id") % 256).as("y"),
+        col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_skip")
+    base.toFile.deleteOnExit()
+    val zDir = s"$base/zed"
+    val sDir = s"$base/sorted"
+    ZOrder.cluster(grid, Seq(col("x"), col("y")), bits = 8, numPartitions = 16)
+      .drop("z_value").write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    // rows the READER delivered = rows of the row groups it could not
+    // prune (scan numOutputRows, before the post-scan Filter)
+    def scanRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir)
+        .filter(col("y") >= 16 && col("y") < 32) // second-dim predicate, 1/16 of rows
+        .agg(count(lit(1)))
+      q.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      var out = -1L; var files = -1L
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec        => walk(s.plan)
+        case f: FileSourceScanExec =>
+          out = f.metrics("numOutputRows").value
+          files = f.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+        case other => other.children.foreach(walk)
+      }
+      walk(q.queryExecution.executedPlan)
+      assert(out >= 0, s"no FileSourceScan found for $dir")
+      (out, files)
+    }
+    val (zRows, _) = scanRows(zDir)
+    val (sRows, _) = scanRows(sDir)
+    // x-sorted: every file spans y=0..255 → nothing prunable, the scan
+    // reads the full corpus. z-ordered: only files whose y-box meets
+    // [16,32) survive — at 16 z-files (4x4 boxes of 64) that's the 4
+    // files of one y-band = 1/4 of the corpus, far under full.
+    assert(sRows == n.toLong, s"x-sorted scan should read everything, read $sRows")
+    assert(zRows <= n / 2, s"z-ordered scan should skip most row groups, read $zRows")
+    assert(zRows < sRows)
+  }
+
   test("zValue rejects overflowing configurations") {
     intercept[IllegalArgumentException] {
       ZOrder.zValue(Seq(col("a"), col("b")), 32)

@@ -17,7 +17,7 @@ SF=/root/testdata/sf0.1
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_asof_plan,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model
+CORE=q_ancestor_arrays,q_asof_plan,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -58,9 +58,19 @@ for f in (1, 10):
     d['queries'] = {k: v for k, v in d['queries'].items() if k in core}
     json.dump(d, open(f'target/scale_x{f}.json', 'w'))
 EOF
-bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE
+bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
+  SPARK_GRAFT_STREAM_PARTITIONS=16
 bench scale_x100.json target/scale/x100 SPARK_GRAFT_ONLY=$CORE \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=128
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
+
+# bloom-join A/B: fact shuffle-bytes with vs without the prune, on the
+# x32 corpus, broadcast disabled (the dim-too-big regime) — the
+# measurement BloomPrune.scala exists for.
+if [ ! -f target/bloom_x32.json ]; then
+  echo "== bloom A/B -> bloom_x32.json"
+  env SPARK_GRAFT_SF_DIR=target/scale/x32 SPARK_GRAFT_BLOOM_TAG=x32 \
+    sbt -batch "runMain graft.BloomBench" 2>&1 | grep -E '^\[bloom\]' || true
+fi
 
 # partitions knob, measured in isolation on the x32 corpus, default 8g
 # JVM, partitions 32 -> 128 -> 256: the two array-growth queries (whose

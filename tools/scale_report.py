@@ -295,6 +295,11 @@ def main(out_path):
             "total_x10_sec": round(sum(v["x10_sec"] for v in sec.values()), 1),
         }
 
+    # ---- bloom-join A/B (x32 corpus, broadcast disabled) ----
+    if os.path.exists("target/bloom_x32.json"):
+        with open("target/bloom_x32.json") as fh:
+            report["bloom_join_ab"] = json.load(fh)
+
     # ---- partitions matrix (x32 corpus, 8g JVM, partitions swept) ----
     sweep = (32, 128, 256)
     parts = {}
