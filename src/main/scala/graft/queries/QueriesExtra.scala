@@ -342,9 +342,118 @@ object QueriesExtra {
         .select(col("p_partkey"), col("best.probe").as("best_probe"),
           col("best.dist").as("distance"))
         .orderBy("p_partkey")
+    }),
+
+    "q_omero_manifest" -> ((s, d) => {
+      // Omero upload-manifest shape (multimodal/Manifest.scala;
+      // reference imaging/CreateCSVForUploadToOmero.py): a file
+      // INVENTORY joined to media METADATA on the five-part hierarchy
+      // key to recover checksums and build download URLs — the
+      // reference's O(files × metadata) driver loop as ONE equi-join.
+      // Inventory and metadata are derived deterministically from
+      // documents (doc_id-mod hierarchy; every 13th file has no
+      // metadata row, exercising the unmatched path: those rows must
+      // NOT appear in the manifest).
+      val docs = Tables(s, d).documents.select(col("doc_id"))
+      val inventory = docs.select(
+        concat(lit("C"), (col("doc_id") % 5).cast("string")).as("centre"),
+        concat(lit("P"), (col("doc_id") % 3).cast("string")).as("pipeline"),
+        concat(lit("PR"), (col("doc_id") % 7).cast("string")).as("procedure"),
+        concat(lit("PA"), (col("doc_id") % 11).cast("string")).as("parameter"),
+        concat(lit("f"), col("doc_id").cast("string"), lit(".png")).as("file_name"))
+      val media = docs.filter(col("doc_id") % 13 =!= 0).select(
+        concat(lit("C"), (col("doc_id") % 5).cast("string")).as("centre"),
+        concat(lit("P"), (col("doc_id") % 3).cast("string")).as("pipeline"),
+        concat(lit("PR"), (col("doc_id") % 7).cast("string")).as("procedure"),
+        concat(lit("PA"), (col("doc_id") % 11).cast("string")).as("parameter"),
+        concat(lit("f"), col("doc_id").cast("string"), lit(".png")).as("file_name"),
+        md5(concat_ws("|", concat(lit("C"), (col("doc_id") % 5).cast("string")),
+          concat(lit("P"), (col("doc_id") % 3).cast("string")),
+          concat(lit("PR"), (col("doc_id") % 7).cast("string")),
+          concat(lit("PA"), (col("doc_id") % 11).cast("string")),
+          concat(lit("f"), col("doc_id").cast("string"), lit(".png")))).as("checksum"))
+      graft.multimodal.Manifest.omeroManifest(inventory, media)
+        .orderBy("download_file_path")
+    }),
+
+    "q_batch_query" -> ((s, d) => {
+      // Solr batch-query loader shape (reference jobs/load/solr/
+      // batch_query_loader.py:56-138): a flag-filtered fact rolled up
+      // with collect_set per key, left-joined with a companion fact
+      // rollup on the same key, then chained left-outer dim joins (a
+      // projection dim + a quality-filtered grouped dim). All rollups
+      // are map-side-combinable sorted-set aggregations; the dim
+      // joins broadcast. collect_set arrays ride sorted+joined per
+      // the q_collect_set oracle convention.
+      val t = Tables(s, d)
+      def setCol(c: String, as: String) =
+        array_join(sort_array(collect_set(col(c))), ",").as(as)
+      val sig = t.events.filter(col("value") > 100)
+        .groupBy("user_id")
+        .agg(setCol("event_type", "sig_types"), count(lit(1)).as("n_sig"))
+      val all = t.events.groupBy("user_id")
+        .agg(setCol("event_type", "all_types"))
+      val dim = t.customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast("decimal(18,2)").cast("string").as("acctbal"))
+      val quality = t.orders
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 50000)
+        .groupBy(col("o_custkey").as("user_id"))
+        .agg(setCol("o_orderpriority", "big_priorities"))
+      sig.join(all, Seq("user_id"), "left_outer")
+        .join(broadcast(dim), Seq("user_id"), "left_outer")
+        .join(quality, Seq("user_id"), "left_outer")
+        .orderBy("user_id")
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "q_omero_manifest" ->
+      """WITH inv AS (
+        | SELECT 'C' || (doc_id % 5) AS centre, 'P' || (doc_id % 3) AS pipeline,
+        |  'PR' || (doc_id % 7) AS procedure, 'PA' || (doc_id % 11) AS parameter,
+        |  'f' || doc_id || '.png' AS file_name
+        | FROM documents),
+        |media AS (
+        | SELECT 'C' || (doc_id % 5) AS centre, 'P' || (doc_id % 3) AS pipeline,
+        |  'PR' || (doc_id % 7) AS procedure, 'PA' || (doc_id % 11) AS parameter,
+        |  'f' || doc_id || '.png' AS file_name,
+        |  md5(concat_ws('|', 'C' || (doc_id % 5), 'P' || (doc_id % 3),
+        |    'PR' || (doc_id % 7), 'PA' || (doc_id % 11), 'f' || doc_id || '.png')) AS checksum
+        | FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT 'xxx' AS observation_id, 'xxx' AS increment_value,
+        | 'https://api.mousephenotype.org/' || m.checksum || '/' || i.file_name AS download_file_path,
+        | i.centre AS phenotyping_center, i.pipeline AS pipeline_stable_id,
+        | i.procedure AS procedure_stable_id, 'IMPC' AS datasource_name,
+        | i.parameter AS parameter_stable_id
+        |FROM inv i JOIN media m USING (centre, pipeline, procedure, parameter, file_name)
+        |ORDER BY download_file_path""".stripMargin,
+
+    "q_batch_query" ->
+      """WITH sig AS (
+        | SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS sig_types,
+        |  count(*) AS n_sig
+        | FROM events WHERE value > 100 GROUP BY 1),
+        |allr AS (
+        | SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS all_types
+        | FROM events GROUP BY 1),
+        |dim AS (
+        | SELECT c_custkey AS user_id, c_mktsegment AS segment,
+        |  cast(cast(c_acctbal as decimal(18,2)) as varchar) AS acctbal
+        | FROM customer),
+        |quality AS (
+        | SELECT o_custkey AS user_id,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS big_priorities
+        | FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000 GROUP BY 1)
+        |SELECT sig.user_id, sig.sig_types, sig.n_sig, allr.all_types,
+        | dim.segment, dim.acctbal, quality.big_priorities
+        |FROM sig
+        |LEFT JOIN allr ON sig.user_id = allr.user_id
+        |LEFT JOIN dim ON sig.user_id = dim.user_id
+        |LEFT JOIN quality ON sig.user_id = quality.user_id
+        |ORDER BY sig.user_id""".stripMargin,
 
     "q_dataset_diff" ->
       """WITH old AS (
