@@ -71,21 +71,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
-    val spark = GraftSession.local()
-    // Warm codegen + OS page cache so the alphabetically-first queries
-    // aren't charged the session startup and cold-read costs that every
-    // later query gets for free.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
-    }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val listener = new BenchListener
-    spark.sparkContext.addSparkListener(listener)
     val bcast = new BroadcastProbe
-    spark.listenerManager.register(bcast)
+    def newSession(): org.apache.spark.sql.SparkSession = {
+      val s = GraftSession.local()
+      s.sparkContext.addSparkListener(listener)
+      s.listenerManager.register(bcast)
+      // Warm codegen + OS page cache so the alphabetically-first
+      // queries aren't charged the session startup and cold-read costs
+      // that every later query gets for free.
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+        try s.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+      s
+    }
+    var spark = newSession()
+    // An executor OOM in local mode stops the shared SparkContext; at
+    // the x32 tier that turned ONE q_ancestor_arrays task failure into
+    // a dead suite (every later query "Cannot call methods on a
+    // stopped SparkContext"). Rebuild the session so one heap-hungry
+    // query costs exactly its own number, not the whole run's.
+    def ensureAlive(): Unit = if (spark.sparkContext.isStopped) {
+      System.err.println("[bench] SparkContext stopped (executor OOM?) — rebuilding session")
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      spark = newSession()
+    }
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Iterations run INTERLEAVED (pass-major, suite-minor) instead of
@@ -101,6 +116,7 @@ object Bench {
     val errByQuery = scala.collection.mutable.Map[String, String]()
     (1 to iters).foreach { pass =>
       todo.foreach { case (name, fn) =>
+        ensureAlive()
         listener.reset()
         bcast.reset()
         val t0 = System.nanoTime()
@@ -113,9 +129,12 @@ object Bench {
               Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" | ")
             -1.0 }
         // drop caches a query may have left behind so iterations and
-        // queries are isolated (operators self-clean, belt-and-braces)
-        spark.catalog.clearCache()
-        org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
+        // queries are isolated (operators self-clean, belt-and-braces);
+        // skip when the attempt itself killed the context
+        if (!spark.sparkContext.isStopped) {
+          spark.catalog.clearCache()
+          org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
+        }
         attemptsByQuery(name) = attemptsByQuery(name) :+ (elapsed, listener.snapshot +
           ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get,
             "out_rows" -> bcast.outRows.get))

@@ -59,16 +59,21 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(src, out, kStr) = args
+    val Array(src, out, kStr) = args.take(3)
     val k = kStr.toInt
+    // optional 4th arg: comma-separated table subset (regenerate just
+    // those tables inside an existing derived corpus — e.g. after a
+    // replication-model fix to one table)
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = GraftSession.local()
-    try generate(spark, src, out, k)
+    try generate(spark, src, out, k, only)
     finally spark.stop()
   }
 
-  def generate(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, k: Int,
+               only: Option[Set[String]] = None): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit = {
+    def write(df: DataFrame, t: String): Unit = if (only.forall(_.contains(t))) {
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[scalegen] $t x$k written")
     }
@@ -76,7 +81,7 @@ object ScaleGen {
     // one shift constant per key DOMAIN, computed on the SOURCE table
     // (cheap single-scan aggs, before any replication)
     def domainMax(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head().getLong(0) + 1
+      read(t).agg(max(col(c).cast("long"))).head().getLong(0) + 1
     val custD = domainMax("customer", "c_custkey")
     val orderD = domainMax("orders", "o_orderkey")
     val eventD = domainMax("events", "event_id")
@@ -101,7 +106,16 @@ object ScaleGen {
     write(shifted(read("orders"), "o_orderkey" -> orderD, "o_custkey" -> custD), "orders")
     write(shifted(read("lineitem"), "l_orderkey" -> orderD), "lineitem")
     write(shifted(read("events"), "event_id" -> eventD, "user_id" -> userD), "events")
-    write(shifted(read("embeddings"), "vec_id" -> vecD), "embeddings")
+    // label is the dedup/stratification BLOCKING key: shift it like
+    // every other key domain so per-block cardinality stays what it
+    // was while block count grows ×K. Leaving it verbatim made block
+    // size grow ×K instead, which crossed embedCosine's maxBlock cap
+    // between ×1 and ×10 and collapsed q_dedup_embed's scaled work to
+    // near-zero (the SCALE_r6 0.021-ratio anomaly — the cap doing its
+    // documented job under the WRONG corpus model, not a plan flip).
+    val labelD = domainMax("embeddings", "label")
+    write(shifted(read("embeddings"), "vec_id" -> vecD, "label" -> labelD)
+      .withColumn("label", col("label").cast("int")), "embeddings")
 
     // documents: shift ids + apply a per-copy bijective character map
     // ([[charPerms]]). translate() is a codegen'd narrow map; the k

@@ -79,6 +79,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "bloom must be built in-plan")
   }
 
+  test("q_batch_query broadcasts the dim and partial-aggregates every rollup") {
+    val plan = plans("q_batch_query")
+    // the customer projection is dim-sized — it must ride a broadcast
+    // join, not shuffle the rolled-up fact side
+    assert(plan.contains("BroadcastHashJoin"), "dim join did not broadcast")
+    // the collect_set rollups must map-side combine (partial_ before
+    // the exchange) so the shuffle carries reduced sets, not raw rows
+    assert(plan.contains("partial_collect_set"), "rollup not partial-aggregated")
+  }
+
   test("q_mannwhitney runs on a single fact-scale hash exchange") {
     // rank window + tie window + the U aggregation all cluster by
     // event_type: Catalyst must reuse ONE hashpartitioning exchange

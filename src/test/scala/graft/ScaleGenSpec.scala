@@ -26,4 +26,29 @@ class ScaleGenSpec extends AnyFunSuite {
     val rotations = (0 until 36).map(r => Alpha.drop(r) + Alpha.take(r))
     assert(ScaleGen.charPerms(36) == rotations)
   }
+
+  test("embeddings labels SHIFT per copy: block sizes preserved, block count xK") {
+    // the r6/r7 q_dedup_embed anomaly: labels copied verbatim made
+    // block sizes grow xK and cross embedCosine's maxBlock cap, so the
+    // scaled run did near-zero work (ratio 0.02). The replication
+    // contract is the opposite — per-key cardinality constant, key
+    // count xK — and this pins it for the blocking column.
+    val spark = SparkTestSession.spark
+    val out = java.nio.file.Files.createTempDirectory("graft_scalegen").toString
+    ScaleGen.generate(spark, SparkTestSession.sfDir, out, 3,
+      only = Some(Set("embeddings")))
+    import org.apache.spark.sql.functions._
+    def blocks(path: String) = spark.read.parquet(path)
+      .groupBy("label").count().collect()
+      .map(r => r.getAs[Number]("label").longValue -> r.getLong(1)).toMap
+    val base = blocks(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val x3 = blocks(s"$out/embeddings.parquet")
+    assert(x3.size == base.size * 3, s"block count ${x3.size} != 3x${base.size}")
+    assert(x3.values.max == base.values.max,
+      "per-block cardinality must be preserved, not grown")
+    // dtype preserved (int), and vec_ids still unique
+    val df = spark.read.parquet(s"$out/embeddings.parquet")
+    assert(df.schema("label").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(df.select("vec_id").distinct().count() == df.count())
+  }
 }

@@ -58,8 +58,13 @@ for f in (1, 10):
     d['queries'] = {k: v for k, v in d['queries'].items() if k in core}
     json.dump(d, open(f'target/scale_x{f}.json', 'w'))
 EOF
+# x32 runs at 64 initial shuffle partitions: the deployment contract
+# (GraftSession scaladoc) scales partitions with data so per-task
+# state stays flat — the r8 testdata regeneration deepened the
+# ancestor-array workload enough that 32 partitions OOM a task at x32
+# (the partitions_matrix below measures that boundary directly).
 bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
-  SPARK_GRAFT_STREAM_PARTITIONS=16
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
 bench scale_x100.json target/scale/x100 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
 
