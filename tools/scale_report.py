@@ -21,14 +21,19 @@ means at-most-linear scaling (fixed overheads make small-factor ratios
 corpus carry an explanatory note instead of counting toward the gate.
 
 GATE (exit 1 on any violation):
-  0. a scaled run that wrote ZERO output rows (out_rows == 0 — the
-     round-6/7 class of silent environment drift: a glob matching no
-     files or a schema mismatch reads as an implausibly fast empty
-     run, not an error), or whose top-factor wall-time ratio vs linear
-     is < MIN_TIME_RATIO (0.05): both mean the scaled corpus was not
-     actually processed. out_rows == -1 (dump predates the probe) is
-     exempt; a genuinely-empty result would already fail its
-     correctness oracle.
+  0. a scaled run whose sink wrote ZERO rows (out_rows == 0) — the
+     round-6/7 class of silent environment drift (a glob matching no
+     files, a schema mismatch) reads as an implausibly fast empty run,
+     not an error; the crash class is caught by rule 1. out_rows is
+     the V2 write exec's own numOutputRows and measured reliable on
+     every query. Two rejected alternatives, both tried: wall-time
+     ratio < 0.05 flags healthy bounded-state queries (bloom-pruned
+     joins, histogram percentiles, day-bucketed windows are
+     legitimately 20-30x sublinear while reading every byte), and task
+     inputMetrics under-report local-mode columnar parquet scans by
+     ~100x (17KB reported for a 10.8MB lineitem scan), so input-bytes
+     growth misfires on most of the suite. out_rows == -1 (dump
+     predates the probe) is exempt.
   1. a query missing from, or crashed at, any factor it should cover;
   2. time_growth_vs_linear at the top factor > TIME_RATIO_MAX (1.2)
      without an expected_growth_note;
@@ -55,7 +60,7 @@ import json, os, sys
 
 FACTORS = [1, 10, 32, 100]
 TIME_RATIO_MAX = 1.2
-MIN_TIME_RATIO = 0.05
+
 BCAST_RATIO_MAX = 4.0
 BCAST_ABS_FLOOR = 256 * 1024 * 1024
 FULL_T_FLOOR = 5.0
@@ -182,22 +187,19 @@ def entry_at(m):
         "bcast_rows": m.get("bcast_rows", 0),
         "bcast_bytes": m.get("bcast_bytes", 0),
         "out_rows": m.get("out_rows", -1),
+        "input": m.get("input", 0),
     }
 
 
 def empty_run_violations(q, runs_by_factor, top, time_ratio):
-    """Gate rule 0: detect a scaled run that did not actually process
-    the scaled corpus — zero sink rows at any factor, or a top-factor
-    wall-time implausibly below linear."""
-    out = []
+    """Gate rule 0: a scaled run whose sink wrote zero rows did not
+    process the corpus (see module docstring for why wall-time and
+    input-bytes heuristics were tried and rejected)."""
     zero = [f for f, m in runs_by_factor.items()
             if m is not None and m.get("out_rows", -1) == 0]
     if zero:
-        out.append({"query": q, "rule": "zero_output_rows", "factors": zero})
-    if time_ratio is not None and time_ratio < MIN_TIME_RATIO:
-        out.append({"query": q, "rule": "implausible_speedup",
-                    "ratio": time_ratio})
-    return out
+        return [{"query": q, "rule": "zero_output_rows", "factors": zero}]
+    return []
 
 
 def main(out_path):
@@ -208,10 +210,13 @@ def main(out_path):
         "factors": FACTORS,
         "top_factor": top,
         "config_note": (
-            "x1/x10/x32 run at the default shuffle.partitions=32; x100 runs "
-            "at 128 (SPARK_GRAFT_SHUFFLE_PARTITIONS) — scaling partitions "
-            "with data is the deployment contract, measured in isolation by "
-            "partitions_matrix. All runs: local[32], 8g driver JVM."),
+            "x1/x10 run at the default shuffle.partitions=32; x32 at 64 and "
+            "x100 at 128 (SPARK_GRAFT_SHUFFLE_PARTITIONS) — scaling "
+            "partitions with data is the deployment contract, measured in "
+            "isolation by partitions_matrix. Streaming runners likewise "
+            "scale their stateful-shuffle width (4/16/32 via "
+            "SPARK_GRAFT_STREAM_PARTITIONS). All runs: local[32], 8g "
+            "driver JVM."),
         "queries": {}, "failed": [], "gate_violations": [],
     }
     worst = (None, 0.0)
@@ -329,18 +334,24 @@ def main(out_path):
             "note": (
                 "MEASURED CONCLUSION: every sweep point (32/128/256 "
                 "initial shuffle partitions) completes on the default 8g "
-                "heap with flat wall-time — the round-5 'needs a 16 GiB "
-                "JVM at 32 partitions' caveat is retired (external "
-                "sort/aggregation SPILLS instead of OOMing; spill bytes "
-                "are in each cell). peak_task_mem does NOT fall with the "
-                "raw partition count because AQE re-coalesces shuffle "
-                "partitions to its advisory target size — under AQE the "
+                "heap with flat wall-time (external sort/aggregation "
+                "SPILLS instead of OOMing; spill bytes are in each "
+                "cell). CAVEAT measured this round: the margin at p32 is "
+                "thin — the FULL 30-query x32 suite in one JVM hit one "
+                "q_ancestor_arrays task OOM at p32 (suite-accumulated "
+                "heap pressure the 4-query sweep doesn't reproduce), "
+                "which is why the x32 tier now runs at 64 partitions "
+                "(the partitions-scale-with-data contract) and the bench "
+                "rebuilds its session after a context-stopping failure. "
+                "peak_task_mem does NOT fall with the raw partition "
+                "count because AQE re-coalesces shuffle partitions to "
+                "its advisory target size — under AQE the "
                 "per-task-memory knob is advisoryPartitionSizeInBytes, "
                 "and the raw count only sets the pre-coalesce "
-                "granularity. The at-scale evidence that the default "
-                "config survives is the x100 factor itself: 128 initial "
+                "granularity. The at-scale evidence for the deployment "
+                "config is the x100 factor itself: 128 initial "
                 "partitions, 8g heap, every scale-family query completes "
-                "(q_ancestor_arrays with 36 GB of spill)."),
+                "(q_ancestor_arrays with 34 GB of spill)."),
             "queries": pm}
 
     report["verdict"] = {
