@@ -41,12 +41,43 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Final per-vector cluster assignment (id, cluster) from the same
+    * bit-deterministic Lloyd's run as [[kmeansInt8]] — the blocking
+    * surface for label-free semantic dedup and IVF cell routing. */
+  def kmeansAssignInt8(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int): DataFrame =
+    trainInt8(emb, idCol, vecCol, k, iters)._1
+      .select(col("id").as(idCol), col("cid").as("cluster"))
+
   /** @return one row per cluster: (cluster, n_members, inertia,
     *         centroid_fp) — counts/inertia from the final assignment
     *         against the pre-update centroids, fingerprint of the
     *         post-update centroid (md5 of the comma-joined longs). */
   def kmeansInt8(emb: DataFrame, idCol: String, vecCol: String,
                  k: Int, iters: Int): DataFrame = {
+    val (assigned, centroids) = trainInt8(emb, idCol, vecCol, k, iters)
+    val spark = emb.sparkSession
+    // final surface: membership + inertia from the last assignment,
+    // fingerprint of the post-update centroid (hashed by Spark's own
+    // md5 — same MD5-of-UTF-8 the oracle's md5() computes)
+    import spark.implicits._
+    val fpDf = centroids.zipWithIndex
+      .map { case (cent, c) => (c, cent.mkString(",")) }
+      .toDF("cluster", "__cs")
+      .select(col("cluster"), md5(col("__cs")).as("centroid_fp"))
+    assigned.groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
+      .join(fpDf, Seq("cluster"), "right") // empty clusters still emit
+      .select(col("cluster"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"),
+        col("centroid_fp"))
+  }
+
+  /** The training loop shared by the summary and assignment surfaces:
+    * final (id, q, cid, dist) assignment + post-update centroids. */
+  private def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int): (DataFrame, IndexedSeq[Seq[Long]]) = {
     require(k > 0 && k <= 64, s"k is a config-sized literal; got $k")
     require(iters >= 1 && iters <= 8, s"iters bounded (each is a pass); got $iters")
     val spark = emb.sparkSession
@@ -121,20 +152,6 @@ object Cluster {
       }
     }
 
-    // final surface: membership + inertia from the last assignment,
-    // fingerprint of the post-update centroid (hashed by Spark's own
-    // md5 — same MD5-of-UTF-8 the oracle's md5() computes)
-    import spark.implicits._
-    val fpDf = centroids.zipWithIndex
-      .map { case (cent, c) => (c, cent.mkString(",")) }
-      .toDF("cluster", "__cs")
-      .select(col("cluster"), md5(col("__cs")).as("centroid_fp"))
-    assigned.groupBy(col("cid").as("cluster"))
-      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
-      .join(fpDf, Seq("cluster"), "right") // empty clusters still emit
-      .select(col("cluster"),
-        coalesce(col("n_members"), lit(0L)).as("n_members"),
-        coalesce(col("inertia"), lit(0L)).as("inertia"),
-        col("centroid_fp"))
+    (assigned, centroids)
   }
 }

@@ -228,6 +228,44 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_semantic" -> ((s, d) => {
+      // LABEL-FREE semantic near-dup: blocks come from the engine's
+      // own bit-deterministic int8 k-means (Cluster.kmeansAssignInt8,
+      // the q_kmeans machinery) instead of a given label column — the
+      // shape a real corpus needs, since nothing ships pre-clustered.
+      // Same capped-block pair generator + exact cosine as
+      // q_dedup_embed; determinism of the clustering is what makes
+      // the whole composition hash-exact against a DuckDB oracle that
+      // replays the two Lloyd's iterations unrolled.
+      // Scale: k-means is broadcast-centroid + one k×dim shuffle per
+      // iteration; blocking then bounds candidate pairs to cell-local
+      // (capped) — no all-pairs at any corpus size.
+      val emb = Tables(s, d).embeddings
+      val cells = graft.operators.Cluster.kmeansAssignInt8(
+        emb, "vec_id", "embedding", k = 8, iters = 2)
+      Dedup.embedCosine(emb.join(cells, "vec_id"), "vec_id", "embedding",
+          blockCol = "cluster", threshold = 0.42, maxBlock = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_embed_pool" -> ((s, d) => {
+      // mean-pooling aggregation over embedding vectors (the
+      // chunk-embeddings → document-embedding shape): posexplode to
+      // (group, pos) then ONE map-side-combined shuffle of dim-sized
+      // partial sums per group. Sums ride decimal(38,20) — a float's
+      // double value is exact at scale 20, and decimal addition is
+      // associative, so the pooled mean is partitioning-independent
+      // (a raw double sum is merge-order dependent).
+      Tables(s, d).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(
+          round(sum(col("v").cast("double").cast("decimal(38,20)")).cast("double")
+            / count(lit(1)), 6).as("mean_val"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos")
+    }),
+
     "q_embed_norm" -> ((s, d) => {
       Tables(s, d).embeddings
         .select(col("vec_id"), size(col("embedding")).as("dim"),
@@ -630,9 +668,91 @@ object QueriesText {
       // two-source streaming query; the oracle is the equivalent batch
       // self-join with the same two-sided time bound
       EventStream.runIntervalEquivalent(s, d)
+    }),
+
+    "q_stream_dedup" -> ((s, d) => {
+      // streaming dedup with watermark-bounded state
+      // (dropDuplicatesWithinWatermark) run to completion on the
+      // static dir; the deterministic surface is the surviving KEY
+      // SET (one row per key ⇒ count-per-type == distinct keys),
+      // which the batch oracle states as count(DISTINCT).
+      EventStream.runDedupEquivalent(s, d)
     }))
 
+  /** Shared DuckDB replay of Cluster.trainInt8 (k=8, 2 Lloyd
+    * iterations unrolled) through the FINAL assignment `a2` — used by
+    * both the q_kmeans summary oracle and q_dedup_semantic's blocking
+    * oracle. Any change to the Scala trainer must mirror here. */
+  private val kmeansCtes: String =
+    """g AS (
+      | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
+      | FROM embeddings),
+      |sc AS (SELECT CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS gs FROM g),
+      |qv AS (
+      | SELECT vec_id AS id,
+      |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
+      | FROM embeddings, sc),
+      |c0 AS (
+      | SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid, q AS cq
+      | FROM (SELECT id, q FROM qv ORDER BY id LIMIT 8)),
+      |a1 AS (
+      | SELECT id, q, cid, dist FROM (
+      |  SELECT id, q, cid, dist,
+      |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+      |  FROM (SELECT qv.id, qv.q, c.cid,
+      |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+      |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+      |   FROM qv, c0 c)) WHERE rk = 1),
+      |u1 AS (
+      | SELECT cid, i AS pos,
+      |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+      | FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+      |c1 AS (
+      | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
+      | FROM (SELECT c0.cid, t.i, c0.cq[t.i] AS cv FROM c0, range(1, 65) t(i)) g
+      | LEFT JOIN u1 u ON u.cid = g.cid AND u.pos = g.i
+      | GROUP BY g.cid),
+      |a2 AS (
+      | SELECT id, q, cid, dist FROM (
+      |  SELECT id, q, cid, dist,
+      |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+      |  FROM (SELECT qv.id, qv.q, c.cid,
+      |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+      |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+      |   FROM qv, c1 c)) WHERE rk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q_dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         |blocks AS (SELECT cid FROM a2 GROUP BY cid HAVING count(*) BETWEEN 2 AND 1000),
+         |pr AS (
+         | SELECT a.id AS id_a, b.id AS id_b
+         | FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.id < b.id
+         | JOIN blocks bl ON bl.cid = a.cid),
+         |co AS (
+         | SELECT pr.id_a, pr.id_b,
+         |  list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+         |    p -> cast(p[1] as double) * cast(p[2] as double)))
+         |  / (sqrt(list_sum(list_transform(ea.embedding, x -> cast(x as double) * cast(x as double))))
+         |   * sqrt(list_sum(list_transform(eb.embedding, x -> cast(x as double) * cast(x as double))))) AS cosine
+         | FROM pr JOIN embeddings ea ON ea.vec_id = pr.id_a
+         |         JOIN embeddings eb ON eb.vec_id = pr.id_b)
+         |SELECT id_a, id_b, round(cosine, 6) AS cosine
+         |FROM co WHERE cosine >= 0.42 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_pool" ->
+      """SELECT label, cast(pos - 1 as int) AS pos,
+        | round(cast(sum(cast(cast(v as double) as decimal(38,20))) as double) / count(*), 6) AS mean_val,
+        | count(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |       generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // replays Cluster.kmeansInt8 bit-for-bit with the two Lloyd
     // iterations UNROLLED: global int8 grid (max |x| / 127), init =
     // the 8 smallest ids, exact integer L2 argmin with (dist, cid)
@@ -642,42 +762,7 @@ object QueriesText {
     // left join, membership/inertia from the final assignment and the
     // post-update centroid fingerprinted as md5 of the joined longs
     "q_kmeans" ->
-      """WITH g AS (
-        | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
-        | FROM embeddings),
-        |sc AS (SELECT CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS gs FROM g),
-        |qv AS (
-        | SELECT vec_id AS id,
-        |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
-        | FROM embeddings, sc),
-        |c0 AS (
-        | SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid, q AS cq
-        | FROM (SELECT id, q FROM qv ORDER BY id LIMIT 8)),
-        |a1 AS (
-        | SELECT id, q, cid, dist FROM (
-        |  SELECT id, q, cid, dist,
-        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
-        |  FROM (SELECT qv.id, qv.q, c.cid,
-        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
-        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
-        |   FROM qv, c0 c)) WHERE rk = 1),
-        |u1 AS (
-        | SELECT cid, i AS pos,
-        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
-        | FROM a1, range(1, 65) t(i) GROUP BY cid, i),
-        |c1 AS (
-        | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
-        | FROM (SELECT c0.cid, t.i, c0.cq[t.i] AS cv FROM c0, range(1, 65) t(i)) g
-        | LEFT JOIN u1 u ON u.cid = g.cid AND u.pos = g.i
-        | GROUP BY g.cid),
-        |a2 AS (
-        | SELECT id, q, cid, dist FROM (
-        |  SELECT id, q, cid, dist,
-        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
-        |  FROM (SELECT qv.id, qv.q, c.cid,
-        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
-        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
-        |   FROM qv, c1 c)) WHERE rk = 1),
+      s"""WITH $kmeansCtes,
         |u2 AS (
         | SELECT cid, i AS pos,
         |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v

@@ -259,6 +259,30 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Run [[streamDedup]] to completion over a static dir and reduce to
+    * its deterministic surface: WHICH row survives per key depends on
+    * arrival order, but the KEY SET does not — one row per key means
+    * count-per-type == distinct-keys-per-type, which the batch oracle
+    * states directly. */
+  def runDedupEquivalent(spark: SparkSession, sfDir: String,
+                         queryName: String = "graft_dedup_stream"): DataFrame = {
+    val stream = streamDedup(eventsSource(spark, sfDir),
+      Seq("user_id", "event_type"))
+    withNarrowShuffle(spark) {
+      val q = stream.select("user_id", "event_type")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Stream enrichment against a static dimension (stream-static join):
     * the dimension is broadcast to every task each micro-batch, so no
     * state is kept and no shuffle of the stream side occurs. */
