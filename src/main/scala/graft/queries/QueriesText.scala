@@ -239,7 +239,13 @@ object QueriesText {
       // replays the two Lloyd's iterations unrolled.
       // Scale: k-means is broadcast-centroid + one k×dim shuffle per
       // iteration; blocking then bounds candidate pairs to cell-local
-      // (capped) — no all-pairs at any corpus size.
+      // (capped) — no all-pairs at any corpus size. k here is 8 to
+      // match the unrolled oracle; IN PRODUCTION k MUST SCALE WITH
+      // THE CORPUS (k ≈ n / target_cell_size, the IVF nlist rule) —
+      // a fixed k makes cells grow with the data until the maxBlock
+      // cap silently drops them all (the exact failure mode the
+      // ScaleGen label fix addressed for q_dedup_embed, here it
+      // would be a sizing bug, not a corpus bug).
       val emb = Tables(s, d).embeddings
       val cells = graft.operators.Cluster.kmeansAssignInt8(
         emb, "vec_id", "embedding", k = 8, iters = 2)
