@@ -86,11 +86,15 @@ object Similarity {
     * shuffle key at scale. */
   def withLshBuckets(df: DataFrame, vecCol: String, tables: Int, planes: Int,
                      dim: Int): DataFrame = {
+    // planes = 0 degenerates to ONE bucket per table (every sign-bit
+    // term absent → bucket 0): candidates become all pairs, i.e.
+    // exact brute force — the lever the q_ann_lsh_verify oracle twin
+    // uses to check the bucketing/join/top-k machinery hash-exactly.
     val bucketForTable = (t: Int) =>
       (0 until planes).map { b =>
         val plane = typedlit(planeVec(t * planes + b, dim))
         when(VectorFunctions.vecDot(col(vecCol), plane) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      }.foldLeft(lit(0L))(_ + _)
     df.withColumn("lsh", explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), bucketForTable(t).as("bucket"))): _*)))
       .select(df.columns.map(col) :+ col("lsh.tbl") :+ col("lsh.bucket"): _*)

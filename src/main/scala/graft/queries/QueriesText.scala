@@ -344,6 +344,19 @@ object QueriesText {
         .orderBy("query_id", "rk")
     }),
 
+    "q_ann_lsh_verify" -> ((s, d) => {
+      // ORACLE twin of q_ann_lsh: planes = 0 degenerates every table
+      // to ONE bucket, so candidates = all pairs and the bucketing /
+      // candidate-join / dedup / top-k machinery must reproduce exact
+      // brute force — checked against the seedless brute-force SQL.
+      // The production q_ann_lsh (8 tables × 4 planes) stays
+      // rows-only by design: its recall depends on hash luck.
+      val t = Tables(s, d)
+      Similarity.lshTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
+          k = 5, tables = 1, planes = 0, dim = 64)
+        .orderBy("query_id", "rk")
+    }),
+
     "q_dedup_clusters" -> ((s, d) => {
       // near-dup pairs -> connected components -> survivor per cluster
       // (the end product of a corpus dedup pipeline)
@@ -683,6 +696,16 @@ object QueriesText {
       // SET (one row per key ⇒ count-per-type == distinct keys),
       // which the batch oracle states as count(DISTINCT).
       EventStream.runDedupEquivalent(s, d)
+    }),
+
+    "q_stream_asof" -> ((s, d) => {
+      // the CUSTOM STATEFUL streaming operator (flatMapGroupsWithState
+      // LOCF as-of, EventStream.asOfEnrich) surfaced as a driver
+      // query: per-key state is the latest reference seen — O(1) per
+      // key like the batch physical operator — and the oracle is
+      // DuckDB's NATIVE ASOF LEFT JOIN, so custom streaming state is
+      // hash-checked against a database primitive.
+      EventStream.runAsOfEquivalent(s, d)
     }))
 
   /** Shared DuckDB replay of Cluster.trainInt8 (k=8, 2 Lloyd
@@ -1280,6 +1303,34 @@ object QueriesText {
         |       ORDER BY score DESC, neighbor_id) AS rk FROM p)
         |SELECT query_id, neighbor_id, round(score, 6) AS qscore, cast(rk as int) AS rk
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    // zero-plane LSH == brute force by construction (one bucket ->
+    // candidates = all pairs), so the twin shares the brute oracle.
+    "q_ann_lsh_verify" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        | pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |   list_sum(list_transform(list_zip(q.qv, e.embedding),
+        |     p -> cast(p[1] as double) * cast(p[2] as double)))
+        |   / (sqrt(list_sum(list_transform(q.qv, x -> cast(x as double) * cast(x as double))))
+        |    * sqrt(list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))))) AS cosine
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        | ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, cast(rk as int) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "q_stream_asof" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, cast(ts as timestamp) AS tts
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id AS p_user, cast(ts as timestamp) AS p_tts,
+        |  min(event_id) AS purchase_id, arg_min(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_id, round(p.p_value, 4) AS p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
+        |ORDER BY c.event_id""".stripMargin,
 
     // exhaustive-probe IVF == brute force by construction (every cell
     // probed -> candidates = corpus), so the twin shares the oracle.

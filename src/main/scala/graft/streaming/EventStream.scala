@@ -197,6 +197,32 @@ object EventStream {
       }
   }
 
+  /** Run [[asOfEnrich]] to completion over a static dir (memory sink)
+    * and format its deterministic surface — each click with the most
+    * recent purchase at-or-before it. The fold's tie rules
+    * (references before queries at equal time, min-id reference among
+    * equal-time duplicates) are exactly DuckDB's ASOF LEFT JOIN over
+    * the (user, instant)-deduped purchase side, so the native ASOF
+    * oracle checks the custom stateful operator hash-exactly. */
+  def runAsOfEquivalent(spark: SparkSession, sfDir: String,
+                        queryName: String = "graft_asof_equiv"): DataFrame = {
+    val stream = eventsSource(spark, sfDir)
+    withNarrowShuffle(spark) {
+      val q = asOfEnrich(spark, stream)
+        .toDF("event_id", "user_id", "purchase_id", "p_value")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
+    spark.table(queryName)
+      .select(col("event_id"), col("user_id"), col("purchase_id"),
+        round(col("p_value"), 4).as("p_value"))
+      .orderBy("event_id")
+  }
+
   /** Stream-stream event-time INTERVAL join — the click-attribution
     * shape: each purchase matches the same user's clicks within
     * [p_ts - lag, p_ts] (closed on both ends — the condition is

@@ -18,6 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // and the differential fuzz instead
   private val executesOnBuild = Set(
     "q_stream_window", "q_stream_sessions", "q_stream_interval", "q_stream_dedup",
+    "q_stream_asof",
     "q_media_pipeline",
     "q_dedup_clusters", "q_shingle_clusters", "q_hierarchy", "q_ancestor_arrays")
 
