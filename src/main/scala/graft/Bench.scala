@@ -57,10 +57,13 @@ class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
     val (r, b) = org.apache.spark.sql.GraftBridge.maxBroadcastBuild(qe.executedPlan)
     rows.getAndUpdate(cur => math.max(cur, r))
     bytes.getAndUpdate(cur => math.max(cur, b))
-    // rows the sink wrote (max across the executions a query triggers:
-    // helper jobs write 0/-1, the final noop write carries the result)
-    outRows.getAndUpdate(cur =>
-      math.max(cur, org.apache.spark.sql.GraftBridge.writtenRows(qe.executedPlan)))
+    // rows the sink wrote — ONLY from executions whose plan is the V2
+    // noop write (helper jobs: collects, convergence count()s — answer
+    // -1 and are ignored; a max over all executions would let a helper
+    // count()'s 1-row aggregate mask a zero-output sink). Last-wins so
+    // the recorded number is the final sink execution's own.
+    val sunk = org.apache.spark.sql.GraftBridge.sinkWrittenRows(qe.executedPlan)
+    if (sunk >= 0) outRows.set(sunk)
   }
   override def onFailure(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
@@ -193,8 +196,13 @@ object Bench {
     // the reader can judge regressions against the stable series
     // without hunting through git history.
     val localRef = {
+      // sort by parsed round number, not name: lexicographic breaks at
+      // r100 (sorts before r99) and at any unpadded r9 vs r10
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_LOCAL_r\\d+\\.json")).sortBy(_.getName)
+        .flatMap { f =>
+          "BENCH_LOCAL_r(\\d+)\\.json".r.findFirstMatchIn(f.getName)
+            .filter(_.matched == f.getName).map(m => (m.group(1).toInt, f))
+        }.sortBy(_._1).map(_._2)
       files.lastOption.flatMap { f =>
         val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         """"value"\s*:\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(txt)

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Measures BloomPrune's reason to exist: the fact-side shuffle-bytes
-  * reduction of the bloom-pruned join vs the plain join, across dim
+/** Measures BloomPrune's reason to exist: the TOTAL-query shuffle-bytes
+  * reduction of the bloom-pruned join vs the plain join (all stages —
+  * the shared aggregation shuffle is counted on both sides, so the
+  * isolated fact-side reduction is stronger than the reported ratio),
+  * across dim
   * selectivities, with broadcast DISABLED — the operator's premise is
   * a dim too big to broadcast (at test SF the filtered dim is tiny and
   * AQE would broadcast it, making both variants shuffle-free and the
@@ -62,12 +65,12 @@ object BloomBench {
       val ratio = bloom._2.toDouble / math.max(1L, plain._2)
       System.err.println(f"[bloom] p_size<=$sel%-3d plain ${plain._1}%6.2fs " +
         f"shW=${plain._2 / 1048576.0}%8.1fMB | bloom ${bloom._1}%6.2fs " +
-        f"shW=${bloom._2 / 1048576.0}%8.1fMB | shuffle ratio $ratio%.3f")
+        f"shW=${bloom._2 / 1048576.0}%8.1fMB | total shuffle-write ratio $ratio%.3f")
       s""""p_size_le_$sel":{"plain_sec":${plain._1},"plain_shuffle_write":${plain._2},""" +
         s""""bloom_sec":${bloom._1},"bloom_shuffle_write":${bloom._2},""" +
         s""""shuffle_ratio":$ratio,"groups":$nPlain}"""
     }
-    val json = s"""{"note":"broadcast disabled (the dim-too-big-to-broadcast regime BloomPrune targets); Spark runtime bloom injection off; min of 2 runs; shuffle_ratio = bloom/plain fact shuffle-write bytes","sf":"$sfDir","selectivities":{${out.mkString(",")}}}"""
+    val json = s"""{"note":"broadcast disabled (the dim-too-big-to-broadcast regime BloomPrune targets); Spark runtime bloom injection off; min of 2 runs; shuffle_ratio = bloom/plain TOTAL query shuffle-write bytes (all stages: fact + dim + agg shuffles - the common agg shuffle is in both sides, so the isolated fact-side reduction is STRONGER than this ratio shows)","sf":"$sfDir","selectivities":{${out.mkString(",")}}}"""
     val p = java.nio.file.Paths.get(s"target/bloom_$tag.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -41,9 +41,42 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Above this k the assignment switches from centroid LITERALS (zero
+    * shuffle, one codegen'd argmin projection — but the expression tree
+    * grows k × dim nodes, a codegen bomb past a few dozen centroids)
+    * to a broadcast equi-join (explode k cids per row → broadcast-hash
+    * join the k-row centroid table → map-side-combined min_by per id).
+    * Both paths are exact integer arithmetic with the same (dist, cid)
+    * tie-break, so the trajectory is bit-identical either way
+    * (ClusterSpec proves it). */
+  private[graft] val LiteralAssignMaxK = 64
+
+  /** The IVF nlist sizing rule as a CODE PATH, not a comment:
+    * k = ceil(n / targetCellSize), so expected cell population stays
+    * ~targetCellSize no matter the corpus. A FIXED k is the silent
+    * 100 TB failure mode for k-means blocking: cells grow with the
+    * data until the pair generator's maxBlock cap drops them all and
+    * dedup quietly finds nothing (the embedCosine drop gate turns
+    * that loud; this derivation prevents it). maxK bounds the
+    * flat-assignment regime — each row scores all k centroids,
+    * O(k × dim) per row, FAISS's own flat-nlist territory; past it,
+    * shard first (hash-shard, then cluster within shards) or raise
+    * targetCellSize, which the failure message states. */
+  def kForCorpus(n: Long, targetCellSize: Long = 64, maxK: Int = 4096): Int = {
+    require(n > 0, s"empty corpus (n=$n)")
+    require(targetCellSize > 0, s"targetCellSize must be positive; got $targetCellSize")
+    val k = (n + targetCellSize - 1) / targetCellSize
+    require(k <= maxK,
+      s"kForCorpus($n, $targetCellSize) derives k=$k > maxK=$maxK: flat centroid " +
+        "scoring is O(k x dim) per row and past this k you want two-level blocking " +
+        "(hash-shard the corpus, cluster within shards) or a larger targetCellSize")
+    k.toInt
+  }
+
   /** Final per-vector cluster assignment (id, cluster) from the same
     * bit-deterministic Lloyd's run as [[kmeansInt8]] — the blocking
-    * surface for label-free semantic dedup and IVF cell routing. */
+    * surface for label-free semantic dedup and IVF cell routing.
+    * Size k with [[kForCorpus]] so cells track the corpus. */
   def kmeansAssignInt8(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int): DataFrame =
     trainInt8(emb, idCol, vecCol, k, iters)._1
@@ -75,10 +108,17 @@ object Cluster {
   }
 
   /** The training loop shared by the summary and assignment surfaces:
-    * final (id, q, cid, dist) assignment + post-update centroids. */
-  private def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
-                        k: Int, iters: Int): (DataFrame, IndexedSeq[Seq[Long]]) = {
-    require(k > 0 && k <= 64, s"k is a config-sized literal; got $k")
+    * final (id, q, cid, dist) assignment + post-update centroids.
+    * `literalAssignMaxK` is a test seam (ClusterSpec forces the join
+    * path at small k to prove path parity); production callers leave
+    * the default. */
+  private[graft] def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
+                               k: Int, iters: Int,
+                               literalAssignMaxK: Int = LiteralAssignMaxK)
+      : (DataFrame, IndexedSeq[Seq[Long]]) = {
+    require(k > 0 && k <= 4096,
+      s"k bounded at 4096 (flat assignment scores all k centroids per row — " +
+        s"O(k x dim); shard first beyond this, see kForCorpus); got $k")
     require(iters >= 1 && iters <= 8, s"iters bounded (each is a pass); got $iters")
     val spark = emb.sparkSession
 
@@ -106,8 +146,10 @@ object Cluster {
     require(centroids.nonEmpty, "empty input")
 
     // narrow argmin map against the centroid literals: k scored
-    // structs, sorted; struct order (dist, cid) breaks ties low
-    def assign(cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    // structs, sorted; struct order (dist, cid) breaks ties low.
+    // Codegen-tight and zero-shuffle, but the expression tree is
+    // k x dim nodes — only used while k <= literalAssignMaxK.
+    def assignLiteral(cents: IndexedSeq[Seq[Long]]): DataFrame = {
       val scored = array(cents.indices.map { c =>
         struct(
           aggregate(
@@ -119,6 +161,31 @@ object Cluster {
         .select(col("id"), col("q"),
           col("best.cid").as("cid"), col("best.dist").as("dist"))
     }
+
+    // large-k argmin: explode the k cluster ids per row, broadcast-
+    // hash-join the k-row centroid table, min_by(struct(dist, cid))
+    // per (id, q). The k x n intermediate never shuffles at k x n
+    // width — the min aggregation partial-combines map-side back to
+    // one row per id before the (id)-keyed exchange, so shuffle
+    // volume is n rows regardless of k. Same integer distance, same
+    // (dist, cid) tie-break: bit-identical to assignLiteral.
+    def assignJoin(cents: IndexedSeq[Seq[Long]]): DataFrame = {
+      import spark.implicits._
+      val cdf = broadcast(
+        cents.zipWithIndex.map { case (cq, c) => (c, cq) }.toDF("cid", "cq"))
+      q.withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))
+        .join(cdf, "cid")
+        .withColumn("dist",
+          aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+        .groupBy(col("id"), col("q"))
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("id"), col("q"),
+          col("best.cid").as("cid"), col("best.dist").as("dist"))
+    }
+
+    def assign(cents: IndexedSeq[Seq[Long]]): DataFrame =
+      if (cents.size <= literalAssignMaxK) assignLiteral(cents) else assignJoin(cents)
 
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {

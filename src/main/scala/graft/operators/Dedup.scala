@@ -197,16 +197,43 @@ object Dedup {
     * dominant language label at corpus scale, would otherwise go
     * quadratic). Only (block, id) rides the candidate shuffle; the
     * wide embedding vectors are re-joined by id for surviving pairs.
-    * Returns (id_a < id_b, cosine >= threshold). */
+    * Returns (id_a < id_b, cosine >= threshold).
+    *
+    * LOUD drop gate: unlike the minhash/simhash band caps (where an
+    * oversized bucket is a spam cluster and dropping it is the point),
+    * an oversized block HERE means the blocking key is undersized for
+    * the corpus — every row it drops is dedup work silently skipped,
+    * the fixed-k failure mode [[Cluster.kForCorpus]] exists to
+    * prevent. When more than `maxDroppedRowFrac` of the non-null rows
+    * sit in capped-out blocks, this throws with the measured drop
+    * instead of returning a quietly-empty result; pass
+    * maxDroppedRowFrac >= 1.0 to accept drops explicitly. The gate
+    * costs one (block)-keyed count aggregation — the same shuffle
+    * shape the pair generator itself runs. */
   def embedCosine(df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-                  threshold: Double, maxBlock: Int = 1000): DataFrame = {
+                  threshold: Double, maxBlock: Int = 1000,
+                  maxDroppedRowFrac: Double = 0.05): DataFrame = {
     import graft.functions.VectorFunctions
     // NULL block keys never pair (groupBy would otherwise collect all
     // NULL-labeled rows into ONE bucket — the equi-join semantics this
     // generator replaces exclude NULLs)
-    val pairs = pairsFromBuckets(
-      df.select(col(blockCol), col(idCol)).filter(col(blockCol).isNotNull),
-      Seq(blockCol), idCol, maxBlock)
+    val blocked = df.select(col(blockCol), col(idCol)).filter(col(blockCol).isNotNull)
+    if (maxDroppedRowFrac < 1.0) {
+      val r = blocked.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)),
+          coalesce(max(col("n")), lit(0L))).head()
+      val (total, dropped, biggest) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (total > 0 && dropped.toDouble / total > maxDroppedRowFrac)
+        throw new IllegalStateException(
+          f"embedCosine: $dropped of $total rows (${100.0 * dropped / total}%.1f%%) " +
+            s"sit in blocks larger than maxBlock=$maxBlock (largest=$biggest) and " +
+            "would be silently excluded from candidate generation — the blocking " +
+            "key is undersized for this corpus. Re-block with more cells (k-means " +
+            "blocking: k = Cluster.kForCorpus(n, targetCellSize)), raise maxBlock, " +
+            "or pass maxDroppedRowFrac >= 1.0 to accept the drop.")
+    }
+    val pairs = pairsFromBuckets(blocked, Seq(blockCol), idCol, maxBlock)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"))
     val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))

@@ -239,16 +239,18 @@ object QueriesText {
       // replays the two Lloyd's iterations unrolled.
       // Scale: k-means is broadcast-centroid + one k×dim shuffle per
       // iteration; blocking then bounds candidate pairs to cell-local
-      // (capped) — no all-pairs at any corpus size. k here is 8 to
-      // match the unrolled oracle; IN PRODUCTION k MUST SCALE WITH
-      // THE CORPUS (k ≈ n / target_cell_size, the IVF nlist rule) —
-      // a fixed k makes cells grow with the data until the maxBlock
-      // cap silently drops them all (the exact failure mode the
-      // ScaleGen label fix addressed for q_dedup_embed, here it
-      // would be a sizing bug, not a corpus bug).
+      // (capped) — no all-pairs at any corpus size. k is DERIVED by
+      // the IVF nlist rule (Cluster.kForCorpus: k = ceil(n/64), so
+      // cells stay ~64 rows at every corpus size — a fixed k would
+      // let cells grow with the data until the maxBlock cap drops
+      // them, which embedCosine's drop gate now turns into a loud
+      // failure instead of a silent empty result). At the 500-vector
+      // oracle corpus the derivation lands on exactly 8, the k the
+      // unrolled DuckDB oracle replays (LIMIT 8 init).
       val emb = Tables(s, d).embeddings
+      val k = graft.operators.Cluster.kForCorpus(emb.count(), targetCellSize = 64)
       val cells = graft.operators.Cluster.kmeansAssignInt8(
-        emb, "vec_id", "embedding", k = 8, iters = 2)
+        emb, "vec_id", "embedding", k = k, iters = 2)
       Dedup.embedCosine(emb.join(cells, "vec_id"), "vec_id", "embedding",
           blockCol = "cluster", threshold = 0.42, maxBlock = 1000)
         .orderBy("id_a", "id_b")

@@ -57,26 +57,23 @@ object GraftBridge {
     (rows, bytes)
   }
 
-  /** Rows the EXECUTED plan's sink wrote: the `numOutputRows` metric of
-    * the topmost node that carries one (the V2 write exec for the
-    * bench's noop sink), descending through AQE wrappers. -1 when no
-    * node reports the metric. The scale harness gates on this — a
-    * scaled run that silently reads zero files (the round-6/7 class of
-    * environment drift) shows 0 written rows, which the gate turns
-    * into a loud failure instead of a suspiciously-fast timing. */
-  def writtenRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    import org.apache.spark.sql.execution.WholeStageCodegenExec
-    def walk(p: SparkPlan): Long = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: QueryStageExec        => walk(s.plan)
-      case r: ReusedExchangeExec    => walk(r.child)
-      case w: WholeStageCodegenExec => walk(w.child)
-      case n => n.metrics.get("numOutputRows").map(_.value)
-        .getOrElse(n.children.iterator.map(walk).find(_ >= 0).getOrElse(-1L))
-    }
-    walk(plan)
+  /** Rows the EXECUTED plan's sink wrote — answers ONLY for executions
+    * whose plan actually IS a V2 table write (the bench's noop sink):
+    * -1 for every helper execution a query triggers on the side
+    * (centroid collects, convergence count()s, parity checks). Those
+    * helpers report numOutputRows >= 1 even over an EMPTY corpus — a
+    * count() on zero files still outputs one aggregate row — so a max
+    * over all executions would mask the zero-output scale gate for
+    * exactly the composite queries the r6/r7 environment-drift class
+    * hit. The bench records this last-wins: the final sink execution's
+    * own number. */
+  def sinkWrittenRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
+    import org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec
+    // The write exec is the root for a DataFrameWriter execution, but
+    // tolerate a wrapper layer: collect anywhere — helper executions
+    // contain no V2 write node at all, so they still answer -1.
+    plan.collectFirst { case w: V2TableWriteExec =>
+      w.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+    }.getOrElse(-1L)
   }
 }

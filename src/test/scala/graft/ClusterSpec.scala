@@ -43,6 +43,33 @@ class ClusterSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == 0L, "exact recovery => zero inertia")
   }
 
+  test("join-path assignment (k > literalAssignMaxK) is bit-identical to the literal path") {
+    // same corpus, same k: force the broadcast-join argmin by setting
+    // the literal threshold to 0 and compare full trajectories — the
+    // centroid sequence AND the final per-row (cid, dist) assignment
+    val emb = embTable((0L until 120L).map(i =>
+      i -> Seq.tabulate(6)(j => ((i * 17 + j * 11) % 19 - 9).toFloat / 4f)))
+    val (aLit, cLit) = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3)
+    val (aJoin, cJoin) = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3,
+      literalAssignMaxK = 0)
+    assert(cLit == cJoin, "post-update centroids identical across assignment paths")
+    val lit = aLit.select("id", "cid", "dist").orderBy("id").collect().toSeq
+    val join = aJoin.select("id", "cid", "dist").orderBy("id").collect().toSeq
+    assert(lit == join, "per-row assignment identical across assignment paths")
+  }
+
+  test("kForCorpus derives the IVF nlist rule and refuses oversized k") {
+    assert(Cluster.kForCorpus(500, 64) == 8)   // the oracle corpus: LIMIT 8
+    assert(Cluster.kForCorpus(64, 64) == 1)
+    assert(Cluster.kForCorpus(65, 64) == 2)
+    assert(Cluster.kForCorpus(200000, 64) == 3125)  // x100 scale corpus
+    val e = intercept[IllegalArgumentException] {
+      Cluster.kForCorpus(10_000_000L, 64) // k would be 156250
+    }
+    assert(e.getMessage.contains("two-level blocking"))
+    intercept[IllegalArgumentException](Cluster.kForCorpus(0, 64))
+  }
+
   test("empty cluster keeps its previous centroid and emits n=0") {
     // k=3 over two distinct points: one cluster can never win a vector
     val emb = embTable((0L until 10L).map(i =>

@@ -158,11 +158,33 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.embedCosine(small, "vec_id", "embedding", "label", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))                      // in-block only, above threshold
-    // a hot block larger than maxBlock yields ZERO candidate pairs —
-    // the cap that keeps one dominant label from going quadratic
+    // a hot block larger than maxBlock: with drops explicitly accepted
+    // (maxDroppedRowFrac >= 1.0) the cap yields ZERO candidate pairs —
+    // the quadratic guard doing its job
     val hot = (0L until 50L).map(i => (i, Array(1f, 0f), "hot")).toDF("vec_id", "embedding", "label")
     assert(Dedup.embedCosine(hot, "vec_id", "embedding", "label",
-      threshold = 0.0, maxBlock = 10).count() == 0)
+      threshold = 0.0, maxBlock = 10, maxDroppedRowFrac = 1.0).count() == 0)
+  }
+
+  test("embedCosine fails LOUDLY when a grown corpus overflows a fixed blocking key") {
+    // the fixed-k sizing bug: blocks sized for a small corpus, corpus
+    // grows, every row lands in a capped-out block — the default gate
+    // must throw with the measured drop, not return an empty result
+    val grown = (0L until 50L).map(i => (i, Array(1f, 0f), "hot"))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalStateException] {
+      Dedup.embedCosine(grown, "vec_id", "embedding", "label",
+        threshold = 0.0, maxBlock = 10)
+    }
+    assert(e.getMessage.contains("50 of 50 rows"))
+    assert(e.getMessage.contains("kForCorpus"))
+    // a small drop under the threshold passes: 3-row hot block dropped
+    // (3/23 = 13% > 5% -> still loud), so use 49 kept + capped at 48
+    val mild = ((0L until 48L).map(i => (i, Array(1f, 0f), s"b${i % 24}")) :+
+      (900L, Array(1f, 0f), "solo")).toDF("vec_id", "embedding", "label")
+    // blocks of 2 within cap, one singleton: nothing dropped -> no throw
+    assert(Dedup.embedCosine(mild, "vec_id", "embedding", "label",
+      threshold = 0.0, maxBlock = 10).count() >= 24)
   }
 }
 

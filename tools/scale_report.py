@@ -21,12 +21,15 @@ means at-most-linear scaling (fixed overheads make small-factor ratios
 corpus carry an explanatory note instead of counting toward the gate.
 
 GATE (exit 1 on any violation):
-  0. a scaled run whose sink wrote ZERO rows (out_rows == 0) — the
-     round-6/7 class of silent environment drift (a glob matching no
-     files, a schema mismatch) reads as an implausibly fast empty run,
-     not an error; the crash class is caught by rule 1. out_rows is
-     the V2 write exec's own numOutputRows and measured reliable on
-     every query. Two rejected alternatives, both tried: wall-time
+  0. a scaled (factor > 1) run whose sink wrote ZERO rows while the x1
+     baseline wrote rows — the round-6/7 class of silent environment
+     drift (a glob matching no files, a schema mismatch) reads as an
+     implausibly fast empty run, not an error; the crash class is
+     caught by rule 1. out_rows is the V2 noop write exec's OWN
+     numOutputRows (since r9 the bench probe answers -1 for every
+     helper execution — centroid collects, convergence count()s — so a
+     helper's 1-row aggregate can no longer mask an empty sink).
+     Two rejected alternatives, both tried: wall-time
      ratio < 0.05 flags healthy bounded-state queries (bloom-pruned
      joins, histogram percentiles, day-bucketed windows are
      legitimately 20-30x sublinear while reading every byte), and task
@@ -192,11 +195,18 @@ def entry_at(m):
 
 
 def empty_run_violations(q, runs_by_factor, top, time_ratio):
-    """Gate rule 0: a scaled run whose sink wrote zero rows did not
-    process the corpus (see module docstring for why wall-time and
-    input-bytes heuristics were tried and rejected)."""
+    """Gate rule 0: a SCALED run whose sink wrote zero rows while the x1
+    baseline wrote rows did not process the corpus (see module docstring
+    for why wall-time and input-bytes heuristics were tried and
+    rejected). Scoped to factors > 1 compared against the x1 baseline:
+    a query whose result set is LEGITIMATELY empty at every factor (an
+    unmatched/diff report that finds nothing) is not drift — drift is
+    rows at x1 vanishing at x10/x32/x100."""
+    base = runs_by_factor.get(1)
+    if base is None or base.get("out_rows", -1) <= 0:
+        return []
     zero = [f for f, m in runs_by_factor.items()
-            if m is not None and m.get("out_rows", -1) == 0]
+            if f != 1 and m is not None and m.get("out_rows", -1) == 0]
     if zero:
         return [{"query": q, "rule": "zero_output_rows", "factors": zero}]
     return []
