@@ -30,6 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  /** WHEN to inject, pinned from the measured payoff curve rather than
+    * intuition (BloomBench on the ×32 corpus, broadcast disabled —
+    * the dim-too-big-to-broadcast regime; ratios are bloom/plain TOTAL
+    * query shuffle-write, so both sides include the common aggregation
+    * shuffle and the isolated fact-side saving is stronger):
+    *
+    *   fact-survival selectivity 0.10 → ratio 0.104
+    *   fact-survival selectivity 0.40 → ratio 0.418
+    *   fact-survival selectivity 1.00 → ratio 1.023
+    *
+    * The curve is ~linear: ratio ≈ selectivity + ~2% build/probe
+    * overhead. Shuffle-wise the filter pays for itself at any
+    * selectivity below ~1; the break-even is set at 0.75 to leave
+    * margin for the costs the shuffle ratio doesn't see — the extra
+    * dim-side scan + aggregation that builds the filter (wall-time:
+    * the sel=1.0 point ran 1.2× slower end-to-end), and false
+    * positives inflating the effective pass rate. */
+  val SelectivityBreakEven = 0.75
+
+  /** True when bloom pruning is expected to win for a fact⋈dim join:
+    * the effective fact pass rate — estimated survival selectivity
+    * plus the false-positive leakage on the non-surviving fraction —
+    * sits below [[SelectivityBreakEven]]. `fpp` defaults to ~3%, the
+    * rate a filter sized with numBits ≈ 8–10 bits/expected item
+    * delivers; callers with a mis-sized filter should pass their real
+    * rate. Estimate selectivity the usual way: distinct dim keys ×
+    * fact rows-per-key / fact rows, or a prior run's join output. */
+  def shouldInject(estimatedFactSelectivity: Double, fpp: Double = 0.03): Boolean = {
+    require(estimatedFactSelectivity >= 0 && estimatedFactSelectivity <= 1,
+      s"selectivity is a fraction; got $estimatedFactSelectivity")
+    require(fpp >= 0 && fpp < 1, s"fpp is a fraction; got $fpp")
+    val effectivePassRate =
+      estimatedFactSelectivity + (1 - estimatedFactSelectivity) * fpp
+    effectivePassRate < SelectivityBreakEven
+  }
+
   /** A `might_contain` predicate on `factKey` against a bloom filter
     * of `dim`'s `dimKey`s, built as a scalar subquery (one distributed
     * aggregation; its binary result is broadcast by the engine). */

@@ -111,6 +111,93 @@ object Hierarchy {
     result
   }
 
+  /** HYBRID closure: the linear frontier walk while the hierarchy is
+    * shallow (one frontier-sized shuffle per round — the cheap regime
+    * for ontology-shaped data), flipping to PATH DOUBLING over the
+    * accumulated closure once depth passes `switchDepth` (O(log
+    * remaining) rounds — the cheap regime for deep chains, where the
+    * linear walk's round count, i.e. job-scheduling latency, takes
+    * over). The flip is exact: after s linear rounds the closure holds
+    * every path of depth <= s, so doubling from it reaches 2s, 4s, …
+    *
+    * Depth semantics: pairs found by the doubling phase carry MINIMUM
+    * path length (deterministic on diamond DAGs); on trees — unique
+    * paths — output is identical to [[ancestors]], which is what the
+    * closure queries' oracles pin. */
+  def ancestorsAdaptive(edges: DataFrame, childCol: String, parentCol: String,
+                        maxDepth: Int = 1 << 20, switchDepth: Int = 4): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(switchDepth >= 1, s"switchDepth >= 1; got $switchDepth")
+    val e = edges.select(col(childCol).as("node"), col(parentCol).as("anc"))
+      .filter(col("anc").isNotNull)
+      .withColumn("depth", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    var closure = e
+    var frontier = e
+    var d = 1
+    var done = false
+    while (d < math.min(switchDepth, maxDepth) && !done) {
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.anc") === col("e.node"))
+        .select(col("f.node").as("node"), col("e.anc").as("anc"),
+          (col("f.depth") + 1).as("depth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cached += next
+      done = next.isEmpty
+      frontier = next
+      if (!done) closure = closure.unionByName(next)
+      d += 1
+    }
+    val result =
+      if (done) closure.dropDuplicates("node", "anc").localCheckpoint()
+      else {
+        // not converged by switchDepth: double from the accumulated
+        // closure (deduped to min depth first — the doubling loop's
+        // invariant surface)
+        var cur = closure.groupBy("node", "anc").agg(min(col("depth")).as("depth"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cached += cur
+        var size = cur.count()
+        var reach = d.toLong
+        var fixed = false
+        while (!fixed && reach < maxDepth) {
+          val doubled = cur.alias("a")
+            .join(cur.alias("b"), col("a.anc") === col("b.node"))
+            .select(col("a.node").as("node"), col("b.anc").as("anc"),
+              (col("a.depth") + col("b.depth")).as("depth"))
+          val next = cur.unionByName(doubled)
+            .groupBy("node", "anc").agg(min(col("depth")).as("depth"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          cached += next
+          val nextSize = next.count()
+          fixed = nextSize == size
+          size = nextSize
+          cur = next
+          reach *= 2
+        }
+        if (!fixed) System.err.println(
+          s"[graft] Hierarchy.ancestorsAdaptive: maxDepth=$maxDepth reached before " +
+            "fixpoint — the closure may be truncated (cycle or deeper hierarchy)")
+        cur.localCheckpoint()
+      }
+    cached.foreach(_.unpersist())
+    result
+  }
+
+  /** Strategy selector for the closure queries' scale A/B
+    * (SPARK_GRAFT_CLOSURE = linear | doubling | adaptive): the
+    * committed default stays the linear walk — the measured-best plan
+    * for the shallow decimal-tree corpus — and the scale harness flips
+    * the env var to measure the alternatives at depth. */
+  private[graft] def ancestorsByEnv(edges: DataFrame, childCol: String,
+                                    parentCol: String, maxDepth: Int): DataFrame =
+    sys.env.getOrElse("SPARK_GRAFT_CLOSURE", "linear") match {
+      case "doubling" => ancestorsDoubling(edges, childCol, parentCol, maxDepth)
+      case "adaptive" => ancestorsAdaptive(edges, childCol, parentCol, maxDepth)
+      case _          => ancestors(edges, childCol, parentCol, maxDepth)
+    }
+
   /** Per-node ancestor ARRAYS — the reference's actual product shape
     * (ontology_hierarchy_extractor.py:181 emits per-term arrays of
     * intermediate/top-level ancestors, not pairs): sorted distinct

@@ -209,7 +209,7 @@ object QueriesExtra {
       val edges = t.orders.filter(col("o_orderkey") >= 10)
         .select(col("o_orderkey").as("child"),
           (col("o_orderkey") / 10).cast("long").as("parent"))
-      Hierarchy.ancestors(edges, "child", "parent", maxDepth = 10)
+      Hierarchy.ancestorsByEnv(edges, "child", "parent", maxDepth = 10)
         .orderBy("node", "depth")
     }),
 
@@ -282,7 +282,7 @@ object QueriesExtra {
         .select(col("o_orderkey").as("child"),
           (col("o_orderkey") / 10).cast("long").as("parent"))
       Hierarchy.ancestorArrays(
-          Hierarchy.ancestors(edges, "child", "parent", maxDepth = 10))
+          Hierarchy.ancestorsByEnv(edges, "child", "parent", maxDepth = 10))
         .select(col("node"),
           array_join(transform(col("ancestors"), a => a.cast("string")), ",")
             .as("anc_path"),

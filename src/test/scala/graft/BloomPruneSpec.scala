@@ -59,6 +59,20 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(plan.contains("bloom_filter_agg"), plan.take(500))
   }
 
+  test("shouldInject agrees with the measured payoff curve's sign at all three points") {
+    // BloomBench (x32, broadcast disabled) measured total-shuffle
+    // ratios 0.104 / 0.418 / 1.023 at fact selectivities 0.10 / 0.40 /
+    // 1.00 — wins at the first two, a pure-overhead loss at the third.
+    // The heuristic must carry the same signs.
+    assert(BloomPrune.shouldInject(0.10), "sel=0.10 measured a 10x win")
+    assert(BloomPrune.shouldInject(0.40), "sel=0.40 measured a 2.4x win")
+    assert(!BloomPrune.shouldInject(1.00), "sel=1.00 measured pure overhead")
+    // fpp leakage counts toward the pass rate: a filter so mis-sized
+    // that most non-matches leak through erases the win
+    assert(!BloomPrune.shouldInject(0.40, fpp = 0.9))
+    intercept[IllegalArgumentException](BloomPrune.shouldInject(1.5))
+  }
+
   test("empty dim prunes everything; join is empty not failing") {
     val (fact, dim) = fixture
     val none = dim.filter(col("dk") < 0)

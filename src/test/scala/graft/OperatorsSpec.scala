@@ -296,6 +296,22 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(dbl.contains((4L, 0L, 4)))
   }
 
+  test("ancestorsAdaptive: linear-phase-only, post-switch, and deep-chain all match the walk") {
+    // a 12-deep chain: switchDepth=4 forces the doubling flip (4
+    // linear rounds + ~2 doubling rounds); switchDepth=20 stays
+    // linear-only; both must equal the plain walk's closure exactly
+    val edges = (1L to 12L).map(i => (i, i - 1)).toDF("c", "p")
+    val lin = Hierarchy.ancestors(edges, "c", "p", maxDepth = 20)
+      .as[(Long, Long, Int)].collect().toSet
+    val flip = Hierarchy.ancestorsAdaptive(edges, "c", "p", maxDepth = 64, switchDepth = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val noFlip = Hierarchy.ancestorsAdaptive(edges, "c", "p", maxDepth = 64, switchDepth = 20)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(flip == lin, "post-switch hybrid equals the linear walk")
+    assert(noFlip == lin, "shallow-phase hybrid equals the linear walk")
+    assert(flip.contains((12L, 0L, 12)))
+  }
+
   test("ancestorsDoubling keeps MIN depth on a diamond DAG") {
     // 3 -> {2a, 2b} -> 1 plus a shortcut 3 -> 1: min path length is 1
     val edges = Seq((3L, 21L), (3L, 22L), (21L, 1L), (22L, 1L), (3L, 1L))
