@@ -106,19 +106,32 @@ object Bench {
     }
     val todo = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Iterations run INTERLEAVED (pass-major, suite-minor) instead of
-    // back-to-back per query: machine contention is bursty on multiple
-    // minutes timescales (VERDICT r6/r7 measured 1.3-2x uniform noise
-    // during driver sessions), so consecutive same-query attempts share
-    // the same burst and the min doesn't help. Spreading a query's
-    // attempts across full-suite passes gives each one an independent
-    // draw; the per-query min then lands on the quietest pass.
+    // Iteration order knob (SPARK_GRAFT_ITER_ORDER):
+    //  - passmajor (default since r8): iterations INTERLEAVED across
+    //    full-suite passes — machine contention is bursty on multi-
+    //    minute timescales (VERDICT r6/r7 measured 1.3-2x uniform
+    //    noise during driver sessions), so spreading a query's
+    //    attempts gives each an independent draw and the min lands on
+    //    the quietest pass.
+    //  - backtoback (the r6-and-earlier method): a query's iterations
+    //    run consecutively — min-of-2 samples a warm back-to-back
+    //    rerun (page cache, JIT, shuffle files all hot), which reads
+    //    systematically faster. The r8 series switch shifted every
+    //    per-query min ~1.39x on unchanged code; BENCH_LOCAL_r09
+    //    captures BOTH orders once to bridge the series (VERDICT r8
+    //    next-round #1).
+    val passMajor =
+      sys.env.getOrElse("SPARK_GRAFT_ITER_ORDER", "passmajor") != "backtoback"
     val attemptsByQuery =
       scala.collection.mutable.Map[String, Vector[(Double, Map[String, Long])]]()
         .withDefaultValue(Vector.empty)
     val errByQuery = scala.collection.mutable.Map[String, String]()
-    (1 to iters).foreach { pass =>
-      todo.foreach { case (name, fn) =>
+    val schedule: Seq[(Int, Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)])] =
+      if (passMajor) (1 to iters).map(p => p -> todo)
+      else Seq(1 -> todo.flatMap(q => Seq.fill(iters)(q)))
+    schedule.foreach { case (pass, queue) =>
+      queue.foreach { case (name, fn) =>
         ensureAlive()
         listener.reset()
         bcast.reset()
@@ -142,7 +155,7 @@ object Bench {
           ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get,
             "out_rows" -> bcast.outRows.get))
       }
-      System.err.println(s"[bench] --- pass $pass/$iters complete ---")
+      System.err.println(s"[bench] --- pass $pass/${if (passMajor) iters else 1} complete ---")
     }
     val runs = todo.map { case (name, _) =>
       val ok = attemptsByQuery(name).filter(_._1 >= 0)
@@ -179,7 +192,9 @@ object Bench {
           (if (err == null) "" else ",\"err\":" + jstr(err)) +
           "}"
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""iter_order":"${if (passMajor) "passmajor" else "backtoback"}",""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     }
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")

@@ -17,7 +17,7 @@ SF=/root/testdata/sf0.1
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_asof_plan,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval
+CORE=q_ancestor_arrays,q_asof_plan,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -67,6 +67,30 @@ bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
 bench scale_x100.json target/scale/x100 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
+
+# closure-strategy A/B (VERDICT r8 next-round #5): the x100 linear-walk
+# run above is the control; re-run the two closure queries with the
+# doubling and adaptive strategies and let scale_report fold the
+# spill/wall comparison into the artifact — either outcome is the
+# measurement.
+for strat in doubling adaptive; do
+  bench closure_${strat}_x100.json target/scale/x100 \
+    SPARK_GRAFT_ONLY=q_ancestor_arrays,q_hierarchy \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_CLOSURE=$strat
+done
+
+# as-of hot-key stress (VERDICT r8 next-round #7): 30% of the x10
+# events remapped onto ONE user (SkewGen), then the two as-of forms
+# measured against the uniform x10 control. AsOfJoinExec hash-clusters
+# by user, so AQE's skew split (SortMergeJoin-only) cannot help — this
+# MEASURES the documented hot-key limit instead of asserting it.
+if [ ! -d target/scale/x10skew ]; then
+  echo "== skewgen x10 (30% hot user)"
+  sbt -batch "runMain graft.SkewGen target/scale/x10 target/scale/x10skew 30" \
+    2>&1 | grep -E '^\[skewgen\]' || true
+fi
+bench asof_skew_x10.json target/scale/x10skew \
+  SPARK_GRAFT_ONLY=q_asof_plan,q_asof_backward
 
 # bloom-join A/B: fact shuffle-bytes with vs without the prune, on the
 # x32 corpus, broadcast disabled (the dim-too-big regime) — the

@@ -124,6 +124,22 @@ NOTES = {
         "ORDER BY doc_id (oracle-hash determinism, SURVEY section 5's "
         "orderBy-for-oracle note) adds the n log n tail q_observations "
         "documents. Production writes partitioned-unsorted."),
+    "q_dedup_semantic": (
+        "k is DERIVED by the nlist rule (k = n/64, Cluster.kForCorpus) so "
+        "blocking cells stay ~64 rows at every factor — the sizing contract "
+        "this round moved from a comment into code. The cost of that "
+        "contract is visible here: flat centroid assignment scores all k "
+        "centroids per row, O(n x k) = O(n^2/64) total, super-linear BY "
+        "DESIGN of flat nlist scaling (FAISS's flat IVF training has the "
+        "same curve). The gate-relevant alternatives are worse: a FIXED k "
+        "keeps time linear but lets cells grow until the maxBlock cap "
+        "drops them — the silent-empty-dedup failure embedCosine now "
+        "refuses loudly. At real scale the standard mitigations are "
+        "sample-training + two-level (coarse-then-fine) assignment, which "
+        "the kForCorpus maxK refusal message points at. Correctness of "
+        "the derived-k path is oracle-pinned at the 500-vector corpus "
+        "(derivation lands on the oracle's k=8) and the assignment paths "
+        "are spec-proven bit-identical."),
     "q_token_bpe_dist": (
         "each of the 30 merge rounds is one map-side-combined pair-count "
         "shuffle whose volume is the DISTINCT pair dictionary, not the "
@@ -314,6 +330,59 @@ def main(out_path):
     if os.path.exists("target/bloom_x32.json"):
         with open("target/bloom_x32.json") as fh:
             report["bloom_join_ab"] = json.load(fh)
+
+    # ---- closure-strategy A/B (x100 corpus) ----
+    # control = the linear-walk entries in the x100 core run; doubling/
+    # adaptive re-run just the closure queries with SPARK_GRAFT_CLOSURE
+    closure = {}
+    for strat in ("doubling", "adaptive"):
+        path = f"target/closure_{strat}_x100.json"
+        if os.path.exists(path):
+            with open(path) as fh:
+                closure[strat] = json.load(fh)["queries"]
+    if closure and runs.get(100):
+        ab = {}
+        for q in ("q_ancestor_arrays", "q_hierarchy"):
+            if q not in runs[100]:
+                continue
+            ab[q] = {"linear": entry_at(runs[100][q])}
+            for strat, data in closure.items():
+                if q in data:
+                    ab[q][strat] = entry_at(data[q])
+        report["closure_strategy_ab_x100"] = {
+            "note": (
+                "Same x100 corpus and partitioning; only the closure "
+                "strategy differs (linear frontier walk vs path doubling vs "
+                "the adaptive hybrid that flips to doubling past depth 4). "
+                "The question on the table (VERDICT r8 #5): does doubling "
+                "cut the linear walk's external-sort spill at this depth, "
+                "or does shuffling the whole closure per round cost more "
+                "than the saved rounds? Both outcomes are evidence; the "
+                "numbers decide."),
+            "queries": ab}
+
+    # ---- as-of hot-key stress (x10 corpus, 30% single-user skew) ----
+    if os.path.exists("target/asof_skew_x10.json") and full.get(10):
+        with open("target/asof_skew_x10.json") as fh:
+            skew = json.load(fh)["queries"]
+        ab = {}
+        for q in ("q_asof_plan", "q_asof_backward"):
+            if q in skew and q in full[10]:
+                ab[q] = {"uniform_x10": entry_at(full[10][q]),
+                         "skew30_x10": entry_at(skew[q])}
+        report["asof_hot_key_stress_x10"] = {
+            "note": (
+                "SkewGen remapped 30% of the x10 events onto ONE user (row "
+                "count and all other columns unchanged; uniform_x10 is the "
+                "exact control). Both as-of forms key their heavy op by "
+                "user — AsOfJoinExec via HashClusteredDistribution, the "
+                "window form via partitionBy — so the hot user rides one "
+                "task and AQE's skew-join split (SortMergeJoin-only) "
+                "cannot rebalance it. This MEASURES the documented limit "
+                "(SURVEY: range-split by time upstream for hot keys): "
+                "expect wall-time dominated by the straggler task and "
+                "peak_task_mem/spill concentrated in it."),
+            "queries": ab}
 
     # ---- partitions matrix (x32 corpus, 8g JVM, partitions swept) ----
     sweep = (32, 128, 256)
