@@ -43,12 +43,16 @@ case class FloatVecDot(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (FloatVecDot.hasNullElement(x) || FloatVecDot.hasNullElement(y)) null
-    else FloatVecDot.dot(x.toFloatArray(), y.toFloatArray())
+    else FloatVecDot.dotData(x, y)
   }
 
   // null ELEMENTS yield null (matching the zip_with/aggregate HOF form,
-  // where a null product poisons the fold) instead of toFloatArray()
-  // throwing — required for VecDotRewrite to be a safe substitution
+  // where a null product poisons the fold) instead of the element
+  // accessor throwing — required for VecDotRewrite to be a safe
+  // substitution. dotData reads the ArrayData in place: the earlier
+  // toFloatArray() form copied both vectors per evaluation, and at
+  // n x k pair counts (ANN scoring, k-means assignment) that copy
+  // churn dominated the arithmetic.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
@@ -56,7 +60,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |    graft.functions.FloatVecDot.hasNullElement($b)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.FloatVecDot.dot($a.toFloatArray(), $b.toFloatArray());
+         |  ${ev.value} = graft.functions.FloatVecDot.dotData($a, $b);
          |}
        """.stripMargin)
 
@@ -80,6 +84,17 @@ object FloatVecDot {
     var s = 0.0
     var i = 0
     while (i < n) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Same fold, reading ArrayData IN PLACE (UnsafeArrayData.getFloat
+    * is an offset read) — no per-evaluation array copies. Callers
+    * must have excluded null elements (hasNullElement) first. */
+  def dotData(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     s
   }
 }
@@ -119,21 +134,23 @@ case class LongVecDot(left: Expression, right: Expression,
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (FloatVecDot.hasNullElement(x) || FloatVecDot.hasNullElement(y)) null
-    else if (failOnOverflow) LongVecDot.dotExact(x.toLongArray(), y.toLongArray())
-    else LongVecDot.dot(x.toLongArray(), y.toLongArray())
+    else if (failOnOverflow) LongVecDot.dotExactData(x, y)
+    else LongVecDot.dotData(x, y)
   }
 
   // null ELEMENTS yield null, matching the HOF form (a null product
   // poisons the fold) — required for VecDotRewrite substitution safety
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (failOnOverflow) "dotExact" else "dot"
+    // *Data variants read ArrayData in place — no per-evaluation
+    // copies (see FloatVecDot.dotData)
+    val fn = if (failOnOverflow) "dotExactData" else "dotData"
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |if (graft.functions.FloatVecDot.hasNullElement($a) ||
          |    graft.functions.FloatVecDot.hasNullElement($b)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.LongVecDot.$fn($a.toLongArray(), $b.toLongArray());
+         |  ${ev.value} = graft.functions.LongVecDot.$fn($a, $b);
          |}
        """.stripMargin)
   }
@@ -158,6 +175,24 @@ object LongVecDot {
     var s = 0L
     var i = 0
     while (i < n) { s = Math.addExact(s, Math.multiplyExact(x(i), y(i))); i += 1 }
+    s
+  }
+
+  /** In-place ArrayData reads — no per-evaluation copies. */
+  def dotData(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  /** In-place, overflow-checked (ANSI-mode fold). */
+  def dotExactData(x: ArrayData, y: ArrayData): Long = {
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i))); i += 1 }
     s
   }
 }

@@ -132,9 +132,17 @@ object Cluster {
     // final aggregation — without the checkpoint each pass re-runs the
     // scan + quantization chain (same discipline as q_corpus_e2e's
     // Mix-stage boundary)
-    val q = emb.select(col(idCol).cast("long").as("id"),
+    val qNarrow = emb.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
+    // join-path assignment fans each row out k ways, so its work is
+    // n x k however few input splits the (small-on-disk, float-packed)
+    // embedding parquet arrived in — ONE extra n-row shuffle here
+    // spreads the fan-out across the cluster (measured 16x on a
+    // single-split x32 corpus). The literal path stays zero-shuffle.
+    val q = (if (k > literalAssignMaxK)
+               qNarrow.repartition(spark.sparkContext.defaultParallelism)
+             else qNarrow)
       .localCheckpoint(false)
 
     // deterministic init: the k smallest ids' vectors, cluster id by
@@ -163,25 +171,45 @@ object Cluster {
     }
 
     // large-k argmin: explode the k cluster ids per row, broadcast-
-    // hash-join the k-row centroid table, min_by(struct(dist, cid))
-    // per (id, q). The k x n intermediate never shuffles at k x n
-    // width — the min aggregation partial-combines map-side back to
-    // one row per id before the (id)-keyed exchange, so shuffle
-    // volume is n rows regardless of k. Same integer distance, same
-    // (dist, cid) tie-break: bit-identical to assignLiteral.
+    // hash-join the k-row centroid table, take the min per id. Two
+    // deliberate scale moves, both measured (an HOF + struct-min
+    // draft ran 100x slower at k=1000):
+    //  - distance via the NATIVE codegen'd LongVecDot (dist =
+    //    aa - 2ab + bb with aa/bb precomputed per row/centroid) —
+    //    zip_with/aggregate lambdas are interpreted-eval expressions,
+    //    catastrophic at n x k pair counts;
+    //  - (dist, cid) PACKED into one long (dist * k + cid, dist >= 0,
+    //    cid < k): min(packed) is a primitive hash-aggregate with
+    //    map-side combine, where min(struct) falls back to a
+    //    SortAggregate that sorts all n x k rows. Packing preserves
+    //    the (dist, cid) tie-break exactly; overflow needs
+    //    dist * k < 2^63 — int8-grid dist <= dim x 254^2, fine for
+    //    any real dim at k <= 4096.
+    // Shuffle volume is n rows regardless of k (partial min per
+    // partition first). Bit-identical to assignLiteral (spec-proven).
     def assignJoin(cents: IndexedSeq[Seq[Long]]): DataFrame = {
       import spark.implicits._
+      import graft.functions.VectorFunctions.vecDotLong
+      val kk = cents.size.toLong
       val cdf = broadcast(
-        cents.zipWithIndex.map { case (cq, c) => (c, cq) }.toDF("cid", "cq"))
-      q.withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))
+        cents.zipWithIndex
+          .map { case (cq, c) =>
+            (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
+          .toDF("cid", "cq", "bb"))
+      val best = q
+        .withColumn("aa", vecDotLong(col("q"), col("q")))
+        .withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))
         .join(cdf, "cid")
-        .withColumn("dist",
-          aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-        .groupBy(col("id"), col("q"))
-        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("id"),
+          ((col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb"))
+            * lit(kk) + col("cid")).as("packed"))
+        .groupBy("id").agg(min(col("packed")).as("packed"))
+      q.join(best, "id")
         .select(col("id"), col("q"),
-          col("best.cid").as("cid"), col("best.dist").as("dist"))
+          (col("packed") % kk).cast("int").as("cid"),
+          // integer `div`, not `/` (which is double division — lossy
+          // past 2^53; packed stays exact as a long throughout)
+          expr(s"packed div ${kk}L").as("dist"))
     }
 
     def assign(cents: IndexedSeq[Seq[Long]]): DataFrame =
