@@ -41,6 +41,19 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** A finished Lloyd's run. `assigned` is the FINAL per-row
+    * assignment, made against `assignCentroids` (the last
+    * pre-update centroid set — the set that DEFINES the cells);
+    * `centroids` is the post-update set (what the next iteration
+    * would assign against, and what [[kmeansInt8]] fingerprints).
+    * IVF probing must rank `assignCentroids`, not `centroids`:
+    * probing a different centroid set than the one that assigned the
+    * cells silently skips the right cells near cell boundaries. */
+  private[graft] final case class Trained(
+      assigned: DataFrame,
+      assignCentroids: IndexedSeq[Seq[Long]],
+      centroids: IndexedSeq[Seq[Long]])
+
   /** Above this k the assignment switches from centroid LITERALS (zero
     * shuffle, one codegen'd argmin projection — but the expression tree
     * grows k × dim nodes, a codegen bomb past a few dozen centroids)
@@ -79,7 +92,7 @@ object Cluster {
     * Size k with [[kForCorpus]] so cells track the corpus. */
   def kmeansAssignInt8(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int): DataFrame =
-    trainInt8(emb, idCol, vecCol, k, iters)._1
+    trainInt8(emb, idCol, vecCol, k, iters).assigned
       .select(col("id").as(idCol), col("cid").as("cluster"))
 
   /** @return one row per cluster: (cluster, n_members, inertia,
@@ -88,7 +101,8 @@ object Cluster {
     *         post-update centroid (md5 of the comma-joined longs). */
   def kmeansInt8(emb: DataFrame, idCol: String, vecCol: String,
                  k: Int, iters: Int): DataFrame = {
-    val (assigned, centroids) = trainInt8(emb, idCol, vecCol, k, iters)
+    val tr = trainInt8(emb, idCol, vecCol, k, iters)
+    val (assigned, centroids) = (tr.assigned, tr.centroids)
     val spark = emb.sparkSession
     // final surface: membership + inertia from the last assignment,
     // fingerprint of the post-update centroid (hashed by Spark's own
@@ -115,7 +129,7 @@ object Cluster {
   private[graft] def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
                                k: Int, iters: Int,
                                literalAssignMaxK: Int = LiteralAssignMaxK)
-      : (DataFrame, IndexedSeq[Seq[Long]]) = {
+      : Trained = {
     require(k > 0 && k <= 4096,
       s"k bounded at 4096 (flat assignment scores all k centroids per row — " +
         s"O(k x dim); shard first beyond this, see kForCorpus); got $k")
@@ -216,7 +230,9 @@ object Cluster {
       if (cents.size <= literalAssignMaxK) assignLiteral(cents) else assignJoin(cents)
 
     var assigned: DataFrame = null
+    var assignCentroids: IndexedSeq[Seq[Long]] = centroids
     for (_ <- 1 to iters) {
+      assignCentroids = centroids
       // lazily checkpointed: the update's collect below materializes
       // the assignment, and the final membership/inertia aggregation
       // reuses the checkpointed RDD instead of re-running the argmin
@@ -247,6 +263,6 @@ object Cluster {
       }
     }
 
-    (assigned, centroids)
+    Trained(assigned, assignCentroids, centroids)
   }
 }

@@ -30,6 +30,40 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup: triage a NEW batch against an already-
+    * indexed history — the corpus-UPDATE pattern (a crawl refresh, a
+    * nightly ingest) where re-deduping 100 TB of history per batch is
+    * the thing a production pipeline must never do. Only fingerprints
+    * of the history move: the history side reduces to one (fp,
+    * min id) row per distinct content BEFORE the join (map-side
+    * combined), the batch resolves within itself the same way, and
+    * the verdict is one left join on fp. History text is never
+    * re-shuffled; at scale the (fp, id) index would be a persisted
+    * bucketed table this join co-locates with.
+    *
+    * Per batch doc: `status` = 'dup_history' (content already
+    * indexed) | 'dup_batch' (first seen in this batch, but not this
+    * row) | 'new'; `canonical_id` = the doc everything downstream
+    * should rewrite to (history winner, else batch winner, else
+    * itself). */
+  def incrementalExact(history: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val hIdx = history
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol).cast("long").as("__hid"))
+      .groupBy("fp").agg(min(col("__hid")).as("__hist_id"))
+    val b = batch.select(col(idCol).cast("long").as(idCol),
+      fingerprint(col(textCol)).as("fp"))
+    val bIdx = b.groupBy("fp").agg(min(col(idCol)).as("__batch_min"))
+    b.join(bIdx, Seq("fp"))
+      .join(hIdx, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        when(col("__hist_id").isNotNull, lit("dup_history"))
+          .when(col(idCol) =!= col("__batch_min"), lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        // for 'new' rows the batch winner IS the row itself
+        coalesce(col("__hist_id"), col("__batch_min")).as("canonical_id"))
+  }
+
   /** All unordered in-bucket pairs from a sorted id list column. */
   private def bucketPairs(docsCol: Column): Column =
     explode(flatten(

@@ -147,6 +147,65 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
 
+  /** IVF ANN over the engine's own BIT-DETERMINISTIC int8 k-means
+    * ([[Cluster.trainInt8]]) instead of ML KMeans — same cell routing
+    * as [[ivfTopK]], but because the cell training is an exact
+    * integer trajectory the WHOLE approximate path (cells, probe
+    * ranking, candidate set, top-k) is a pure function of the data
+    * that an oracle can replay: this is what lets q_ann_recall put an
+    * oracle-checked recall@k number on a production nprobe < nlist
+    * config, where the seed-dependent ML-KMeans variant can only ever
+    * be rows-only.
+    *
+    * Probing ranks the ASSIGNMENT centroids (the pre-update set that
+    * defined the cells, [[Cluster.Trained.assignCentroids]]) by exact
+    * integer L2 with the same (dist, cid) tie-break as assignment —
+    * probing the post-update set would skip the right cells near cell
+    * boundaries. Queries must be rows of the corpus (selected by
+    * `queryFilter`): the shared global int8 grid is what makes query
+    * and centroid distances comparable.
+    *
+    * Scale shape: cells shuffle once by id for the vector fetch; the
+    * probe table (queries × nprobe) and query vectors broadcast; the
+    * candidate fan-out is |probed cells| × cell size, never all
+    * pairs. Size nlist with [[Cluster.kForCorpus]]. */
+  def ivfInt8TopK(corpus: DataFrame, queryFilter: Column, k: Int,
+                  nlist: Int = 8, iters: Int = 2, nprobe: Int = 2,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tr = Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters)
+    val cells = tr.assigned // (id, q, cid, dist)
+    // query rows' quantized vectors come from the same assignment
+    // frame — same grid, no re-quantization drift
+    val qids = corpus.filter(queryFilter)
+      .select(col(idCol).cast("long").as("id"))
+    val qq = cells.join(broadcast(qids), Seq("id"))
+      .select(col("id").as("query_id"), col("q"))
+    val scoredCells = array(tr.assignCentroids.indices.map { c =>
+      struct(
+        aggregate(
+          zip_with(col("q"), typedlit(tr.assignCentroids(c)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(c).as("cid"))
+    }: _*)
+    val probed = qq.withColumn("__p", slice(array_sort(scoredCells), 1, nprobe))
+      .select(col("query_id"), explode(col("__p").getField("cid")).as("cid"))
+    val corpusVec = corpus.select(col(idCol).cast("long").as("id"), col(vecCol))
+    val qVec = corpus.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val cand = cells.select(col("id"), col("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .join(corpusVec, Seq("id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
   /** Multi-table LSH ANN: a query's candidates are the union of its
     * buckets across all tables (dedup'd), then exact cosine top-k on
     * the candidates. More tables → higher recall; more planes →

@@ -97,6 +97,20 @@ object QueriesText {
         .orderBy("fp")
     }),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // incremental corpus update: docs hashing into the 70% split
+      // are the already-indexed history; the other 30% arrive as the
+      // new batch and are triaged against the history's (fp, min id)
+      // index (Dedup.incrementalExact — only fingerprints of the
+      // history move, its text is never re-shuffled)
+      val docs = Tables(s, d).documents
+      Dedup.incrementalExact(
+          docs.filter(col("doc_id") % 10 < 7),
+          docs.filter(col("doc_id") % 10 >= 7),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_ngram" -> ((s, d) => {
       Dedup.ngramJaccard(Tables(s, d).documents, "doc_id", "text",
           shingleN = 3, threshold = 0.5)
@@ -389,6 +403,31 @@ object QueriesText {
       Similarity.ivfTopK(t.embeddings, t.embeddings.filter(col("vec_id") < 3),
           k = 5, nlist = 16, nprobe = 16)
         .orderBy("query_id", "rk")
+    }),
+
+    "q_ann_recall" -> ((s, d) => {
+      // ORACLE-CHECKED recall@k at a PRODUCTION nprobe < nlist: the
+      // IVF is built on the engine's own bit-deterministic int8
+      // k-means (Similarity.ivfInt8TopK), so the approximate result
+      // set — and therefore the recall number itself — is a pure
+      // function of the data that DuckDB replays exactly (kmeansCtes
+      // + probe + cell-local top-k vs the brute-forced truth). This
+      // closes the gap the verify twins leave: q_ann_ivf_verify
+      // proves the machinery at nprobe = nlist; this measures the
+      // approximation quality where it is actually approximate.
+      val t = Tables(s, d)
+      val ivf = Similarity.ivfInt8TopK(t.embeddings, col("vec_id") < 8,
+        k = 5, nlist = 8, iters = 2, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(t.embeddings,
+        t.embeddings.filter(col("vec_id") < 8), k = 5, useNative = true)
+      exact.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("__hit")).as("n_hits"), count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"), col("k"),
+          round(col("n_hits").cast("double") / col("k"), 6).as("recall"))
+        .orderBy("query_id")
     }),
 
     "q_kmeans" -> ((s, d) => {
@@ -753,6 +792,56 @@ object QueriesText {
       |   FROM qv, c1 c)) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // replays the full approximate path: probe = rank the SAME c1
+    // centroids a2's cells were assigned against (exact integer L2,
+    // (dist, cid) ties), take nprobe=2; candidates = probed cells
+    // minus self; IVF top-5 by exact cosine; recall = overlap with
+    // the brute-forced truth per query
+    "q_ann_recall" ->
+      s"""WITH $kmeansCtes,
+         |probe AS (
+         | SELECT id AS query_id, cid FROM (
+         |  SELECT aq.id, c.cid,
+         |   row_number() OVER (PARTITION BY aq.id ORDER BY
+         |    cast(list_sum(list_transform(range(1, len(aq.q) + 1),
+         |      i -> (aq.q[i] - c.cq[i]) * (aq.q[i] - c.cq[i]))) as bigint), c.cid) AS rk
+         |  FROM (SELECT id, q FROM a2 WHERE id < 8) aq, c1 c)
+         | WHERE rk <= 2),
+         |cand AS (
+         | SELECT p.query_id, a.id AS neighbor_id
+         | FROM probe p JOIN a2 a ON a.cid = p.cid AND a.id <> p.query_id),
+         |ivf AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |   row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |    list_sum(list_transform(list_zip(eq.embedding, en.embedding),
+         |      p -> cast(p[1] as double) * cast(p[2] as double)))
+         |    / (sqrt(list_sum(list_transform(eq.embedding, x -> cast(x as double) * cast(x as double))))
+         |     * sqrt(list_sum(list_transform(en.embedding, x -> cast(x as double) * cast(x as double))))) DESC,
+         |    c.neighbor_id) AS rk
+         |  FROM cand c
+         |   JOIN embeddings eq ON eq.vec_id = c.query_id
+         |   JOIN embeddings en ON en.vec_id = c.neighbor_id)
+         | WHERE rk <= 5),
+         |brute AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |    list_sum(list_transform(list_zip(q.qv, e.embedding),
+         |      p -> cast(p[1] as double) * cast(p[2] as double)))
+         |    / (sqrt(list_sum(list_transform(q.qv, x -> cast(x as double) * cast(x as double))))
+         |     * sqrt(list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))))) DESC,
+         |    e.vec_id) AS rk
+         |  FROM embeddings e CROSS JOIN
+         |   (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8) q
+         |  WHERE e.vec_id <> q.query_id)
+         | WHERE rk <= 5)
+         |SELECT b.query_id, count(i.neighbor_id) AS n_hits, count(*) AS k,
+         | round(cast(count(i.neighbor_id) as double) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN ivf i
+         | ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $kmeansCtes,
@@ -1165,6 +1254,19 @@ object QueriesText {
          | f.doc_id = k.keep_id AS is_kept
          |FROM fp f JOIN k USING (fp)
          |ORDER BY f.doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |h AS (SELECT fp, min(doc_id) AS hist_id FROM fp WHERE doc_id % 10 < 7 GROUP BY 1),
+         |b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 7),
+         |bm AS (SELECT fp, min(doc_id) AS batch_min FROM b GROUP BY 1)
+         |SELECT b.doc_id, b.fp,
+         | CASE WHEN h.hist_id IS NOT NULL THEN 'dup_history'
+         |      WHEN b.doc_id <> bm.batch_min THEN 'dup_batch'
+         |      ELSE 'new' END AS status,
+         | coalesce(h.hist_id, bm.batch_min) AS canonical_id
+         |FROM b JOIN bm USING (fp) LEFT JOIN h USING (fp)
+         |ORDER BY b.doc_id""".stripMargin,
 
     "q_dedup_spans" ->
       s"""WITH t AS (

@@ -49,9 +49,11 @@ class ClusterSpec extends AnyFunSuite {
     // centroid sequence AND the final per-row (cid, dist) assignment
     val emb = embTable((0L until 120L).map(i =>
       i -> Seq.tabulate(6)(j => ((i * 17 + j * 11) % 19 - 9).toFloat / 4f)))
-    val (aLit, cLit) = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3)
-    val (aJoin, cJoin) = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3,
+    val trLit = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3)
+    val trJoin = Cluster.trainInt8(emb, "vec_id", "embedding", k = 5, iters = 3,
       literalAssignMaxK = 0)
+    val (aLit, cLit) = (trLit.assigned, trLit.centroids)
+    val (aJoin, cJoin) = (trJoin.assigned, trJoin.centroids)
     assert(cLit == cJoin, "post-update centroids identical across assignment paths")
     val lit = aLit.select("id", "cid", "dist").orderBy("id").collect().toSeq
     val join = aJoin.select("id", "cid", "dist").orderBy("id").collect().toSeq

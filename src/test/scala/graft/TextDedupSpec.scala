@@ -62,6 +62,27 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 1L)
   }
 
+  test("incrementalExact triages a new batch against the history index") {
+    // history: docs 1-3 (1 and 2 are the same content). batch: 6 =
+    // dup of history's 1, 7/8 = dups of each other (7 wins), 9 = new.
+    val history = docs.filter(col("doc_id") <= 3)
+    val batch = Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (7L, "a batch-internal duplicate sentence appearing twice in this ingest"),
+      (8L, "a BATCH-internal duplicate sentence, appearing twice in this ingest"),
+      (9L, "genuinely novel content never seen in history or this batch"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(history, batch, "doc_id", "text")
+      .select("doc_id", "status", "canonical_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, st, c) => id -> ((st, c)) }.toMap
+    assert(out(6L) == (("dup_history", 1L)), "content indexed under history min id 1")
+    assert(out(7L) == (("new", 7L)), "batch winner of an unseen fp is new")
+    assert(out(8L) == (("dup_batch", 7L)), "loser rewrites to the batch winner")
+    assert(out(9L) == (("new", 9L)))
+    assert(out.size == 4, "every batch doc gets exactly one verdict")
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
         shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -349,5 +370,38 @@ class ComponentsIvfSpec extends AnyFunSuite {
     val ivf = graft.operators.Similarity.ivfTopK(emb, q, 5, nlist = 8, nprobe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty && (ivf & bf).nonEmpty)
+  }
+
+  test("int8 IVF at nprobe = nlist reproduces brute force exactly") {
+    // every cell probed -> candidates = whole corpus, so the int8
+    // cell assignment / probe ranking / candidate join / top-k must
+    // reproduce exact brute force regardless of what the clustering
+    // learned — the same exhaustive-probe property the ML-KMeans twin
+    // (q_ann_ivf_verify) pins, now for the deterministic trainer
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val bf = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 4)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val ivf = graft.operators.Similarity
+      .ivfInt8TopK(emb, col("vec_id") < 5, k = 4, nlist = 8, iters = 2, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf, "exhaustive probe must equal brute force")
+  }
+
+  test("int8 IVF at production nprobe returns a ranked subset with nonzero recall") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val ivf = graft.operators.Similarity
+      .ivfInt8TopK(emb, col("vec_id") < 5, k = 4, nlist = 8, iters = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSeq
+    val bf = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // per query: ranks are 1..n with no gaps, neighbors distinct
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+      assert(rows.map(_._2).distinct.size == rows.size)
+    }
+    val hits = ivf.map(r => (r._1, r._2)).toSet & bf
+    assert(hits.nonEmpty, "2-of-8-cell probe should still recover some true neighbors")
   }
 }
