@@ -57,13 +57,19 @@ class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
     val (r, b) = org.apache.spark.sql.GraftBridge.maxBroadcastBuild(qe.executedPlan)
     rows.getAndUpdate(cur => math.max(cur, r))
     bytes.getAndUpdate(cur => math.max(cur, b))
-    // rows the sink wrote — ONLY from executions whose plan is the V2
-    // noop write (helper jobs: collects, convergence count()s — answer
-    // -1 and are ignored; a max over all executions would let a helper
-    // count()'s 1-row aggregate mask a zero-output sink). Last-wins so
-    // the recorded number is the final sink execution's own.
-    val sunk = org.apache.spark.sql.GraftBridge.sinkWrittenRows(qe.executedPlan)
-    if (sunk >= 0) outRows.set(sunk)
+    // rows the sink wrote — read from the bench's own `observe`
+    // (CollectMetricsExec at the plan root, so it counts EXACTLY the
+    // rows delivered to the noop sink, 0 included). Helper executions
+    // a query triggers on the side (centroid collects, convergence
+    // count()s) carry no observation and are ignored — a max over all
+    // executions' numOutputRows would let a helper count()'s 1-row
+    // aggregate mask a zero-output sink (and the V2 noop write exec
+    // itself exposes no row metric at all, measured in r9: a plan-walk
+    // approach reported -1 on every query). Last-wins: the final sink
+    // execution's own number.
+    qe.observedMetrics.get(Bench.SinkObservation).foreach { row =>
+      outRows.set(row.getLong(0))
+    }
   }
   override def onFailure(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
@@ -71,6 +77,10 @@ class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
 }
 
 object Bench {
+  /** Name of the sink-row observation the bench injects at every
+    * query's plan root (see BroadcastProbe.onSuccess). */
+  val SinkObservation = "graft_sink"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
@@ -137,7 +147,11 @@ object Bench {
         bcast.reset()
         val t0 = System.nanoTime()
         val elapsed =
-          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          try { fn(spark, sfDir)
+                  .observe(SinkObservation,
+                    org.apache.spark.sql.functions.count(
+                      org.apache.spark.sql.functions.lit(1)))
+                  .write.mode("overwrite").format("noop").save()
                 (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")

@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindRefe
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, expr, last, lit, max, struct, when}
 import org.apache.spark.sql.types.LongType
 
 /** Whole-operator Catalyst extension: a native backward as-of join
@@ -48,7 +50,21 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               tolerance: Long = -1L): DataFrame = {
+               tolerance: Long = -1L): DataFrame =
+    backwardKeys(left, right, Seq(leftKey), Seq(rightKey),
+      leftTime, rightTime, tolerance)
+
+  /** [[backward]] with a COMPOSITE equi-key. The physical operator is
+    * multi-key already — ClusteredDistribution, the merge ordering and
+    * the key comparator all take key sequences; only the string API
+    * was single-key. The extra key slots are what
+    * [[backwardRangeSplit]] uses to shard a hot key by time bucket. */
+  def backwardKeys(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   tolerance: Long = -1L): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"key lists must be non-empty and equal-length; got $leftKeys vs $rightKeys")
     val spark = left.sparkSession
     // cast the time columns to long up front so the physical operator
     // only ever sees LongType ordering columns
@@ -60,17 +76,113 @@ object AsOfJoin {
       plan.output.find(a => spark.sessionState.analyzer.resolver(a.name, name))
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not found in ${plan.output.map(_.name).mkString(", ")}"))
-    val lk = resolve(lPlan, leftKey)
-    val rk = resolve(rPlan, rightKey)
+    val lks = leftKeys.map(resolve(lPlan, _))
+    val rks = rightKeys.map(resolve(rPlan, _))
     // the node is built already-resolved, so the analyzer never inserts
     // key casts: mismatched key types would hash-partition and compare
     // raw bytes differently per side and silently match nothing
-    require(lk.dataType == rk.dataType,
-      s"as-of join key types must match exactly: $leftKey is ${lk.dataType}, " +
-        s"$rightKey is ${rk.dataType} — cast one side before joining")
-    val node = AsOfJoinPlan(lPlan, rPlan, Seq(lk), Seq(rk),
+    lks.zip(rks).foreach { case (lk, rk) =>
+      require(lk.dataType == rk.dataType,
+        s"as-of join key types must match exactly: ${lk.name} is ${lk.dataType}, " +
+          s"${rk.name} is ${rk.dataType} — cast one side before joining")
+    }
+    val node = AsOfJoinPlan(lPlan, rPlan, lks, rks,
       resolve(lPlan, leftTime), resolve(rPlan, rightTime), tolerance)
     GraftBridge.ofRows(spark, node)
+  }
+
+  /** Hot-key-safe backward as-of: SAME results as [[backward]] (spec-
+    * proven on fuzz corpora), but the shuffle key is (key, time-bucket)
+    * instead of key alone, so a user holding 30% of the corpus splits
+    * across timeRange/bucketWidth tasks instead of landing whole on
+    * one. This is the "range-split by time upstream" mitigation SURVEY
+    * documents for the ordered-scan as-of's hot-key limit — AQE's skew
+    * split only rewrites SortMergeJoin, so the custom exec needs its
+    * own.
+    *
+    * Correctness decomposes per left row: the answer is either in the
+    * row's own bucket (the composite-key as-of finds it) or it is the
+    * globally latest reference in a STRICTLY earlier bucket (the
+    * carry-in). Carry-ins are computed on a per-(key, bucket) rollup —
+    * one row per key per occupied bucket, NOT per reference row — so
+    * the LOCF window that chains them scans O(occupied buckets) rows
+    * per key however hot the key is; that rollup is the only state
+    * crossing buckets. Among equal-time references the carry
+    * arbitrates by payload struct comparison (the base operator's
+    * equal-time winner is sort-order-dependent; make (key, time)
+    * unique upstream for determinism either way, as with any ASOF
+    * JOIN).
+    *
+    * Sides must not share column names (rename upstream — the output
+    * concatenates both sides, as in [[backward]]). Choose bucketWidth
+    * ~ timeRange / desired-parallelism for the hottest key; a width
+    * covering the whole range degenerates to [[backward]]'s
+    * distribution (one bucket, empty carry). */
+  def backwardRangeSplit(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         bucketWidth: Long, tolerance: Long = -1L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive; got $bucketWidth")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"sides must not share column names; both have $dup")
+    // exact floor division for LongType: x/w runs as double division
+    // (loses exactness past 2^53) and `div` alone truncates toward
+    // zero for negatives — subtracting pmod first makes `div` exact
+    def bucketOf(timeCol: String): Column =
+      expr(s"(cast(`$timeCol` as bigint) - pmod(cast(`$timeCol` as bigint), " +
+        s"${bucketWidth}L)) div ${bucketWidth}L")
+    val l = left.withColumn(leftTime, col(leftTime).cast(LongType))
+      .withColumn("__lb", bucketOf(leftTime))
+    val r = right.withColumn(rightTime, col(rightTime).cast(LongType))
+      .withColumn("__rb", bucketOf(rightTime))
+    val rCols = right.columns.toSeq
+
+    // per-(key, bucket) latest reference, payload carried as a struct:
+    // one row per key per occupied bucket — the bounded cross-bucket state
+    val rRoll = r.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(rightKey).as("__ck"), col("__rb").as("__cb"))
+      .agg(max(struct(col(rightTime).as("__t"),
+        struct(rCols.map(col): _*).as("__p"))).as("__best"))
+    val bestType = rRoll.schema("__best").dataType
+    // LOCF chain: probes see the latest rollup from STRICTLY earlier
+    // buckets — (bucket, isref) ordering puts same-bucket refs AFTER
+    // the probe, so in-bucket references never leak into the carry
+    val probes = l.filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
+      .select(col(leftKey).as("__ck"), col("__lb").as("__cb")).distinct()
+    val uni = rRoll
+      .select(col("__ck"), col("__cb"), lit(1).as("__isref"), col("__best"))
+      .unionByName(probes.select(col("__ck"), col("__cb"), lit(0).as("__isref"),
+        lit(null).cast(bestType).as("__best")))
+    val w = Window.partitionBy(col("__ck"))
+      .orderBy(col("__cb"), col("__isref"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = uni
+      .withColumn("__carry", last(col("__best"), ignoreNulls = true).over(w))
+      .filter(col("__isref") === 0)
+      .select(col("__ck"), col("__cb"), col("__carry"))
+
+    val lAug = l.join(carry,
+        l(leftKey) === carry("__ck") && col("__lb") === carry("__cb"), "left")
+      .drop("__ck", "__cb")
+    // in-bucket pass: the same physical operator, composite key
+    val joined = backwardKeys(lAug, r, Seq(leftKey, "__lb"), Seq(rightKey, "__rb"),
+      leftTime, rightTime, tolerance)
+    // fix-up: an in-bucket match always beats the carry (it is at
+    // least as recent); otherwise the carry stands if within
+    // tolerance. A matched row's right time is non-null by
+    // construction, so it is the match indicator.
+    val matched = col(rightTime).isNotNull
+    val carryOk = col("__carry").isNotNull &&
+      (if (tolerance < 0) lit(true)
+       else col(leftTime) - col("__carry").getField("__t") <= lit(tolerance))
+    val outCols =
+      left.columns.toSeq.map(col) ++
+        rCols.map { c =>
+          when(matched, col(c))
+            .otherwise(when(carryOk, col("__carry").getField("__p").getField(c)))
+            .as(c)
+        }
+    joined.select(outCols: _*)
   }
 }
 

@@ -548,6 +548,33 @@ object QueriesDepth {
         .orderBy("event_id")
     }),
 
+    "q_asof_split" -> ((s, d) => {
+      // the SAME association as q_asof_plan, executed HOT-KEY-SAFE:
+      // AsOfJoin.backwardRangeSplit shuffles on (user, day-bucket)
+      // instead of user alone, with a per-(user, bucket) carry-in
+      // rollup restoring cross-bucket LOCF — the "range-split by time
+      // upstream" mitigation for the ordered-scan as-of's hot-key
+      // limit, measured against q_asof_plan on the SkewGen corpus in
+      // the scale matrix. Identical output, same ASOF LEFT JOIN oracle.
+      val t = Tables(s, d)
+      val ev = t.events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(min(col("event_id")).as("purchase_id"),
+          min_by(col("value"), col("event_id")).as("p_value"))
+        .select(col("p_user"), unix_micros(col("p_ts")).as("p_t_us"),
+          col("purchase_id"), col("p_value"))
+      graft.plans.AsOfJoin.backwardRangeSplit(clicks, purchases,
+          "user_id", "p_user", "t_us", "p_t_us",
+          bucketWidth = 86400000000L) // 1 day of micros: ~30 buckets here
+        .select(col("event_id"), col("user_id"), col("purchase_id"), col("p_value"),
+          ((col("t_us") - col("p_t_us")) / 1000000L).cast("double").as("asof_lag_sec"))
+        .orderBy("event_id")
+    }),
+
     "q_set_ops" -> ((s, d) => {
       // relational set operators — the reference thins skip-lists and
       // compares releases with subtract/intersect/exceptAll
@@ -1003,6 +1030,22 @@ object QueriesDepth {
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_asof_plan" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, cast(ts as timestamp) AS tts
+        | FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        | SELECT user_id AS p_user, cast(ts as timestamp) AS p_tts,
+        |  min(event_id) AS purchase_id, arg_min(value, event_id) AS p_value
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.p_value,
+        | cast(epoch_us(c.tts) - epoch_us(p.p_tts) as double) / 1000000 AS asof_lag_sec
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.p_user AND c.tts >= p.p_tts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // the range-split form must produce byte-identical output to the
+    // plain-keyed operator, so it shares q_asof_plan's oracle verbatim
+    "q_asof_split" ->
       """WITH clicks AS (
         | SELECT event_id, user_id, cast(ts as timestamp) AS tts
         | FROM events WHERE event_type = 'click'),

@@ -57,23 +57,4 @@ object GraftBridge {
     (rows, bytes)
   }
 
-  /** Rows the EXECUTED plan's sink wrote — answers ONLY for executions
-    * whose plan actually IS a V2 table write (the bench's noop sink):
-    * -1 for every helper execution a query triggers on the side
-    * (centroid collects, convergence count()s, parity checks). Those
-    * helpers report numOutputRows >= 1 even over an EMPTY corpus — a
-    * count() on zero files still outputs one aggregate row — so a max
-    * over all executions would mask the zero-output scale gate for
-    * exactly the composite queries the r6/r7 environment-drift class
-    * hit. The bench records this last-wins: the final sink execution's
-    * own number. */
-  def sinkWrittenRows(plan: org.apache.spark.sql.execution.SparkPlan): Long = {
-    import org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec
-    // The write exec is the root for a DataFrameWriter execution, but
-    // tolerate a wrapper layer: collect anywhere — helper executions
-    // contain no V2 write node at all, so they still answer -1.
-    plan.collectFirst { case w: V2TableWriteExec =>
-      w.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-    }.getOrElse(-1L)
-  }
 }

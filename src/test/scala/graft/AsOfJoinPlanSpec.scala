@@ -75,4 +75,64 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     val b = SparkEntry.queries("q_asof_backward")(s, d).collect().toSeq
     assert(a == b)
   }
+
+  test("range-split as-of equals the plain operator on hot-key fuzz corpora") {
+    // a 40%-hot key plus uniform keys, unique (key, time) on the right
+    // (the determinism contract both forms share)
+    val rnd = new scala.util.Random(7)
+    val trades = (1 to 400).map { i =>
+      val k = if (rnd.nextInt(10) < 4) "hot" else s"k${rnd.nextInt(8)}"
+      (k, rnd.nextInt(5000).toLong, i)
+    }.toDF("tk", "tt", "trade_id")
+    val quotes = rnd.shuffle((1 to 300).map { i =>
+      (if (i % 3 == 0) "hot" else s"k${i % 8}", (i * 17 % 5003).toLong, i.toDouble)
+    }.toList).distinctBy(q => (q._1, q._2)).toDF("qk", "qt", "price")
+    for (width <- Seq(1L, 7L, 250L, 100000L); tol <- Seq(-1L, 300L)) {
+      val base = AsOfJoin.backward(trades, quotes, "tk", "qk", "tt", "qt", tol)
+        .select("trade_id", "qt", "price")
+        .as[(Int, Option[Long], Option[Double])].collect().toSet
+      val split = AsOfJoin.backwardRangeSplit(trades, quotes, "tk", "qk", "tt", "qt",
+          bucketWidth = width, tolerance = tol)
+        .select("trade_id", "qt", "price")
+        .as[(Int, Option[Long], Option[Double])].collect().toSet
+      assert(split == base, s"width=$width tol=$tol diverged: " +
+        s"missing=${(base -- split).take(3)} extra=${(split -- base).take(3)}")
+    }
+  }
+
+  test("range-split as-of: nulls, carry across empty buckets, tolerance on the carry") {
+    val trades = Seq(
+      (Some("A"), Some(1000L), 1), // carry from bucket 0 across 99 empty buckets
+      (Some("A"), Some(1005L), 2), // in-bucket quote beats the carry
+      (Some("A"), Option.empty[Long], 3),
+      (Option.empty[String], Some(1000L), 4))
+      .toDF("tk", "tt", "trade_id")
+    val quotes = Seq(("A", 3L, 1.0), ("A", 1002L, 2.0), ("B", 900L, 9.0))
+      .toDF("qk", "qt", "price")
+    val out = AsOfJoin.backwardRangeSplit(trades, quotes, "tk", "qk", "tt", "qt",
+        bucketWidth = 10L)
+      .select("trade_id", "qt", "price")
+      .as[(Int, Option[Long], Option[Double])].collect().toSet
+    assert(out == Set(
+      (1, Some(3L), Some(1.0)),    // quote 99 buckets back still carries
+      (2, Some(1002L), Some(2.0)), // same-bucket quote wins over the carry
+      (3, None, None), (4, None, None)))
+    // tolerance must also bound the carried match, not just in-bucket ones
+    val tight = AsOfJoin.backwardRangeSplit(trades, quotes, "tk", "qk", "tt", "qt",
+        bucketWidth = 10L, tolerance = 50L)
+      .filter(col("trade_id") === 1).select("price").as[Option[Double]].head()
+    assert(tight.isEmpty, "carry at lag 997 must be dropped by tolerance 50")
+  }
+
+  test("range-split plan: composite-key exchange splits the hot key by bucket") {
+    val trades = Seq(("A", 10L, 1), ("A", 110L, 2)).toDF("tk", "tt", "trade_id")
+    val quotes = Seq(("A", 5L, 1.0)).toDF("qk", "qt", "price")
+    val df = AsOfJoin.backwardRangeSplit(trades, quotes, "tk", "qk", "tt", "qt", 100L)
+    df.collect() // force AQE to finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    // both as-of exchanges hash on (key, bucket), not key alone
+    assert(plan.contains("__lb") && plan.contains("__rb"),
+      s"bucket column missing from the executed plan:\n$plan")
+  }
 }

@@ -92,6 +92,13 @@ fi
 bench asof_skew_x10.json target/scale/x10skew \
   SPARK_GRAFT_ONLY=q_asof_plan,q_asof_backward
 
+# hot-key MITIGATION A/B on the same skew corpus: plain-keyed
+# q_asof_plan vs the range-split q_asof_split (oracle-checked
+# identical output) in one session — does splitting the hot user
+# across ~30 day-buckets shrink the straggler?
+bench asof_split_x10skew.json target/scale/x10skew \
+  SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split
+
 # bloom-join A/B: fact shuffle-bytes with vs without the prune, on the
 # x32 corpus, broadcast disabled (the dim-too-big regime) — the
 # measurement BloomPrune.scala exists for.
