@@ -42,6 +42,16 @@ bench() { # outfile sfdir [env...]
 
 gen 10; gen 32; gen 100
 
+# oracle SQL dump for the gate's rule-0 adjudication: scale_report runs
+# a flagged query's own DuckDB oracle ON the scaled corpus to decide
+# whether zero output is drift or the corpus's truth (measured r9:
+# ScaleGen's perturbed documents legitimately empty q_heavy_hitters)
+if [ ! -f target/oracle_sql.json ]; then
+  echo "== oracle sql dump"
+  sbt -batch "runMain graft.Verify $SF target/oracle_dump __none__" >/dev/null 2>&1 || true
+  cp target/oracle_dump/oracle_sql.json target/oracle_sql.json
+fi
+
 # full suite at x1 (sf0.1 itself) and x10
 bench full_x1.json "$SF"
 bench full_x10.json target/scale/x10
@@ -65,8 +75,35 @@ EOF
 # (the partitions_matrix below measures that boundary directly).
 bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
-bench scale_x100.json target/scale/x100 SPARK_GRAFT_ONLY=$CORE \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
+# x100 runs the family in THREE fresh-JVM chunks, merged afterwards:
+# the single-JVM 37-query x100 run accumulates enough heap/codegen
+# pressure by the second pass to wedge (r9 measured: one run parked
+# forever in AQE's stage-event wait with zero CPU, another OOM'd a
+# task) — a fresh JVM per ~12 queries keeps old-gen pressure flat and
+# any failure isolated to its chunk.
+X100_C1=$(echo "$CORE" | cut -d, -f1-12)
+X100_C2=$(echo "$CORE" | cut -d, -f13-24)
+X100_C3=$(echo "$CORE" | cut -d, -f25-)
+i=1
+for chunk in "$X100_C1" "$X100_C2" "$X100_C3"; do
+  bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
+  i=$((i+1))
+done
+if [ ! -f target/scale_x100.json ]; then
+  python3 - <<'EOF'
+import json
+qs = {}
+for i in (1, 2, 3):
+    try:
+        qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
+    except FileNotFoundError:
+        pass
+if qs:
+    json.dump({"queries": qs, "sf": "target/scale/x100"},
+              open('target/scale_x100.json', 'w'))
+EOF
+fi
 
 # closure-strategy A/B (VERDICT r8 next-round #5): the x100 linear-walk
 # run above is the control; re-run the two closure queries with the

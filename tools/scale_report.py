@@ -210,6 +210,38 @@ def entry_at(m):
     }
 
 
+def oracle_rows_at(q, factor):
+    """Adjudicate a rule-0 flag against the DuckDB oracle ON THE SCALED
+    corpus: if the query's own oracle SQL also returns zero rows there,
+    the emptiness is the corpus's truth, not drift. Returns the oracle
+    row count, or None when it cannot be run (no dumped SQL, no DuckDB,
+    corpus missing) — None keeps the flag."""
+    try:
+        import duckdb
+    except ImportError:
+        return None
+    if not os.path.exists("target/oracle_sql.json"):
+        return None
+    sql = json.load(open("target/oracle_sql.json")).get(q)
+    if sql is None:
+        return None
+    corpus = "/root/testdata/sf0.1" if factor == 1 else f"target/scale/x{factor}"
+    if not os.path.isdir(corpus):
+        return None
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = f"{corpus}/{t}.parquet"
+        if os.path.isdir(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    try:
+        return len(con.execute(sql).fetchall())
+    except Exception:
+        return None
+
+
 def empty_run_violations(q, runs_by_factor, top, time_ratio):
     """Gate rule 0: a SCALED run whose sink wrote zero rows while the x1
     baseline wrote rows did not process the corpus (see module docstring
@@ -217,15 +249,34 @@ def empty_run_violations(q, runs_by_factor, top, time_ratio):
     rejected). Scoped to factors > 1 compared against the x1 baseline:
     a query whose result set is LEGITIMATELY empty at every factor (an
     unmatched/diff report that finds nothing) is not drift — drift is
-    rows at x1 vanishing at x10/x32/x100."""
+    rows at x1 vanishing at x10/x32/x100. A flag is ADJUDICATED against
+    the query's own DuckDB oracle on the scaled corpus when possible:
+    thresholded reports can legitimately empty out as the corpus
+    diversifies (measured r9: ScaleGen's perturbed x10 documents dilute
+    every token below q_heavy_hitters' n/(k+1) bound — the oracle on
+    that corpus returns zero rows too, so zero IS the right answer)."""
     base = runs_by_factor.get(1)
     if base is None or base.get("out_rows", -1) <= 0:
         return []
     zero = [f for f, m in runs_by_factor.items()
             if f != 1 and m is not None and m.get("out_rows", -1) == 0]
-    if zero:
-        return [{"query": q, "rule": "zero_output_rows", "factors": zero}]
-    return []
+    if not zero:
+        return []
+    confirmed, adjudicated = [], []
+    for f in zero:
+        orows = oracle_rows_at(q, f)
+        if orows == 0:
+            adjudicated.append(f)
+        else:
+            confirmed.append(f)
+    out = []
+    if confirmed:
+        out.append({"query": q, "rule": "zero_output_rows", "factors": confirmed})
+    if adjudicated:
+        out.append({"query": q, "rule": "zero_output_adjudicated_legitimate",
+                    "factors": adjudicated, "gate": False,
+                    "note": "oracle SQL on the scaled corpus also returns 0 rows"})
+    return out
 
 
 def main(out_path):
@@ -245,6 +296,16 @@ def main(out_path):
             "driver JVM."),
         "queries": {}, "failed": [], "gate_violations": [],
     }
+    # an entirely-missing factor must fail the gate, not silently
+    # shrink `top` (r9: the wedged x100 run left no dump and the
+    # report certified x32 as the top tier without complaint)
+    for f in FACTORS:
+        if not runs[f]:
+            report["failed"].append(
+                {"query": f"_factor_x{f}", "missing_factors": [f],
+                 "failed_factors": [],
+                 "note": "entire factor dump missing -> the gate cannot "
+                         "certify this tier; re-run it"})
     worst = (None, 0.0)
     for q in queries:
         missing = [f for f in FACTORS if runs[f] and q not in runs[f]]
@@ -458,7 +519,8 @@ def main(out_path):
     report["verdict"] = {
         "worst_time_growth_vs_linear": {"query": worst[0], "ratio": worst[1]},
         "failed_count": len(report["failed"]),
-        "gate_violation_count": len(report["gate_violations"]),
+        "gate_violation_count": len([v for v in report["gate_violations"]
+                                     if v.get("gate", True)]),
         "note": (f"ratio = (t_x{top}/t_x1)/{top}; <=1 means at-most-linear "
                  "wall-time growth on fixed local[32] resources. Queries "
                  "with expected_growth_note are excluded from the gate "
@@ -476,7 +538,8 @@ def main(out_path):
         print(f"{f['query']:24s} FAILED (missing {f['missing_factors']}, "
               f"crashed {f['failed_factors']})")
     for v in report["gate_violations"]:
-        print(f"{v['query']:24s} GATE VIOLATION: {v}")
+        tag = "GATE VIOLATION" if v.get("gate", True) else "adjudicated (non-gating)"
+        print(f"{v['query']:24s} {tag}: {v}")
     for q in queries:
         if q not in report["queries"]:
             continue
@@ -486,7 +549,8 @@ def main(out_path):
         print(f"{q:24s} t: {ts}  (x{top} time ratio/linear "
               f"{e[f'time_growth_vs_linear_x{top}']:.2f}, shuffle "
               f"{e[f'shuffle_growth_vs_linear_x{top}']:.2f}){flag}")
-    bad = report["failed"] or report["gate_violations"]
+    bad = report["failed"] or [v for v in report["gate_violations"]
+                               if v.get("gate", True)]
     sys.exit(1 if bad else 0)
 
 
