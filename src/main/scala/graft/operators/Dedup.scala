@@ -45,14 +45,22 @@ object Dedup {
     * indexed) | 'dup_batch' (first seen in this batch, but not this
     * row) | 'new'; `canonical_id` = the doc everything downstream
     * should rewrite to (history winner, else batch winner, else
-    * itself). */
+    * itself).
+    *
+    * NULL text fingerprints to a sentinel, not NULL: the verdict join
+    * is on fp, and a NULL key matches nothing — null-text batch docs
+    * would silently get NO verdict, contradicting the one-row-per-
+    * batch-doc contract (and diverging from [[exact]], whose groupBy
+    * keeps the null-fp group). With the sentinel, all null-text docs
+    * form one content group, the same grouping [[exact]] gives them. */
   def incrementalExact(history: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    val fpOf = (c: Column) => coalesce(fingerprint(c), lit("__null_text__"))
     val hIdx = history
-      .select(fingerprint(col(textCol)).as("fp"), col(idCol).cast("long").as("__hid"))
+      .select(fpOf(col(textCol)).as("fp"), col(idCol).cast("long").as("__hid"))
       .groupBy("fp").agg(min(col("__hid")).as("__hist_id"))
     val b = batch.select(col(idCol).cast("long").as(idCol),
-      fingerprint(col(textCol)).as("fp"))
+      fpOf(col(textCol)).as("fp"))
     val bIdx = b.groupBy("fp").agg(min(col(idCol)).as("__batch_min"))
     b.join(bIdx, Seq("fp"))
       .join(hIdx, Seq("fp"), "left")

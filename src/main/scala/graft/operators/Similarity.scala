@@ -168,10 +168,26 @@ object Similarity {
     * Scale shape: cells shuffle once by id for the vector fetch; the
     * probe table (queries × nprobe) and query vectors broadcast; the
     * candidate fan-out is |probed cells| × cell size, never all
-    * pairs. Size nlist with [[Cluster.kForCorpus]]. */
+    * pairs. Size nlist with [[Cluster.kForCorpus]].
+    *
+    * Probe paths (the [[Cluster.LiteralAssignMaxK]] discipline —
+    * the centroid-scoring expression tree is nlist × dim nodes, a
+    * codegen bomb past a few dozen centroids, exactly what
+    * Cluster.assignJoin exists to avoid):
+    *  - nlist <= LiteralAssignMaxK: centroid LITERALS, one codegen'd
+    *    sort of nlist scored structs per query row — zero extra
+    *    shuffle;
+    *  - larger nlist: explode nlist cids per QUERY row (queries are
+    *    few — the fan-out is |queries| × nlist, never corpus-sized),
+    *    broadcast-join the nlist-row centroid table, exact integer
+    *    dist = aa - 2ab + bb via the native LongVecDot, rank per
+    *    query with the same (dist, cid) ascending tie-break.
+    * Both paths produce the identical probe set (SimilaritySpec
+    * proves it via the `literalProbeMaxK` seam). */
   def ivfInt8TopK(corpus: DataFrame, queryFilter: Column, k: Int,
                   nlist: Int = 8, iters: Int = 2, nprobe: Int = 2,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  literalProbeMaxK: Int = Cluster.LiteralAssignMaxK): DataFrame = {
     val tr = Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters)
     val cells = tr.assigned // (id, q, cid, dist)
     // query rows' quantized vectors come from the same assignment
@@ -180,15 +196,36 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"))
     val qq = cells.join(broadcast(qids), Seq("id"))
       .select(col("id").as("query_id"), col("q"))
-    val scoredCells = array(tr.assignCentroids.indices.map { c =>
-      struct(
-        aggregate(
-          zip_with(col("q"), typedlit(tr.assignCentroids(c)), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"),
-        lit(c).as("cid"))
-    }: _*)
-    val probed = qq.withColumn("__p", slice(array_sort(scoredCells), 1, nprobe))
-      .select(col("query_id"), explode(col("__p").getField("cid")).as("cid"))
+    val probed =
+      if (tr.assignCentroids.size <= literalProbeMaxK) {
+        val scoredCells = array(tr.assignCentroids.indices.map { c =>
+          struct(
+            aggregate(
+              zip_with(col("q"), typedlit(tr.assignCentroids(c)), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("dist"),
+            lit(c).as("cid"))
+        }: _*)
+        qq.withColumn("__p", slice(array_sort(scoredCells), 1, nprobe))
+          .select(col("query_id"), explode(col("__p").getField("cid")).as("cid"))
+      } else {
+        import corpus.sparkSession.implicits._
+        import graft.functions.VectorFunctions.vecDotLong
+        val cdf = broadcast(
+          tr.assignCentroids.zipWithIndex
+            .map { case (cq, c) =>
+              (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
+            .toDF("cid", "cq", "bb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("__dist").asc, col("cid").asc)
+        qq.withColumn("aa", vecDotLong(col("q"), col("q")))
+          .withColumn("cid", explode(sequence(lit(0), lit(tr.assignCentroids.size - 1))))
+          .join(cdf, "cid")
+          .select(col("query_id"), col("cid"),
+            (col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb")).as("__dist"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= nprobe)
+          .select(col("query_id"), col("cid"))
+      }
     val corpusVec = corpus.select(col(idCol).cast("long").as("id"), col(vecCol))
     val qVec = corpus.filter(queryFilter)
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))

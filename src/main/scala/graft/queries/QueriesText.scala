@@ -1256,7 +1256,7 @@ object QueriesText {
          |ORDER BY f.doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
-      s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+      s"""WITH fp AS (SELECT doc_id, coalesce(md5($normSql), '__null_text__') AS fp FROM documents),
          |h AS (SELECT fp, min(doc_id) AS hist_id FROM fp WHERE doc_id % 10 < 7 GROUP BY 1),
          |b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 7),
          |bm AS (SELECT fp, min(doc_id) AS batch_min FROM b GROUP BY 1)

@@ -83,6 +83,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 4, "every batch doc gets exactly one verdict")
   }
 
+  test("incrementalExact gives null-text batch docs a verdict (sentinel fp)") {
+    // md5(NULL) is NULL and a NULL join key matches nothing — without
+    // the sentinel these rows silently vanish from the verdict table,
+    // breaking the one-row-per-batch-doc contract (ADVICE r9). All
+    // null-text docs form ONE content group, matching exact()'s
+    // null-fp groupBy semantics.
+    val history = Seq((1L, "indexed content"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]), (12L, "fresh content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(history, batch, "doc_id", "text")
+      .select("doc_id", "status", "canonical_id")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, st, c) => id -> ((st, c)) }.toMap
+    assert(out.size == 3, "every batch doc — null text included — gets a verdict")
+    assert(out(10L) == (("dup_history", 2L)), "null text is indexed under history's null-text min id")
+    assert(out(11L) == (("dup_history", 2L)))
+    assert(out(12L) == (("new", 12L)))
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
         shingleN = 3, numHashes = 32, bands = 16, threshold = 0.5)
@@ -403,5 +424,21 @@ class ComponentsIvfSpec extends AnyFunSuite {
     }
     val hits = ivf.map(r => (r._1, r._2)).toSet & bf
     assert(hits.nonEmpty, "2-of-8-cell probe should still recover some true neighbors")
+  }
+
+  test("int8 IVF join-path probe (nlist > literalProbeMaxK) matches the literal probe") {
+    // the literal probe's expression tree is nlist x dim nodes — the
+    // codegen bomb Cluster.assignJoin guards against; past
+    // LiteralAssignMaxK the probe switches to an explode + broadcast-
+    // join + (dist, cid)-ranked window. Both are exact integer
+    // arithmetic with the same tie-break, so the probe sets — and
+    // therefore the full result — must be identical. literalProbeMaxK=0
+    // forces the join path at a small nlist to prove it.
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    def run(seam: Int) = graft.operators.Similarity
+      .ivfInt8TopK(emb, col("vec_id") < 5, k = 4, nlist = 8, iters = 2, nprobe = 3,
+        literalProbeMaxK = seam)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(run(0) == run(64), "join-path probe must be bit-identical to the literal probe")
   }
 }

@@ -49,7 +49,14 @@ gen 10; gen 32; gen 100
 if [ ! -f target/oracle_sql.json ]; then
   echo "== oracle sql dump"
   sbt -batch "runMain graft.Verify $SF target/oracle_dump __none__" >/dev/null 2>&1 || true
-  cp target/oracle_dump/oracle_sql.json target/oracle_sql.json
+  # the adjudication is OPTIONAL (oracle_rows_at returns None and keeps
+  # the rule-0 flag when the dump is absent) — a failed dump must not
+  # abort the whole scale workflow under set -e
+  if [ -f target/oracle_dump/oracle_sql.json ]; then
+    cp target/oracle_dump/oracle_sql.json target/oracle_sql.json
+  else
+    echo "!! oracle dump unavailable; rule-0 flags stay gating"
+  fi
 fi
 
 # full suite at x1 (sf0.1 itself) and x10
@@ -90,8 +97,10 @@ for chunk in "$X100_C1" "$X100_C2" "$X100_C3"; do
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
   i=$((i+1))
 done
-if [ ! -f target/scale_x100.json ]; then
-  python3 - <<'EOF'
+# rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
+# files carry the reuse/idempotence semantics, and a stale merged file
+# from a prior partial run must never win over freshly re-benched chunks
+python3 - <<'EOF'
 import json
 qs = {}
 for i in (1, 2, 3):
@@ -103,7 +112,6 @@ if qs:
     json.dump({"queries": qs, "sf": "target/scale/x100"},
               open('target/scale_x100.json', 'w'))
 EOF
-fi
 
 # closure-strategy A/B (VERDICT r8 next-round #5): the x100 linear-walk
 # run above is the control; re-run the two closure queries with the
