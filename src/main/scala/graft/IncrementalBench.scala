@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Measures incrementalExact's O(batch) claim DIRECTLY: a FIXED batch
+  * (the sf0.1 documents hashing into the 30% split — identical rows
+  * at every point) triaged against histories of x1/x10/x32 the size.
+  * If the operator is what it claims, wall-time stays ~flat while the
+  * history side moves only its narrow (fingerprint, min-id) index —
+  * shuffle bytes grow with DISTINCT history fingerprints (linear but
+  * ~40 bytes/doc), never with history text.
+  *
+  * Emits target/incremental_hist.json with per-factor {sec,
+  * shuffle_write} (min of 2) and the fitted wall-time exponent
+  * log(t_x32/t_x1)/log(32) — ~0 is the O(batch) signature, 1 would
+  * be O(history). scale_report.py folds it into SCALE_r{N}.
+  */
+object IncrementalBench {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_INC_BASE", "/root/testdata/sf0.1")
+    val hists = Seq(
+      1 -> base,
+      10 -> sys.env.getOrElse("SPARK_GRAFT_INC_X10", "target/scale/x10"),
+      32 -> sys.env.getOrElse("SPARK_GRAFT_INC_X32", "target/scale/x32"))
+    val spark = GraftSession.local()
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // the FIXED batch: same rows at every history factor
+    val batch = spark.read.parquet(s"$base/documents.parquet")
+      .filter(col("doc_id") % 10 >= 7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchN = batch.count()
+
+    def run(histDir: String): (Double, Long) = {
+      val history = spark.read.parquet(s"$histDir/documents.parquet")
+        .filter(col("doc_id") % 10 < 7)
+      listener.reset()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.incrementalExact(history, batch, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
+      (sec, listener.shuffleWrite.get)
+    }
+
+    val rows = hists.map { case (f, dir) =>
+      val histN = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 < 7).count()
+      val (sec, shw) = Seq(run(dir), run(dir)).minBy(_._1)
+      System.err.println(f"[inc] history x$f%-3d ($histN%8d docs) batch=$batchN " +
+        f"sec=$sec%6.2f shW=${shw / 1048576.0}%8.2fMB")
+      (f, histN, sec, shw)
+    }
+    val t1 = rows.head._3
+    val t32 = rows.last._3
+    val exponent = math.log(t32 / t1) / math.log(32.0)
+    System.err.println(f"[inc] wall-time exponent vs history growth: $exponent%.3f " +
+      "(0 = O(batch), 1 = O(history))")
+    val per = rows.map { case (f, hn, s, w) =>
+      s""""x$f":{"history_docs":$hn,"sec":$s,"shuffle_write":$w}""" }.mkString(",")
+    val json = f"""{"note":"FIXED batch ($batchN docs) vs history x1/x10/x32; min of 2 runs per point; exponent = log(t_x32/t_x1)/log(32) - ~0 is the O(batch) claim, 1 would be re-deduping the corpus per ingest. Shuffle bytes include the history (fp, min-id) index reduction - linear in DISTINCT history content but ~40B/doc, never the text.","batch_docs":$batchN,"factors":{$per},"wall_exponent":$exponent%.4f}"""
+    val p = java.nio.file.Paths.get("target/incremental_hist.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

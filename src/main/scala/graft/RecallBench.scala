@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The IVF recall-vs-cost curve at scale (q_ann_recall's measurement
+  * graduated from its sf0.1 toy point): on the x32 corpus (64k
+  * vectors), nlist is DERIVED by the production rule
+  * (Cluster.kForCorpus → 1000, which exercises the join-path probe —
+  * nlist far past the literal ceiling), the index is trained ONCE,
+  * and nprobe is swept 1/2/4/8 against brute-force truth computed in
+  * the same session. recall@k is averaged over the query set.
+  *
+  * The ScaleGen corpus replicates each of the 2000 base vectors
+  * verbatim (x32 → 31 identical non-self copies per query), so top-5
+  * truth is all ties at cosine 1.0 inside the query's own cell and
+  * recall@5 would be vacuously 1.0 at any nprobe. k is therefore set
+  * ABOVE the copy count (k = 50 > 31): the tail of the truth set
+  * lives in OTHER base vectors' cells, which is exactly what nprobe
+  * trades cost for. Emits target/recall_<tag>.json.
+  */
+object RecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "target/scale/x32")
+    val tag = sys.env.getOrElse("SPARK_GRAFT_RECALL_TAG", "x32")
+    val k = sys.env.getOrElse("SPARK_GRAFT_RECALL_K", "50").toInt
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "100").toLong
+    val spark = GraftSession.local()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val nlist = graft.operators.Cluster.kForCorpus(n, targetCellSize = 64)
+    val qFilter = col("vec_id") < nQueries
+
+    // truth: exact cosine top-k for the query set (one pass, reused
+    // by every sweep point)
+    val truth = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(qFilter), k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(truth.nonEmpty, "no truth rows — query filter matched nothing")
+
+    val t0 = System.nanoTime()
+    val tr = graft.operators.Cluster.trainInt8(emb, "vec_id", "embedding",
+      k = nlist, iters = 2)
+    // materialized by trainInt8's own localCheckpoints; time the call
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[recall] n=$n nlist=$nlist k=$k queries=$nQueries " +
+      f"train=${trainSec}%.1fs truth=${truth.size} pairs")
+
+    val points = Seq(1, 2, 4, 8).map { nprobe =>
+      val t1 = System.nanoTime()
+      val got = graft.operators.Similarity
+        .ivfInt8TopKOn(tr, emb, qFilter, k, nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = (got & truth).size.toDouble / truth.size
+      System.err.println(f"[recall] nprobe=$nprobe%-2d recall@$k=${recall}%.4f " +
+        f"probe_sec=${sec}%.2f candidates~=${got.size}")
+      f"""{"nprobe":$nprobe,"recall_at_$k":$recall%.6f,"probe_sec":$sec%.3f}"""
+    }
+    val json = s"""{"note":"nlist derived by kForCorpus (exercises the join-path probe past the literal ceiling); index trained once, nprobe swept; recall vs brute-force truth over ${truth.size} (query, neighbor) pairs; k=$k sits ABOVE the ScaleGen copy count (31 identical non-self copies per query score cosine 1.0 and would make recall@5 vacuous)","sf":"$sfDir","n":$n,"nlist":$nlist,"k":$k,"n_queries":$nQueries,"train_sec":$trainSec,"sweep":[${points.mkString(",")}]}"""
+    val p = java.nio.file.Paths.get(s"target/recall_$tag.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

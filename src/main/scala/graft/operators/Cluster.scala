@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed k-means (Lloyd's) on a global int8 integer grid —
@@ -73,8 +74,8 @@ object Cluster {
     * that loud; this derivation prevents it). maxK bounds the
     * flat-assignment regime — each row scores all k centroids,
     * O(k × dim) per row, FAISS's own flat-nlist territory; past it,
-    * shard first (hash-shard, then cluster within shards) or raise
-    * targetCellSize, which the failure message states. */
+    * the two-level path takes over ([[kmeansTwoLevel]], or
+    * [[assignCells]] which escalates automatically). */
   def kForCorpus(n: Long, targetCellSize: Long = 64, maxK: Int = 4096): Int = {
     require(n > 0, s"empty corpus (n=$n)")
     require(targetCellSize > 0, s"targetCellSize must be positive; got $targetCellSize")
@@ -82,8 +83,182 @@ object Cluster {
     require(k <= maxK,
       s"kForCorpus($n, $targetCellSize) derives k=$k > maxK=$maxK: flat centroid " +
         "scoring is O(k x dim) per row and past this k you want two-level blocking " +
-        "(hash-shard the corpus, cluster within shards) or a larger targetCellSize")
+        "— kmeansTwoLevel (sample-trained coarse shards, then distributed per-shard " +
+        "Lloyd's), or assignCells which picks the path automatically — or a larger " +
+        "targetCellSize")
     k.toInt
+  }
+
+  /** Blocking-cell assignment with AUTOMATIC path selection — the
+    * entry point semantic dedup / IVF blocking should call instead of
+    * wiring kForCorpus + kmeansAssignInt8 by hand:
+    *  - n <= maxK × targetCellSize: flat derived-k Lloyd's
+    *    ([[kmeansAssignInt8]] at [[kForCorpus]]'s k — bit-identical to
+    *    the r9 path, so existing oracles are untouched);
+    *  - past the flat ceiling: [[kmeansTwoLevel]] — the path the
+    *    kForCorpus refusal message promises.
+    * Returns (idCol, cluster); cells average ~targetCellSize on both
+    * paths. */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  targetCellSize: Long = 64, iters: Int = 2,
+                  maxK: Int = 4096): DataFrame = {
+    val n = emb.count()
+    require(n > 0, "empty corpus")
+    val kNeeded = (n + targetCellSize - 1) / targetCellSize
+    if (kNeeded <= maxK)
+      kmeansAssignInt8(emb, idCol, vecCol,
+        kForCorpus(n, targetCellSize, maxK), iters)
+    else
+      kmeansTwoLevel(emb, idCol, vecCol, targetCellSize, iters, maxK,
+        nKnown = Some(n))
+  }
+
+  /** Two-level (coarse-then-fine) k-means blocking — the path past
+    * [[kForCorpus]]'s flat ceiling (n > maxK × targetCellSize, i.e.
+    * ~262k vectors at the defaults), the same shape FAISS uses for
+    * large-nlist IVF training (sample-train the coarse quantizer,
+    * then cluster within cells).
+    *
+    *  1. COARSE: quantize the whole corpus onto one global int8 grid
+    *     (one pass — the grid must be corpus-wide or sample-trained
+    *     centroids and corpus rows live in incomparable spaces), then
+    *     train coarseK = ceil(sqrt(cellsNeeded)) centroids on a
+    *     deterministic xxhash-gated SAMPLE (~samplePerCoarse rows per
+    *     centroid) with the same Lloyd's loop as [[trainInt8]].
+    *     Driver state: coarseK × dim longs — config-sized, exactly
+    *     [[trainInt8]]'s own footprint.
+    *  2. SHARD: assign every corpus row to its coarse centroid
+    *     ([[assignTo]] — the broadcast-join argmin, one linear
+    *     shuffle).
+    *  3. FINE: per-shard Lloyd's, ALL shards trained simultaneously
+    *     with DISTRIBUTED centroids — fine centroids live in a
+    *     (shard, fcid, cq) DataFrame, never on the driver (there are
+    *     ~n/targetCellSize of them — driver-collecting them is the
+    *     bounded-state violation this design exists to avoid). Per
+    *     iteration: rows join centroids on shard (the n × fineK
+    *     fan-out is generated post-shuffle by the join itself, so
+    *     only n rows ride the wire), packed-long argmin per row, one
+    *     (shard, fcid, pos) partial-agg update. Init is the
+    *     fineK_s smallest ids per shard; empty cells keep their
+    *     previous centroid; every step is the same exact integer
+    *     arithmetic as the flat path, so the result is deterministic.
+    *
+    * Total work is n × (coarseK + fineK) ≈ 2n·sqrt(n/targetCellSize)
+    * — the flat path's n²/targetCellSize with the exponent halved;
+    * capacity is maxK² × targetCellSize ≈ 1.07e9 vectors at the
+    * defaults (past that, raise targetCellSize). Cells average
+    * ~targetCellSize; per-shard fineK is derived per shard
+    * (ceil(n_s/targetCellSize)) so a hot coarse cell gets more fine
+    * cells instead of bigger ones.
+    *
+    * Returns (idCol, cluster) with cluster = shard × (maxK+1) + fcid
+    * — disjoint across shards, stable across runs. Not SQL-replayable
+    * (the sample gate + per-shard loops defeat an unrolled oracle);
+    * proven by ClusterSpec instead: blocking-recall parity vs the
+    * flat path at small n, bounded cells + determinism at n past the
+    * flat ceiling. */
+  def kmeansTwoLevel(emb: DataFrame, idCol: String, vecCol: String,
+                     targetCellSize: Long = 64, iters: Int = 2,
+                     maxK: Int = 4096, samplePerCoarse: Int = 32,
+                     nKnown: Option[Long] = None): DataFrame = {
+    import graft.functions.VectorFunctions.vecDotLong
+    require(iters >= 1 && iters <= 8, s"iters bounded (each is a pass); got $iters")
+    val spark = emb.sparkSession
+    val n = nKnown.getOrElse(emb.count())
+    require(n > 0, "empty corpus")
+    val cellsNeeded = (n + targetCellSize - 1) / targetCellSize
+    require(cellsNeeded <= maxK.toLong * maxK,
+      s"two-level capacity is maxK^2 x targetCellSize = ${maxK.toLong * maxK * targetCellSize} " +
+        s"rows; got n=$n — raise targetCellSize")
+    val coarseK = math.min(maxK.toLong,
+      math.ceil(math.sqrt(cellsNeeded.toDouble)).toLong).toInt
+    val kpack = maxK.toLong + 1 // fcid < maxK always fits
+
+    // one corpus-wide grid + one spread shuffle, reused by the coarse
+    // sample, the shard assignment, and every fine iteration
+    val qAll = quantize(emb, idCol, vecCol)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(false)
+
+    // deterministic sample gate: ~samplePerCoarse rows per coarse
+    // centroid; xxhash64 is seed-free and stable across runs/JVMs
+    val sampleTarget = coarseK.toLong * samplePerCoarse
+    val sampled =
+      if (sampleTarget >= n) qAll
+      else {
+        val gate = math.max(1L, sampleTarget * 1000000L / n)
+        val s = qAll.filter(pmod(xxhash64(col("id")), lit(1000000L)) < lit(gate))
+        // a pathological id distribution could under-fill the gate;
+        // training needs at least coarseK init rows — fall back loudly
+        if (s.count() >= coarseK) s
+        else { System.err.println(
+          s"[cluster] two-level sample gate under-filled (< $coarseK rows); training coarse on the full corpus")
+          qAll }
+      }
+    val coarse = trainLoop(sampled, coarseK, iters, LiteralAssignMaxK).centroids
+
+    // shard every row; aa precomputed once (reused every fine iteration)
+    val rows = assignTo(qAll, coarse)
+      .select(col("id"), col("q"), col("cid").as("shard"))
+      .withColumn("aa", vecDotLong(col("q"), col("q")))
+      .localCheckpoint(false)
+
+    // per-shard fine-cell count: ceil(n_s / targetCellSize), capped
+    val meta = rows.groupBy("shard").agg(count(lit(1)).as("n_s"))
+      .select(col("shard"),
+        least(((col("n_s") - 1) / lit(targetCellSize)).cast("long") + 1,
+          lit(maxK.toLong)).as("fineK"))
+
+    // init: the fineK_s smallest ids per shard, fcid by that order
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    var cent = rows.withColumn("rn", row_number().over(w))
+      .join(broadcast(meta), "shard")
+      .filter(col("rn") <= col("fineK"))
+      .select(col("shard"), (col("rn") - 1).cast("int").as("fcid"), col("q").as("cq"))
+      .localCheckpoint(false)
+
+    def assignFine(c: DataFrame): DataFrame = {
+      val centB = c.withColumn("bb", vecDotLong(col("cq"), col("cq")))
+      rows.join(centB, "shard")
+        .select(col("id"), col("shard"), col("q"),
+          ((col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb"))
+            * lit(kpack) + col("fcid")).as("packed"))
+        // rows of one id are co-located (the fan-out is generated
+        // inside the shard-join's partition), so the partial agg
+        // collapses to one row per id before the shuffle; q is
+        // group-constant, max() just carries it through
+        .groupBy(col("id"), col("shard"))
+        .agg(min(col("packed")).as("packed"), max(col("q")).as("q"))
+        .select(col("id"), col("shard"), col("q"),
+          pmod(col("packed"), lit(kpack)).cast("int").as("fcid"))
+    }
+
+    def updateFine(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val sums = assigned
+        .select(col("shard"), col("fcid"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("shard", "fcid", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      val next = sums.groupBy("shard", "fcid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            floor(col("s").cast("double") / col("cnt")).cast("long").as("cv")))),
+          s => s("cv")).as("next"))
+      prev.select(col("shard"), col("fcid"), col("cq").as("prevq"))
+        .join(next, Seq("shard", "fcid"), "left")
+        .select(col("shard"), col("fcid"),
+          coalesce(col("next"), col("prevq")).as("cq"))
+    }
+
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      assigned = assignFine(cent).localCheckpoint(false)
+      // the final assignment is made against the (iters-1)-times-
+      // updated centroids — the same pre-update semantics as
+      // trainLoop's Trained.assigned — so the last update is skipped
+      if (i < iters) cent = updateFine(assigned, cent).localCheckpoint(false)
+    }
+    assigned.select(col("id").as(idCol),
+      (col("shard").cast("long") * kpack + col("fcid")).as("cluster"))
   }
 
   /** Final per-vector cluster assignment (id, cluster) from the same
@@ -135,30 +310,113 @@ object Cluster {
         s"O(k x dim); shard first beyond this, see kForCorpus); got $k")
     require(iters >= 1 && iters <= 8, s"iters bounded (each is a pass); got $iters")
     val spark = emb.sparkSession
-
-    // global symmetric grid: scale = max |x| / 127 over the corpus
-    val gmaxRow = emb.agg(
-      max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
-      .head()
-    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
-    val gscale = if (gmax == 0.0) 1.0 else gmax / 127.0
-    // lazily lineage-truncated: q feeds every assignment pass and the
-    // final aggregation — without the checkpoint each pass re-runs the
-    // scan + quantization chain (same discipline as q_corpus_e2e's
-    // Mix-stage boundary)
-    val qNarrow = emb.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol),
-        x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
+    val qNarrow = quantize(emb, idCol, vecCol)
     // join-path assignment fans each row out k ways, so its work is
     // n x k however few input splits the (small-on-disk, float-packed)
     // embedding parquet arrived in — ONE extra n-row shuffle here
     // spreads the fan-out across the cluster (measured 16x on a
     // single-split x32 corpus). The literal path stays zero-shuffle.
+    // Lazily lineage-truncated: q feeds every assignment pass and the
+    // final aggregation — without the checkpoint each pass re-runs the
+    // scan + quantization chain (same discipline as q_corpus_e2e's
+    // Mix-stage boundary).
     val q = (if (k > literalAssignMaxK)
                qNarrow.repartition(spark.sparkContext.defaultParallelism)
              else qNarrow)
       .localCheckpoint(false)
+    trainLoop(q, k, iters, literalAssignMaxK)
+  }
 
+  /** Quantize onto the corpus-wide symmetric int8 grid:
+    * scale = max |x| / 127 over THIS frame. Returns (id, q). Callers
+    * that train on a SAMPLE but assign the full corpus must quantize
+    * the full corpus once and sample the quantized frame — computing
+    * the grid per-subset would put sample-trained centroids and
+    * corpus rows in incomparable spaces. */
+  private[graft] def quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val gmaxRow = emb.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
+      .head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val gscale = if (gmax == 0.0) 1.0 else gmax / 127.0
+    emb.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
+  }
+
+  // narrow argmin map against the centroid literals: k scored
+  // structs, sorted; struct order (dist, cid) breaks ties low.
+  // Codegen-tight and zero-shuffle, but the expression tree is
+  // k x dim nodes — only used while k <= literalAssignMaxK.
+  private def assignLiteral(q: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    val scored = array(cents.indices.map { c =>
+      struct(
+        aggregate(
+          zip_with(col("q"), typedlit(cents(c)), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"),
+        lit(c).as("cid"))
+    }: _*)
+    q.withColumn("best", element_at(array_sort(scored), 1))
+      .select(col("id"), col("q"),
+        col("best.cid").as("cid"), col("best.dist").as("dist"))
+  }
+
+  // large-k argmin: explode the k cluster ids per row, broadcast-
+  // hash-join the k-row centroid table, take the min per id. Two
+  // deliberate scale moves, both measured (an HOF + struct-min
+  // draft ran 100x slower at k=1000):
+  //  - distance via the NATIVE codegen'd LongVecDot (dist =
+  //    aa - 2ab + bb with aa/bb precomputed per row/centroid) —
+  //    zip_with/aggregate lambdas are interpreted-eval expressions,
+  //    catastrophic at n x k pair counts;
+  //  - (dist, cid) PACKED into one long (dist * k + cid, dist >= 0,
+  //    cid < k): min(packed) is a primitive hash-aggregate with
+  //    map-side combine, where min(struct) falls back to a
+  //    SortAggregate that sorts all n x k rows. Packing preserves
+  //    the (dist, cid) tie-break exactly; overflow needs
+  //    dist * k < 2^63 — int8-grid dist <= dim x 254^2, fine for
+  //    any real dim at k <= 4096.
+  // Shuffle volume is n rows regardless of k (partial min per
+  // partition first). Bit-identical to assignLiteral (spec-proven).
+  private def assignJoin(q: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vecDotLong
+    val kk = cents.size.toLong
+    val cdf = broadcast(
+      cents.zipWithIndex
+        .map { case (cq, c) =>
+          (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
+        .toDF("cid", "cq", "bb"))
+    val best = q
+      .withColumn("aa", vecDotLong(col("q"), col("q")))
+      .withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))
+      .join(cdf, "cid")
+      .select(col("id"),
+        ((col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb"))
+          * lit(kk) + col("cid")).as("packed"))
+      .groupBy("id").agg(min(col("packed")).as("packed"))
+    q.join(best, "id")
+      .select(col("id"), col("q"),
+        (col("packed") % kk).cast("int").as("cid"),
+        // integer `div`, not `/` (which is double division — lossy
+        // past 2^53; packed stays exact as a long throughout)
+        expr(s"packed div ${kk}L").as("dist"))
+  }
+
+  /** Argmin assignment of a quantized (id, q) frame against a driver-
+    * held centroid set — literal path below `literalAssignMaxK`, the
+    * broadcast-join path above it; bit-identical either way. */
+  private[graft] def assignTo(q: DataFrame, cents: IndexedSeq[Seq[Long]],
+                              literalAssignMaxK: Int = LiteralAssignMaxK): DataFrame =
+    if (cents.size <= literalAssignMaxK) assignLiteral(q, cents)
+    else assignJoin(q, cents)
+
+  /** The Lloyd's loop over an already-quantized, already-checkpointed
+    * (id, q) frame — shared by [[trainInt8]] (full-corpus training)
+    * and [[kmeansTwoLevel]]'s sample-trained coarse stage. */
+  private def trainLoop(q: DataFrame, k: Int, iters: Int,
+                        literalAssignMaxK: Int): Trained = {
     // deterministic init: the k smallest ids' vectors, cluster id by
     // that order (a bounded k-row collect — NOT a sort of the corpus:
     // TakeOrderedAndProject)
@@ -166,68 +424,6 @@ object Cluster {
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toIndexedSeq: Seq[Long]).toIndexedSeq
     require(centroids.nonEmpty, "empty input")
-
-    // narrow argmin map against the centroid literals: k scored
-    // structs, sorted; struct order (dist, cid) breaks ties low.
-    // Codegen-tight and zero-shuffle, but the expression tree is
-    // k x dim nodes — only used while k <= literalAssignMaxK.
-    def assignLiteral(cents: IndexedSeq[Seq[Long]]): DataFrame = {
-      val scored = array(cents.indices.map { c =>
-        struct(
-          aggregate(
-            zip_with(col("q"), typedlit(cents(c)), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("dist"),
-          lit(c).as("cid"))
-      }: _*)
-      q.withColumn("best", element_at(array_sort(scored), 1))
-        .select(col("id"), col("q"),
-          col("best.cid").as("cid"), col("best.dist").as("dist"))
-    }
-
-    // large-k argmin: explode the k cluster ids per row, broadcast-
-    // hash-join the k-row centroid table, take the min per id. Two
-    // deliberate scale moves, both measured (an HOF + struct-min
-    // draft ran 100x slower at k=1000):
-    //  - distance via the NATIVE codegen'd LongVecDot (dist =
-    //    aa - 2ab + bb with aa/bb precomputed per row/centroid) —
-    //    zip_with/aggregate lambdas are interpreted-eval expressions,
-    //    catastrophic at n x k pair counts;
-    //  - (dist, cid) PACKED into one long (dist * k + cid, dist >= 0,
-    //    cid < k): min(packed) is a primitive hash-aggregate with
-    //    map-side combine, where min(struct) falls back to a
-    //    SortAggregate that sorts all n x k rows. Packing preserves
-    //    the (dist, cid) tie-break exactly; overflow needs
-    //    dist * k < 2^63 — int8-grid dist <= dim x 254^2, fine for
-    //    any real dim at k <= 4096.
-    // Shuffle volume is n rows regardless of k (partial min per
-    // partition first). Bit-identical to assignLiteral (spec-proven).
-    def assignJoin(cents: IndexedSeq[Seq[Long]]): DataFrame = {
-      import spark.implicits._
-      import graft.functions.VectorFunctions.vecDotLong
-      val kk = cents.size.toLong
-      val cdf = broadcast(
-        cents.zipWithIndex
-          .map { case (cq, c) =>
-            (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
-          .toDF("cid", "cq", "bb"))
-      val best = q
-        .withColumn("aa", vecDotLong(col("q"), col("q")))
-        .withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))
-        .join(cdf, "cid")
-        .select(col("id"),
-          ((col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb"))
-            * lit(kk) + col("cid")).as("packed"))
-        .groupBy("id").agg(min(col("packed")).as("packed"))
-      q.join(best, "id")
-        .select(col("id"), col("q"),
-          (col("packed") % kk).cast("int").as("cid"),
-          // integer `div`, not `/` (which is double division — lossy
-          // past 2^53; packed stays exact as a long throughout)
-          expr(s"packed div ${kk}L").as("dist"))
-    }
-
-    def assign(cents: IndexedSeq[Seq[Long]]): DataFrame =
-      if (cents.size <= literalAssignMaxK) assignLiteral(cents) else assignJoin(cents)
 
     var assigned: DataFrame = null
     var assignCentroids: IndexedSeq[Seq[Long]] = centroids
@@ -240,7 +436,7 @@ object Cluster {
       // lambda chain into an inferred isnotnull Filter under the
       // output join (the interpreted re-derivation PlanAuditSpec
       // gates against)
-      assigned = assign(centroids).localCheckpoint(false)
+      assigned = assignTo(q, centroids, literalAssignMaxK).localCheckpoint(false)
       // ONE shuffle: (cid, pos) partial-agg; k x dim reduced rows
       val sums = assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("pos", "v")))

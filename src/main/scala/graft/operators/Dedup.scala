@@ -276,8 +276,18 @@ object Dedup {
             "or pass maxDroppedRowFrac >= 1.0 to accept the drop.")
     }
     val pairs = pairsFromBuckets(blocked, Seq(blockCol), idCol, maxBlock)
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b"))
+    // EVERY side of the verify joins scales with the corpus — the
+    // candidate pairs (cells x C(cell,2) rows) and the vector tables
+    // (n rows x dim floats) alike — so none may ever hash-build on
+    // the driver: merge hints pin shuffle joins (measured on the
+    // 400k-vector two-level corpus: the un-hinted plan broadcast the
+    // id->vector sides three ways and the builds OOM'd an 8g driver
+    // while the 40M-pair aggregates held the execution pool; SMJ
+    // completes). At dedup threshold the pairs:vectors row ratio is
+    // unbounded in either direction, so there is no safe broadcast
+    // side to pick statically.
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a")).hint("merge")
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b")).hint("merge")
     val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
     val na = sqrt(VectorFunctions.vecDot(col("emb_a"), col("emb_a")))
     val nb = sqrt(VectorFunctions.vecDot(col("emb_b"), col("emb_b")))

@@ -187,8 +187,18 @@ object Similarity {
   def ivfInt8TopK(corpus: DataFrame, queryFilter: Column, k: Int,
                   nlist: Int = 8, iters: Int = 2, nprobe: Int = 2,
                   idCol: String = "vec_id", vecCol: String = "embedding",
+                  literalProbeMaxK: Int = Cluster.LiteralAssignMaxK): DataFrame =
+    ivfInt8TopKOn(Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters),
+      corpus, queryFilter, k, nprobe, idCol, vecCol, literalProbeMaxK)
+
+  /** [[ivfInt8TopK]] over an ALREADY-TRAINED index — the build/probe
+    * split a real deployment has (train once, sweep nprobe), and what
+    * lets the recall harness (graft.RecallBench) attribute cost to
+    * the probe instead of re-paying training per sweep point. */
+  private[graft] def ivfInt8TopKOn(tr: Cluster.Trained,
+                  corpus: DataFrame, queryFilter: Column, k: Int, nprobe: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
                   literalProbeMaxK: Int = Cluster.LiteralAssignMaxK): DataFrame = {
-    val tr = Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters)
     val cells = tr.assigned // (id, q, cid, dist)
     // query rows' quantized vectors come from the same assignment
     // frame — same grid, no re-quantization drift

@@ -260,12 +260,18 @@ object QueriesText {
       // them, which embedCosine's drop gate now turns into a loud
       // failure instead of a silent empty result). At the 500-vector
       // oracle corpus the derivation lands on exactly 8, the k the
-      // unrolled DuckDB oracle replays (LIMIT 8 init).
+      // unrolled DuckDB oracle replays (LIMIT 8 init). Past the flat
+      // ceiling (~262k vectors at cell 64) assignCells escalates to
+      // the two-level path (Cluster.kmeansTwoLevel: sample-trained
+      // coarse shards, distributed per-shard Lloyd's) AUTOMATICALLY —
+      // below it the wrapper is spec-proven bit-identical to the
+      // kForCorpus + kmeansAssignInt8 trajectory this oracle pins.
       val emb = Tables(s, d).embeddings
-      val k = graft.operators.Cluster.kForCorpus(emb.count(), targetCellSize = 64)
-      val cells = graft.operators.Cluster.kmeansAssignInt8(
-        emb, "vec_id", "embedding", k = k, iters = 2)
-      Dedup.embedCosine(emb.join(cells, "vec_id"), "vec_id", "embedding",
+      val cells = graft.operators.Cluster.assignCells(
+        emb, "vec_id", "embedding", targetCellSize = 64, iters = 2)
+      // cells has one row per corpus vector — never a broadcast side
+      Dedup.embedCosine(emb.join(cells.hint("merge"), "vec_id"),
+          "vec_id", "embedding",
           blockCol = "cluster", threshold = 0.42, maxBlock = 1000)
         .orderBy("id_a", "id_b")
     }),

@@ -72,6 +72,74 @@ class ClusterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Cluster.kForCorpus(0, 64))
   }
 
+  test("assignCells: flat regime is bit-identical to the derived-k path") {
+    // below the ceiling assignCells must be EXACTLY the r9 path
+    // (kForCorpus k + kmeansAssignInt8) — q_dedup_semantic's oracle
+    // hash-pins that trajectory, so the auto-escalation wrapper may
+    // not perturb it
+    val emb = embTable((0L until 200L).map(i =>
+      i -> Seq.tabulate(6)(j => ((i * 13 + j * 5) % 17 - 8).toFloat / 3f)))
+    val viaCells = Cluster.assignCells(emb, "vec_id", "embedding", targetCellSize = 25)
+      .orderBy("vec_id").collect().toSeq
+    val direct = Cluster.kmeansAssignInt8(emb, "vec_id", "embedding",
+        k = Cluster.kForCorpus(200, 25), iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaCells == direct)
+  }
+
+  test("assignCells escalates to two-level past the flat ceiling") {
+    // force the escalation cheaply: maxK=8 with targetCellSize=4 over
+    // 100 rows needs 25 cells > maxK, so the flat path would refuse —
+    // assignCells must route to kmeansTwoLevel instead of throwing
+    val emb = embTable((0L until 100L).map(i =>
+      i -> Seq.tabulate(6)(j => ((i * 29 + j * 3) % 23 - 11).toFloat / 4f)))
+    val out = Cluster.assignCells(emb, "vec_id", "embedding",
+      targetCellSize = 4, maxK = 8)
+    val rows = out.collect()
+    assert(rows.length == 100, "every vector assigned exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == 100)
+    val cells = rows.groupBy(_.getLong(1)).map(_._2.length)
+    assert(cells.sum == 100 && cells.max <= 4 * 8,
+      s"cells stay bounded (max=${cells.max})")
+  }
+
+  test("two-level assignment is deterministic and layout-independent") {
+    val emb = embTable((0L until 150L).map(i =>
+      i -> Seq.tabulate(8)(j => ((i * 7 + j * 19) % 29 - 14).toFloat / 5f)))
+    val r1 = Cluster.kmeansTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 8, maxK = 16).orderBy("vec_id").collect().toSeq
+    val r2 = Cluster.kmeansTwoLevel(emb.repartition(13), "vec_id", "embedding",
+      targetCellSize = 8, maxK = 16).orderBy("vec_id").collect().toSeq
+    assert(r1 == r2, "same assignment regardless of input layout")
+  }
+
+  test("two-level blocking finds every exact-dup pair flat blocking finds") {
+    // 150 seeded random base vectors, each with an exact duplicate:
+    // duplicates quantize to the SAME grid point, and a deterministic
+    // argmin sends identical q to identical cells — so BOTH blockings
+    // must put every dup pair in one cell and embedCosine must emit
+    // all 150 pairs. This is the blocking-quality parity contract:
+    // the two-level path may reshape cells, but it cannot lose the
+    // near-dup mass the flat path preserves.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 150L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val dups = base.map { case (i, v) => (i + 1000L) -> v }
+    val emb = embTable(base ++ dups)
+    def pairsWith(blocks: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.operators.Dedup.embedCosine(
+          emb.join(blocks, "vec_id"), "vec_id", "embedding",
+          blockCol = "cluster", threshold = 0.999, maxBlock = 1000)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val flat = pairsWith(Cluster.assignCells(emb, "vec_id", "embedding",
+      targetCellSize = 16))
+    val two = pairsWith(Cluster.kmeansTwoLevel(emb, "vec_id", "embedding",
+      targetCellSize = 16, maxK = 32))
+    assert(truth.subsetOf(flat), s"flat blocking must keep all dup pairs (missing ${(truth -- flat).size})")
+    assert(truth.subsetOf(two), s"two-level blocking must keep all dup pairs (missing ${(truth -- two).size})")
+  }
+
   test("empty cluster keeps its previous centroid and emits n=0") {
     // k=3 over two distinct points: one cluster can never win a vector
     val emb = embTable((0L until 10L).map(i =>

@@ -14,10 +14,15 @@ cd "$(dirname "$0")/.."
 OUT=${1:-SCALE_r6.json}
 SF=/root/testdata/sf0.1
 
+# the gate's own fixtures first: an hour of benching behind a broken
+# gate is worthless
+python3 tools/test_scale_report.py >/dev/null \
+  || { echo "!! scale_report rule-0 fixtures failed"; exit 1; }
+
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup
+CORE=q_ancestor_arrays,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -143,6 +148,63 @@ bench asof_skew_x10.json target/scale/x10skew \
 # across ~30 day-buckets shrink the straggler?
 bench asof_split_x10skew.json target/scale/x10skew \
   SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split
+
+# crossover sweep (VERDICT r9 next-round #3): at x10/30%-hot the
+# split LOSES (r9: 1.70 vs 0.99 s — the carry-rollup overhead exceeds
+# a ~0.5 s straggler). Raise the pressure until the straggler
+# dominates: hotter key (60/90% of events on ONE user) and a bigger
+# corpus (x32/60%). Both signs at every point are the measurement;
+# scale_report assembles the crossover table and the decision rule.
+for hot in 60 90; do
+  if [ ! -d target/scale/x10skew$hot ]; then
+    echo "== skewgen x10 ($hot% hot user)"
+    sbt -batch "runMain graft.SkewGen target/scale/x10 target/scale/x10skew$hot $hot" \
+      2>&1 | grep -E '^\[skewgen\]' || true
+  fi
+  bench asof_split_x10skew$hot.json target/scale/x10skew$hot \
+    SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split
+done
+if [ ! -d target/scale/x32skew60 ]; then
+  echo "== skewgen x32 (60% hot user)"
+  sbt -batch "runMain graft.SkewGen target/scale/x32 target/scale/x32skew60 60" \
+    2>&1 | grep -E '^\[skewgen\]' || true
+fi
+bench asof_split_x32skew60.json target/scale/x32skew60 \
+  SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split SPARK_GRAFT_SHUFFLE_PARTITIONS=64
+
+# two-level k-means certification (VERDICT r9 next-round #2): a
+# 400k-vector corpus ABOVE the flat ceiling (4096 x 64 = 262k) —
+# embeddings replicated x200, every other table untouched. assignCells
+# must auto-escalate to kmeansTwoLevel and the full semantic-dedup
+# tail must complete with bounded cells.
+if [ ! -d target/scale/x200emb ]; then
+  echo "== scalegen x200 (embeddings only)"
+  sbt -batch "runMain graft.ScaleGen $SF target/scale/x200emb 200 embeddings" \
+    2>&1 | grep -E '^\[scalegen\]' || true
+fi
+if [ ! -f target/twolevel_x200.json ]; then
+  echo "== two-level kmeans -> twolevel_x200.json"
+  env SPARK_GRAFT_SF_DIR=target/scale/x200emb SPARK_GRAFT_TWOLEVEL_TAG=x200 \
+    sbt -batch "runMain graft.TwoLevelBench" 2>&1 | grep -E '^\[twolevel\]' || true
+fi
+
+# incremental-dedup history axis (VERDICT r9 next-round #5): FIXED
+# batch, history x1/x10/x32 — the O(batch) claim measured directly
+# (wall ~flat; only the narrow (fp, min-id) index scales with history)
+if [ ! -f target/incremental_hist.json ]; then
+  echo "== incremental history axis -> incremental_hist.json"
+  sbt -batch "runMain graft.IncrementalBench" 2>&1 | grep -E '^\[inc\]' || true
+fi
+
+# IVF recall-vs-cost curve at scale (VERDICT r9 next-round #6):
+# x32 corpus (64k vectors), nlist derived by kForCorpus (1000 —
+# exercises the join-path probe), nprobe swept 1/2/4/8 against
+# brute-force truth computed in the same session
+if [ ! -f target/recall_x32.json ]; then
+  echo "== IVF recall sweep -> recall_x32.json"
+  env SPARK_GRAFT_SF_DIR=target/scale/x32 \
+    sbt -batch "runMain graft.RecallBench" 2>&1 | grep -E '^\[recall\]' || true
+fi
 
 # bloom-join A/B: fact shuffle-bytes with vs without the prune, on the
 # x32 corpus, broadcast disabled (the dim-too-big regime) — the

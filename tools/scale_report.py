@@ -82,12 +82,14 @@ NOTES = {
         "same decimal-tree model as q_hierarchy (ancestor ARRAY per node: "
         "rows x depth both grow), expected ~depth-factor over linear. "
         "Round 5 carried a 'needs a 16 GiB JVM at 32 partitions' caveat; "
-        "this round's sweep (partitions_matrix) and the x100 run retire it "
-        "MEASURED: every sweep point and the x100 factor complete on the "
-        "default 8g heap — the external sorts SPILL (6-36 GB) instead of "
-        "OOMing, wall-time is flat across the sweep, and under AQE the "
-        "task-size knob is the advisory partition size (AQE re-coalesces "
-        "whatever shuffle.partitions says), not the raw partition count."),
+        "the partitions_matrix sweep and the x100 tier IN THIS ARTIFACT'S "
+        "OWN queries dict retire it MEASURED: every sweep point and x100 "
+        "row completes on the default 8g heap — the external sorts SPILL "
+        "instead of OOMing, wall-time is flat across the sweep, and under "
+        "AQE the task-size knob is the advisory partition size (AQE "
+        "re-coalesces whatever shuffle.partitions says), not the raw "
+        "partition count. (An x100 row absent here means the tier did not "
+        "run — the missing-factor gate fails the report in that case.)"),
     "q_observations": (
         "shuffle grows exactly linearly; wall-time lands modestly over "
         "linear because the query ends in a GLOBAL range sort kept only for "
@@ -467,6 +469,53 @@ def main(out_path):
                     "sign is the measurement."),
                 "queries": ab}
 
+    # ---- as-of range-split CROSSOVER sweep (r9 #3) ----
+    # pressure raised until the straggler dominates: x10 at 30/60/90%
+    # hot and x32 at 60% — each file has both q_asof_plan (control)
+    # and q_asof_split (mitigation) from one session
+    xover = {}
+    for label, path in (("x10_hot30", "target/asof_split_x10skew.json"),
+                        ("x10_hot60", "target/asof_split_x10skew60.json"),
+                        ("x10_hot90", "target/asof_split_x10skew90.json"),
+                        ("x32_hot60", "target/asof_split_x32skew60.json")):
+        if os.path.exists(path):
+            with open(path) as fh:
+                qs = json.load(fh)["queries"]
+            if all(q in qs and qs[q]["sec"] >= 0
+                   for q in ("q_asof_plan", "q_asof_split")):
+                xover[label] = {
+                    "plain_sec": round(qs["q_asof_plan"]["sec"], 3),
+                    "split_sec": round(qs["q_asof_split"]["sec"], 3),
+                    "plain_peak_task_mem": qs["q_asof_plan"].get("peak_task_mem", 0),
+                    "split_peak_task_mem": qs["q_asof_split"].get("peak_task_mem", 0),
+                    "split_wins": qs["q_asof_split"]["sec"] < qs["q_asof_plan"]["sec"]}
+    if xover:
+        report["asof_range_split_crossover"] = {
+            "note": (
+                "q_asof_plan (hash-clustered by user — the hot key rides one "
+                "task) vs q_asof_split (shuffle key (user, day-bucket) + "
+                "carry rollup, oracle-identical output) as hot-key share and "
+                "corpus grow. The decision rule pinned in AsOfJoin.scala's "
+                "backwardRangeSplit scaladoc comes from this table: the "
+                "split pays once the straggler's serial time exceeds the "
+                "rollup overhead."),
+            "points": xover}
+
+    # ---- two-level k-means certification (r9 #2) ----
+    if os.path.exists("target/twolevel_x200.json"):
+        with open("target/twolevel_x200.json") as fh:
+            report["two_level_kmeans_x200"] = json.load(fh)
+
+    # ---- incremental-dedup history axis (r9 #5) ----
+    if os.path.exists("target/incremental_hist.json"):
+        with open("target/incremental_hist.json") as fh:
+            report["incremental_dedup_history_axis"] = json.load(fh)
+
+    # ---- IVF recall-vs-cost curve (r9 #6) ----
+    if os.path.exists("target/recall_x32.json"):
+        with open("target/recall_x32.json") as fh:
+            report["ivf_recall_curve_x32"] = json.load(fh)
+
     # ---- partitions matrix (x32 corpus, 8g JVM, partitions swept) ----
     sweep = (32, 128, 256)
     parts = {}
@@ -511,9 +560,10 @@ def main(out_path):
                 "per-task-memory knob is advisoryPartitionSizeInBytes, "
                 "and the raw count only sets the pre-coalesce "
                 "granularity. The at-scale evidence for the deployment "
-                "config is the x100 factor itself: 128 initial "
-                "partitions, 8g heap, every scale-family query completes "
-                "(q_ancestor_arrays with 34 GB of spill)."),
+                "config is THIS artifact's own x100 tier (128 initial "
+                "partitions, 8g heap, fresh-JVM chunks): see the x100 "
+                "entries in the queries dict — the missing-factor gate "
+                "fails the report if that tier did not run."),
             "queries": pm}
 
     report["verdict"] = {
