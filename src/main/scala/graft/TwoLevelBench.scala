@@ -34,7 +34,8 @@ object TwoLevelBench {
     // be automatic, not a special harness code path
     val t0 = System.nanoTime()
     val cells = graft.operators.Cluster.assignCells(
-      emb, "vec_id", "embedding", targetCellSize = 64, iters = 2)
+      emb, "vec_id", "embedding", targetCellSize = 64, iters = 2,
+      nKnown = Some(n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assignedRows = cells.count()
     val secAssign = (System.nanoTime() - t0) / 1e9

@@ -101,8 +101,8 @@ object Cluster {
     * paths. */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
                   targetCellSize: Long = 64, iters: Int = 2,
-                  maxK: Int = 4096): DataFrame = {
-    val n = emb.count()
+                  maxK: Int = 4096, nKnown: Option[Long] = None): DataFrame = {
+    val n = nKnown.getOrElse(emb.count())
     require(n > 0, "empty corpus")
     val kNeeded = (n + targetCellSize - 1) / targetCellSize
     if (kNeeded <= maxK)

