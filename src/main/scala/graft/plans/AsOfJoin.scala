@@ -117,7 +117,21 @@ object AsOfJoin {
     * concatenates both sides, as in [[backward]]). Choose bucketWidth
     * ~ timeRange / desired-parallelism for the hottest key; a width
     * covering the whole range degenerates to [[backward]]'s
-    * distribution (one bucket, empty carry). */
+    * distribution (one bucket, empty carry).
+    *
+    * DECISION RULE (measured, SCALE_r10 asof_range_split_crossover):
+    * stay on [[backward]] until the hottest key's row count exceeds a
+    * few times the job's average rows-per-task; below that the split
+    * LOSES by a near-constant ~1 s (a <=2M-row hot key's serial
+    * ordered scan costs under a second at ~0.8 us/row — less than the
+    * composite shuffle + carry rollup the split adds; measured losing
+    * at 0.3/0.6/0.9/1.9M hot rows, 30-90% hot share). Past that the
+    * plain form's wall-time IS the straggler — one task scans the hot
+    * key while the rest of the cluster idles — and the split wins:
+    * measured 2.1x (32.7 -> 15.7 s) with 4x lower peak task memory
+    * (1.19 GB -> 0.45 GB) at a 90M-row/90%-hot corpus (18M hot rows
+    * after filtering) on 32 cores. Hot-key share alone does NOT
+    * decide — absolute hot rows vs rows-per-task does. */
   def backwardRangeSplit(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,

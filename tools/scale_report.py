@@ -471,13 +471,16 @@ def main(out_path):
 
     # ---- as-of range-split CROSSOVER sweep (r9 #3) ----
     # pressure raised until the straggler dominates: x10 at 30/60/90%
-    # hot and x32 at 60% — each file has both q_asof_plan (control)
-    # and q_asof_split (mitigation) from one session
+    # hot, x32 at 60%, and an events-only x1000 corpus at 90% (the
+    # small points all show the split LOSING by a ~1 s constant: a
+    # <=2M-row hot key's serial ordered scan costs ~1 s — under the
+    # carry-rollup's overhead — so the flip needs an ~18M-row hot key)
     xover = {}
     for label, path in (("x10_hot30", "target/asof_split_x10skew.json"),
                         ("x10_hot60", "target/asof_split_x10skew60.json"),
                         ("x10_hot90", "target/asof_split_x10skew90.json"),
-                        ("x32_hot60", "target/asof_split_x32skew60.json")):
+                        ("x32_hot60", "target/asof_split_x32skew60.json"),
+                        ("x1000ev_hot90", "target/asof_split_x1000skew90.json")):
         if os.path.exists(path):
             with open(path) as fh:
                 qs = json.load(fh)["queries"]
@@ -495,10 +498,19 @@ def main(out_path):
                 "q_asof_plan (hash-clustered by user — the hot key rides one "
                 "task) vs q_asof_split (shuffle key (user, day-bucket) + "
                 "carry rollup, oracle-identical output) as hot-key share and "
-                "corpus grow. The decision rule pinned in AsOfJoin.scala's "
-                "backwardRangeSplit scaladoc comes from this table: the "
-                "split pays once the straggler's serial time exceeds the "
-                "rollup overhead."),
+                "corpus grow. BOTH SIGNS MEASURED: at <=2M hot rows the "
+                "split LOSES by ~1 s (the hot key's serial ordered scan "
+                "costs under a second — less than the composite shuffle + "
+                "carry rollup it buys out of), and at 90M hot rows "
+                "(x1000ev_hot90: 18M hot clicks after the type filter) the "
+                "split WINS 2.1x — the plain form's wall is one task "
+                "serially scanning the hot key while 127 sit idle. The "
+                "decision rule pinned in AsOfJoin.scala's backwardRangeSplit "
+                "scaladoc comes from this table: split when the hot key's "
+                "rows exceed a few times the job's average rows-per-task "
+                "(measured flip between 2M and 18M hot rows on 32 cores; "
+                "~0.8 us/row serial scan vs ~1 s fixed overhead), with "
+                "bucketWidth ~ timeRange / (2-4x parallelism)."),
             "points": xover}
 
     # ---- two-level k-means certification (r9 #2) ----
