@@ -113,22 +113,32 @@ object ScaleGen {
     // between ×1 and ×10 and collapsed q_dedup_embed's scaled work to
     // near-zero (the SCALE_r6 0.021-ratio anomaly — the cap doing its
     // documented job under the WRONG corpus model, not a plan flip).
-    val labelD = domainMax("embeddings", "label")
-    write(shifted(read("embeddings"), "vec_id" -> vecD, "label" -> labelD)
-      .withColumn("label", col("label").cast("int")), "embeddings")
+    if (only.forall(_.contains("embeddings"))) {
+      val labelD = domainMax("embeddings", "label")
+      write(shifted(read("embeddings"), "vec_id" -> vecD, "label" -> labelD)
+        .withColumn("label", col("label").cast("int")), "embeddings")
+    }
 
     // documents: shift ids + apply a per-copy bijective character map
     // ([[charPerms]]). translate() is a codegen'd narrow map; the k
     // permutations are prebuilt literals dispatched by a chained when.
-    val rotations = charPerms(k).map(perm =>
-      translate(lower(col("text")), Alpha, perm))
-    val rotated = rotations.zipWithIndex.tail.foldLeft(when(col("__copy") === 0, rotations.head)) {
-      case (acc, (expr, i)) => acc.when(col("__copy") === i, expr)
+    // Prep is guarded by the table filter: charPerms refuses past its
+    // 432 distinct bijections, and a factor-1000 run of OTHER tables
+    // (e.g. the x1000 events-only as-of skew corpus) must not die on a
+    // ceiling belonging to a table it was asked to skip — measured
+    // r10: "ScaleGen ... 1000 events" wrote events, then the runner
+    // exited 1 building document rotations nobody requested.
+    if (only.forall(_.contains("documents"))) {
+      val rotations = charPerms(k).map(perm =>
+        translate(lower(col("text")), Alpha, perm))
+      val rotated = rotations.zipWithIndex.tail.foldLeft(when(col("__copy") === 0, rotations.head)) {
+        case (acc, (expr, i)) => acc.when(col("__copy") === i, expr)
+      }
+      val docs = replicate(read("documents"))
+        .withColumn("doc_id", col("doc_id") + col("__copy") * docD)
+        .withColumn("text", rotated)
+        .drop("__copy")
+      write(docs, "documents")
     }
-    val docs = replicate(read("documents"))
-      .withColumn("doc_id", col("doc_id") + col("__copy") * docD)
-      .withColumn("text", rotated)
-      .drop("__copy")
-    write(docs, "documents")
   }
 }

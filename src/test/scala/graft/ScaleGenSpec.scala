@@ -51,4 +51,22 @@ class ScaleGenSpec extends AnyFunSuite {
     assert(df.schema("label").dataType == org.apache.spark.sql.types.IntegerType)
     assert(df.select("vec_id").distinct().count() == df.count())
   }
+
+  test("a table-filtered run past the charPerms ceiling skips unrequested prep") {
+    // measured r10: "ScaleGen <sf> <out> 1000 events" wrote events,
+    // then died building the DOCUMENT rotations nobody asked for
+    // (charPerms refuses past its 432 distinct bijections). Per-table
+    // prep must be guarded by the filter: an events-only factor-500
+    // run succeeds and writes ONLY events.
+    val spark = SparkTestSession.spark
+    val out = java.nio.file.Files.createTempDirectory("graft_scalegen_ev").toString
+    ScaleGen.generate(spark, SparkTestSession.sfDir, out, 500,
+      only = Some(Set("events")))
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/events.parquet").count()
+    assert(spark.read.parquet(s"$out/events.parquet").count() == base * 500)
+    assert(!new java.io.File(s"$out/documents.parquet").exists(),
+      "documents must not be written on an events-only run")
+    assert(!new java.io.File(s"$out/embeddings.parquet").exists(),
+      "embeddings must not be written (or its labelD computed) on an events-only run")
+  }
 }
