@@ -465,6 +465,29 @@ object QueriesText {
         .orderBy("cluster")
     }),
 
+    "q_kmeans_twolevel" -> ((s, d) => {
+      // ORACLE-checked two-level (coarse-then-fine) k-means — the
+      // past-the-flat-ceiling path (Cluster.kmeansTwoLevel) pinned in
+      // SQL the way q_ann_recall pins the IVF probe: at
+      // samplePerCoarse=1024 the xxhash sample gate never engages
+      // below ~65k vectors (sampleTarget = coarseK x 1024 >= n), so
+      // the whole trajectory — coarse Lloyd's on the full corpus,
+      // shard = argmin against the POST-update coarse centroids
+      // (trainLoop.centroids), per-shard fineK = ceil(n_s/16) capped
+      // at maxK, per-shard init by smallest ids, one fine update,
+      // final assignment packed shard x (maxK+1) + fcid — is a pure
+      // function of the data that DuckDB replays with every loop
+      // unrolled. The production config (assignCells defaults,
+      // sampling ON past the ceiling) is certified structurally at
+      // 400k vectors by TwoLevelBench (SCALE_r10); THIS config proves
+      // the machinery's arithmetic bit-for-bit where an oracle can
+      // reach it.
+      graft.operators.Cluster.kmeansTwoLevel(Tables(s, d).embeddings,
+          "vec_id", "embedding", targetCellSize = 16, iters = 2,
+          maxK = 64, samplePerCoarse = 1024)
+        .orderBy("vec_id")
+    }),
+
     "q_corpus_filter" -> ((s, d) => {
       // composed curation pipeline: language-consistency + quality
       // + exact-dedup canonical flags -> per-language keep/drop counts
@@ -913,6 +936,101 @@ object QueriesText {
         | md5(array_to_string(c2.cq, ',')) AS centroid_fp
         |FROM c2 LEFT JOIN m ON m.cid = c2.cid
         |ORDER BY cluster""".stripMargin,
+
+    // replays Cluster.kmeansTwoLevel at its no-sampling config
+    // (samplePerCoarse=1024 => sampleTarget >= n below ~65k vectors)
+    // with every loop unrolled: the same global int8 grid as q_kmeans;
+    // coarse k = min(64, ceil(sqrt(ceil(n/16)))) trained 2 Lloyd's
+    // iterations on the FULL corpus (init = k smallest ids, (dist,cid)
+    // ties, floor-of-mean updates, empty keeps prev); shard = exact
+    // integer L2 argmin against the POST-update coarse centroids
+    // (trainLoop.centroids); per-shard fineK = min(ceil(n_s/16), 64),
+    // init = the fineK smallest ids per shard, ONE fine update, final
+    // assignment against the updated fine centroids; cluster id packs
+    // shard x 65 + fcid
+    "q_kmeans_twolevel" ->
+      """WITH g AS (
+        | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
+        | FROM embeddings),
+        |sc AS (SELECT CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS gs FROM g),
+        |qv AS (
+        | SELECT vec_id AS id,
+        |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
+        | FROM embeddings, sc),
+        |par AS (SELECT cast(least(64, cast(ceil(sqrt(ceil(count(*) / 16.0))) as bigint)) as int) AS ck
+        |        FROM qv),
+        |cc0 AS (
+        | SELECT cast(rn - 1 as int) AS cid, q AS cq
+        | FROM (SELECT q, row_number() OVER (ORDER BY id) AS rn FROM qv), par
+        | WHERE rn <= ck),
+        |ca1 AS (
+        | SELECT id, q, cid FROM (
+        |  SELECT id, q, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT qv.id, qv.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM qv, cc0 c)) WHERE rk = 1),
+        |cu1 AS (
+        | SELECT cid, i AS pos, cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM ca1, range(1, 65) t(i) GROUP BY cid, i),
+        |cc1 AS (
+        | SELECT b.cid, list(coalesce(u.v, b.cv) ORDER BY b.i) AS cq
+        | FROM (SELECT cc0.cid, t.i, cc0.cq[t.i] AS cv FROM cc0, range(1, 65) t(i)) b
+        | LEFT JOIN cu1 u ON u.cid = b.cid AND u.pos = b.i GROUP BY b.cid),
+        |ca2 AS (
+        | SELECT id, q, cid FROM (
+        |  SELECT id, q, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT qv.id, qv.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM qv, cc1 c)) WHERE rk = 1),
+        |cu2 AS (
+        | SELECT cid, i AS pos, cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM ca2, range(1, 65) t(i) GROUP BY cid, i),
+        |cc2 AS (
+        | SELECT b.cid, list(coalesce(u.v, b.cv) ORDER BY b.i) AS cq
+        | FROM (SELECT cc1.cid, t.i, cc1.cq[t.i] AS cv FROM cc1, range(1, 65) t(i)) b
+        | LEFT JOIN cu2 u ON u.cid = b.cid AND u.pos = b.i GROUP BY b.cid),
+        |sh AS (
+        | SELECT id, q, cid AS shard FROM (
+        |  SELECT id, q, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT qv.id, qv.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(qv.q) + 1),
+        |     i -> (qv.q[i] - c.cq[i]) * (qv.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM qv, cc2 c)) WHERE rk = 1),
+        |meta AS (SELECT shard, least(cast(ceil(count(*) / 16.0) as bigint), 64) AS fk
+        |         FROM sh GROUP BY shard),
+        |f0 AS (
+        | SELECT s.shard, cast(s.rn - 1 as int) AS fcid, s.q AS cq
+        | FROM (SELECT shard, q, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+        |       FROM sh) s JOIN meta ON meta.shard = s.shard
+        | WHERE s.rn <= meta.fk),
+        |fa1 AS (
+        | SELECT id, shard, q, fcid FROM (
+        |  SELECT id, shard, q, fcid, row_number() OVER (PARTITION BY id ORDER BY dist, fcid) AS rk
+        |  FROM (SELECT sh.id, sh.shard, sh.q, c.fcid,
+        |   cast(list_sum(list_transform(range(1, len(sh.q) + 1),
+        |     i -> (sh.q[i] - c.cq[i]) * (sh.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM sh JOIN f0 c ON c.shard = sh.shard)) WHERE rk = 1),
+        |fu1 AS (
+        | SELECT shard, fcid, i AS pos,
+        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM fa1, range(1, 65) t(i) GROUP BY shard, fcid, i),
+        |fc1 AS (
+        | SELECT b.shard, b.fcid, list(coalesce(u.v, b.cv) ORDER BY b.i) AS cq
+        | FROM (SELECT f0.shard, f0.fcid, t.i, f0.cq[t.i] AS cv
+        |       FROM f0, range(1, 65) t(i)) b
+        | LEFT JOIN fu1 u ON u.shard = b.shard AND u.fcid = b.fcid AND u.pos = b.i
+        | GROUP BY b.shard, b.fcid),
+        |fa2 AS (
+        | SELECT id, shard, fcid FROM (
+        |  SELECT id, shard, fcid, row_number() OVER (PARTITION BY id ORDER BY dist, fcid) AS rk
+        |  FROM (SELECT sh.id, sh.shard, c.fcid,
+        |   cast(list_sum(list_transform(range(1, len(sh.q) + 1),
+        |     i -> (sh.q[i] - c.cq[i]) * (sh.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM sh JOIN fc1 c ON c.shard = sh.shard)) WHERE rk = 1)
+        |SELECT id AS vec_id, cast(shard as bigint) * 65 + fcid AS cluster
+        |FROM fa2 ORDER BY vec_id""".stripMargin,
 
     // k=30 in the query ⇒ the deterministic surface is exact_count
     // > n/31; the MG sketch is invisible to the oracle by design
