@@ -219,16 +219,22 @@ object Cluster {
 
     def assignFine(c: DataFrame): DataFrame = {
       val centB = c.withColumn("bb", vecDotLong(col("cq"), col("cq")))
-      rows.join(centB, "shard")
-        .select(col("id"), col("shard"), col("q"),
+      // aggregate ONLY the primitive min(packed) and re-join q from
+      // the checkpointed rows frame — the assignJoin pattern. Carrying
+      // q through the agg (max over ArrayType) rejects hash
+      // aggregation and plans a SortAggregate over the full
+      // n x fineK fan-out, the measured-100x-slower fallback the
+      // packed-long design exists to avoid. Rows of one id are
+      // co-located (the fan-out is generated inside the shard-join's
+      // partition), so the partial agg still collapses to one row
+      // per id before the shuffle.
+      val best = rows.join(centB, "shard")
+        .select(col("id"),
           ((col("aa") - lit(2L) * vecDotLong(col("q"), col("cq")) + col("bb"))
             * lit(kpack) + col("fcid")).as("packed"))
-        // rows of one id are co-located (the fan-out is generated
-        // inside the shard-join's partition), so the partial agg
-        // collapses to one row per id before the shuffle; q is
-        // group-constant, max() just carries it through
-        .groupBy(col("id"), col("shard"))
-        .agg(min(col("packed")).as("packed"), max(col("q")).as("q"))
+        .groupBy(col("id"))
+        .agg(min(col("packed")).as("packed"))
+      rows.join(best, "id")
         .select(col("id"), col("shard"), col("q"),
           pmod(col("packed"), lit(kpack)).cast("int").as("fcid"))
     }
@@ -348,18 +354,39 @@ object Cluster {
   // structs, sorted; struct order (dist, cid) breaks ties low.
   // Codegen-tight and zero-shuffle, but the expression tree is
   // k x dim nodes — only used while k <= literalAssignMaxK.
-  private def assignLiteral(q: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame = {
-    val scored = array(cents.indices.map { c =>
+  /** The k scored (dist, cid) structs against centroid LITERALS over a
+    * frame's `q` column — ONE definition shared by [[assignLiteral]]
+    * (argmin = element_at(array_sort(.), 1)) and the IVF literal probe
+    * (nprobe = slice of the same sorted array, Similarity.scala). The
+    * bit-identical-arithmetic contract between the assignment and
+    * probe paths is load-bearing for the oracles; sharing the builder
+    * keeps a future fix from diverging one copy silently. */
+  private[graft] def scoredCellStructs(cents: IndexedSeq[Seq[Long]]): Column =
+    array(cents.indices.map { c =>
       struct(
         aggregate(
           zip_with(col("q"), typedlit(cents(c)), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("dist"),
         lit(c).as("cid"))
     }: _*)
-    q.withColumn("best", element_at(array_sort(scored), 1))
+
+  /** The broadcast (cid, cq, bb) centroid table (bb = cq·cq
+    * precomputed) for join-path scoring — shared by [[assignJoin]] and
+    * the IVF join probe, same contract as [[scoredCellStructs]]. */
+  private[graft] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                                   cents: IndexedSeq[Seq[Long]]): DataFrame = {
+    import spark.implicits._
+    broadcast(
+      cents.zipWithIndex
+        .map { case (cq, c) =>
+          (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
+        .toDF("cid", "cq", "bb"))
+  }
+
+  private def assignLiteral(q: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame =
+    q.withColumn("best", element_at(array_sort(scoredCellStructs(cents)), 1))
       .select(col("id"), col("q"),
         col("best.cid").as("cid"), col("best.dist").as("dist"))
-  }
 
   // large-k argmin: explode the k cluster ids per row, broadcast-
   // hash-join the k-row centroid table, take the min per id. Two
@@ -379,15 +406,9 @@ object Cluster {
   // Shuffle volume is n rows regardless of k (partial min per
   // partition first). Bit-identical to assignLiteral (spec-proven).
   private def assignJoin(q: DataFrame, cents: IndexedSeq[Seq[Long]]): DataFrame = {
-    val spark = q.sparkSession
-    import spark.implicits._
     import graft.functions.VectorFunctions.vecDotLong
     val kk = cents.size.toLong
-    val cdf = broadcast(
-      cents.zipWithIndex
-        .map { case (cq, c) =>
-          (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
-        .toDF("cid", "cq", "bb"))
+    val cdf = centroidFrame(q.sparkSession, cents)
     val best = q
       .withColumn("aa", vecDotLong(col("q"), col("q")))
       .withColumn("cid", explode(sequence(lit(0), lit(cents.size - 1))))

@@ -273,12 +273,17 @@ object Dedup {
     val blocked = df.select(col(blockCol), col(idCol)).filter(col(blockCol).isNotNull)
     // one (block)-keyed count aggregation serves BOTH the drop gate
     // and the join-strategy pin below — the same shuffle shape the
-    // pair generator itself runs
-    val r = blocked.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(col("n")), lit(0L)),
-        coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)),
-        coalesce(max(col("n")), lit(0L))).head()
-    val (total, dropped, biggest) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // pair generator itself runs. A caller who opted OUT of the gate
+    // (maxDroppedRowFrac >= 1.0) pays only the plain row count the
+    // pin needs, not the per-block rollup.
+    val (total, dropped, biggest) =
+      if (maxDroppedRowFrac < 1.0) {
+        val r = blocked.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+          .agg(coalesce(sum(col("n")), lit(0L)),
+            coalesce(sum(when(col("n") > maxBlock, col("n"))), lit(0L)),
+            coalesce(max(col("n")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      } else (blocked.count(), 0L, 0L)
     if (maxDroppedRowFrac < 1.0) {
       if (total > 0 && dropped.toDouble / total > maxDroppedRowFrac)
         throw new IllegalStateException(

@@ -208,23 +208,14 @@ object Similarity {
       .select(col("id").as("query_id"), col("q"))
     val probed =
       if (tr.assignCentroids.size <= literalProbeMaxK) {
-        val scoredCells = array(tr.assignCentroids.indices.map { c =>
-          struct(
-            aggregate(
-              zip_with(col("q"), typedlit(tr.assignCentroids(c)), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x).as("dist"),
-            lit(c).as("cid"))
-        }: _*)
+        // the SAME scored-struct builder as Cluster.assignLiteral —
+        // one definition keeps probe and assignment bit-identical
+        val scoredCells = Cluster.scoredCellStructs(tr.assignCentroids)
         qq.withColumn("__p", slice(array_sort(scoredCells), 1, nprobe))
           .select(col("query_id"), explode(col("__p").getField("cid")).as("cid"))
       } else {
-        import corpus.sparkSession.implicits._
         import graft.functions.VectorFunctions.vecDotLong
-        val cdf = broadcast(
-          tr.assignCentroids.zipWithIndex
-            .map { case (cq, c) =>
-              (c, cq, graft.functions.LongVecDot.dot(cq.toArray, cq.toArray)) }
-            .toDF("cid", "cq", "bb"))
+        val cdf = Cluster.centroidFrame(corpus.sparkSession, tr.assignCentroids)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("__dist").asc, col("cid").asc)
         qq.withColumn("aa", vecDotLong(col("q"), col("q")))

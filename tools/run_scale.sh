@@ -104,7 +104,11 @@ for chunk in "$X100_C1" "$X100_C2" "$X100_C3"; do
 done
 # rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
 # files carry the reuse/idempotence semantics, and a stale merged file
-# from a prior partial run must never win over freshly re-benched chunks
+# from a prior partial run must never win over freshly re-benched
+# chunks — deleted FIRST so that if every fresh chunk run crashed
+# (leaving no dumps) the missing-factor gate fires instead of a prior
+# round's merged file silently certifying the tier
+rm -f target/scale_x100.json
 python3 - <<'EOF'
 import json
 qs = {}
@@ -171,6 +175,26 @@ if [ ! -d target/scale/x32skew60 ]; then
 fi
 bench asof_split_x32skew60.json target/scale/x32skew60 \
   SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split SPARK_GRAFT_SHUFFLE_PARTITIONS=64
+
+# the WINNING sign of the crossover: an events-only x1000 corpus
+# (100M rows) at 90% hot puts ~18M filtered rows on ONE key — the
+# plain form's wall becomes a single serial-scan straggler (measured
+# 32.7 vs the split's 15.7 s, with 4x lower peak task memory).
+# Events-only is deliberate: the as-of pair reads nothing else, and
+# ScaleGen's documents charPerms ceiling (432 bijections) doesn't
+# apply to a table-filtered run.
+if [ ! -d target/scale/x1000ev ]; then
+  echo "== scalegen x1000 (events only)"
+  sbt -batch "runMain graft.ScaleGen $SF target/scale/x1000ev 1000 events" \
+    2>&1 | grep -E '^\[scalegen\]' || true
+fi
+if [ ! -d target/scale/x1000skew90 ]; then
+  echo "== skewgen x1000 (90% hot user)"
+  sbt -batch "runMain graft.SkewGen target/scale/x1000ev target/scale/x1000skew90 90" \
+    2>&1 | grep -E '^\[skewgen\]' || true
+fi
+bench asof_split_x1000skew90.json target/scale/x1000skew90 \
+  SPARK_GRAFT_ONLY=q_asof_plan,q_asof_split SPARK_GRAFT_SHUFFLE_PARTITIONS=128
 
 # two-level k-means certification (VERDICT r9 next-round #2): a
 # 400k-vector corpus ABOVE the flat ceiling (4096 x 64 = 262k) —

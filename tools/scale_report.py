@@ -244,7 +244,7 @@ def oracle_rows_at(q, factor):
         return None
 
 
-def empty_run_violations(q, runs_by_factor, top, time_ratio):
+def empty_run_violations(q, runs_by_factor):
     """Gate rule 0: a SCALED run whose sink wrote zero rows while the x1
     baseline wrote rows did not process the corpus (see module docstring
     for why wall-time and input-bytes heuristics were tried and
@@ -333,7 +333,7 @@ def main(out_path):
             entry["expected_growth_note"] = NOTES[q]
         tr = entry[f"time_growth_vs_linear_x{top}"]
         report["gate_violations"].extend(empty_run_violations(
-            q, {f: runs[f].get(q) for f in FACTORS if runs[f]}, top, tr))
+            q, {f: runs[f].get(q) for f in FACTORS if runs[f]}))
         if not noted and tr > worst[1]:
             worst = (q, tr)
         if not noted and tr > TIME_RATIO_MAX:
@@ -367,7 +367,7 @@ def main(out_path):
                  "spill_x10": full[10][q].get("spill", 0),
                  "out_rows_x10": full[10][q].get("out_rows", -1)}
             report["gate_violations"].extend(empty_run_violations(
-                q, {1: full[1][q], 10: full[10][q]}, 10, r))
+                q, {1: full[1][q], 10: full[10][q]}))
             note = NOTES.get(q) or FULL_NOTES.get(q)
             if note:
                 e["expected_growth_note"] = note

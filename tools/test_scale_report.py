@@ -44,21 +44,20 @@ def run():
     # 1. empty at x1 AND empty at x10/x32: a diff/unmatched report that
     # finds nothing — must produce ZERO violations (no oracle needed)
     v = scale_report.empty_run_violations(
-        "q_diff", {1: {"out_rows": 0}, 10: {"out_rows": 0}, 32: {"out_rows": 0}},
-        32, 0.5)
+        "q_diff", {1: {"out_rows": 0}, 10: {"out_rows": 0}, 32: {"out_rows": 0}})
     check("empty-at-x1 never flags", v == [])
 
     # 2. rows at x1 vanish at x10, oracle unavailable (None) -> the
     # flag GATES (drift must not pass unadjudicated)
     v = with_oracle(None, scale_report.empty_run_violations,
-                    "q_drift", {1: {"out_rows": 100}, 10: {"out_rows": 0}}, 10, 0.01)
+                    "q_drift", {1: {"out_rows": 100}, 10: {"out_rows": 0}})
     check("x1-rows->x10-zero gates when oracle unavailable",
           len(gating(v)) == 1 and gating(v)[0]["rule"] == "zero_output_rows")
 
     # 3. same shape but the oracle on the scaled corpus ALSO says 0 ->
     # adjudicated, non-gating, and labeled as such
     v = with_oracle(0, scale_report.empty_run_violations,
-                    "q_hh", {1: {"out_rows": 25}, 10: {"out_rows": 0}}, 10, 0.01)
+                    "q_hh", {1: {"out_rows": 25}, 10: {"out_rows": 0}})
     check("oracle-confirmed zero is adjudicated non-gating",
           gating(v) == [] and len(v) == 1
           and v[0]["rule"] == "zero_output_adjudicated_legitimate")
@@ -66,21 +65,21 @@ def run():
     # 4. oracle returns ROWS on the scaled corpus while spark wrote 0:
     # genuine drift, gates even though an oracle ran
     v = with_oracle(7, scale_report.empty_run_violations,
-                    "q_bad", {1: {"out_rows": 25}, 10: {"out_rows": 0}}, 10, 0.01)
+                    "q_bad", {1: {"out_rows": 25}, 10: {"out_rows": 0}})
     check("oracle-contradicted zero still gates",
           len(gating(v)) == 1 and gating(v)[0]["rule"] == "zero_output_rows")
 
     # 5. pre-probe dumps (out_rows == -1) are exempt on either side
     v = scale_report.empty_run_violations(
-        "q_old", {1: {"out_rows": -1}, 10: {"out_rows": 0}}, 10, 0.01)
+        "q_old", {1: {"out_rows": -1}, 10: {"out_rows": 0}})
     check("out_rows=-1 baseline is exempt", v == [])
     v = scale_report.empty_run_violations(
-        "q_old2", {1: {"out_rows": 100}, 10: {"out_rows": -1}}, 10, 0.01)
+        "q_old2", {1: {"out_rows": 100}, 10: {"out_rows": -1}})
     check("out_rows=-1 scaled run is exempt", v == [])
 
     # 6. healthy run: rows everywhere -> nothing
     v = scale_report.empty_run_violations(
-        "q_ok", {1: {"out_rows": 10}, 10: {"out_rows": 100}}, 10, 1.0)
+        "q_ok", {1: {"out_rows": 10}, 10: {"out_rows": 100}})
     check("healthy run produces no violations", v == [])
 
     if failures:
