@@ -342,6 +342,90 @@ object Dedup {
     result
   }
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING — the
+    * PPJoin/AllPairs candidate rule (Xiao et al., WWW'08; public
+    * algorithm): returns EVERY pair whose shingle-set Jaccard clears
+    * `threshold`, unlike the probabilistic minhash/simhash/ngram
+    * generators whose recall is < 1 by construction. The filter is
+    * lossless: under ANY global token order, two sets with
+    * J(A,B) ≥ τ must collide inside their (s − ⌈τ·s⌉ + 1)-prefixes —
+    * if the prefixes were disjoint, even matching everything OUTSIDE
+    * both prefixes leaves J < τ. Ordering by ascending document
+    * frequency puts the RAREST shingles in the prefixes, so candidate
+    * buckets track near-dup cluster sizes, not corpus size.
+    *
+    * Scale shape (the whole point vs brute force):
+    *  - one (shingle)-keyed count for the global order — vocabulary-
+    *    sized, map-side combined;
+    *  - the rank window shuffles (doc, shingle, df) once on the doc id;
+    *    only the ⌈(1−τ)·s⌉+1 prefix shingles per doc continue;
+    *  - candidates form ONLY inside a prefix-shingle bucket
+    *    ([[pairsFromBuckets]] — ids-only shuffle);
+    *  - the length filter (J ≥ τ ⇒ min(sa,sb) ≥ τ·max(sa,sb)) prunes
+    *    on narrow (id, size) joins BEFORE the wide set join;
+    *  - exact Jaccard runs on surviving pairs only, over raw shingle
+    *    strings (not xxhash64) so an oracle can replay it verbatim.
+    *
+    * LOUD completeness gate: [[pairsFromBuckets]] drops buckets past
+    * `maxBucket` — sound for the probabilistic family (an oversized
+    * bucket is a spam cluster), but HERE a dropped bucket silently
+    * breaks the operator's exactness contract. If the largest prefix
+    * bucket exceeds the cap this throws with the measured size instead
+    * of returning an incomplete pair set (remedies: raise τ so
+    * prefixes shrink, raise maxBucket, or pre-dedup the exact-dup spam
+    * cluster the bucket is). The gate costs one (shingle)-keyed count —
+    * the same shuffle shape the pair generator itself runs. */
+  def prefixFilterJaccard(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, threshold: Double = 0.5,
+                          maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col(idCol), size(col("__sh")).as("__s"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // global order (df asc, shingle asc) — deterministic, rarest first
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__df"), col("__g"))
+    // vocabulary scales with the corpus: both sides shuffle on the
+    // shingle (merge pin — the static planner's aggregate estimate
+    // would broadcast a corpus-scaling build)
+    val prefix = ex.join(dfreq.hint("merge"), "__g")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__s") - ceil(lit(threshold) * col("__s")) + 1)
+      .select(col("__g"), col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biggest = prefix.groupBy("__g").agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
+    if (biggest > maxBucket)
+      throw new IllegalStateException(
+        s"prefixFilterJaccard: largest prefix bucket has $biggest docs > maxBucket=$maxBucket; " +
+          "dropping it would break the exact-result contract. Raise threshold (shorter " +
+          "prefixes), raise maxBucket, or exact-dedup the spam cluster first.")
+    val pairs = pairsFromBuckets(prefix, Seq("__g"), idCol, maxBucket)
+    prefix.unpersist()
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("__s"))
+    val pruned = pairs
+      .join(sizes.toDF("id_a", "__sa").hint("merge"), "id_a")
+      .join(sizes.toDF("id_b", "__sb").hint("merge"), "id_b")
+      .filter(least(col("__sa"), col("__sb")).cast("double")
+        >= lit(threshold) * greatest(col("__sa"), col("__sb")).cast("double"))
+      .select(col("id_a"), col("id_b"))
+    // raw-string set compare (NOT verifyJaccard's xxhash64 payload):
+    // replayable bit-for-bit by an ANSI oracle
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
+    val result = pruned.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint()
+    sh.unpersist()
+    result
+  }
+
   /** Exact dedup with a SURVIVOR POLICY and rewrite map: one row per
     * input document carrying the canonical `keep_id` of its content
     * group — the table downstream references are rewritten through.

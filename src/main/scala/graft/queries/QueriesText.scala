@@ -218,6 +218,23 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_simjoin_prefix" -> ((s, d) => {
+      // EXACT set-similarity join (Dedup.prefixFilterJaccard): the
+      // lossless PPJoin-style prefix filter over the SAME 3-gram/0.5
+      // universe as q_dedup_ngram — so where that query's 1-hash
+      // minhash gate is probabilistic recall (rows-only, declared),
+      // this one's output is the COMPLETE J≥τ pair set and the oracle
+      // brute-forces the full truth and hash-matches it, proving both
+      // the filter's losslessness and the probabilistic family's
+      // target. Candidates form only inside rarest-shingle prefix
+      // buckets (max bucket 3 at sf0.01, 10 at sf0.1 — vs 500/5000
+      // docs), never all-pairs; a loud gate throws if a bucket would
+      // be dropped, since a drop would break the exactness contract.
+      Dedup.prefixFilterJaccard(Tables(s, d).documents, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_dedup_simhash_verify" -> ((s, d) => {
       // the simhash FAMILY made engine-portable: md5-derived 60-bit
       // signatures (Dedup.simhashPortable) through the same block-
@@ -706,6 +723,47 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_ngram_lm" -> ((s, d) => {
+      // bigram-LM quality filter — the CONDITIONAL-probability upgrade
+      // of q_token_surprise's unigram signal (the KenLM/CCNet
+      // perplexity family): a transition w1→w2 costs its add-one-
+      // smoothed inverse conditional probability, (c1 + V) div
+      // (c12 + 1) — kept as an INTEGER ratio so the oracle stays
+      // hash-exact where float log-prob sums would be order-dependent
+      // — and a document scores the mean transition cost of its
+      // bigrams in ppm. Predictable prose rides high-count transitions
+      // (low cost); rare-transition soup scores high; `keep` cuts at
+      // 35e6 ppm (≈ mean inverse transition probability 35).
+      // Scale: bigram counts and prefix counts are corpus-scaling
+      // VOCABULARY tables — both sides of each cost join shuffle on
+      // the bigram key (merge hints: the q_tfidf_terms lesson — the
+      // static planner's aggregate estimate would broadcast a side
+      // that grows with the corpus); the 1-row V crossJoins broadcast;
+      // one map-side-combined doc_id fold ends the plan. Nothing
+      // all-pairs, nothing driver-side.
+      val bi = Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(shinglesOfTokens(col("__toks"), 2)).as("bg"))
+      val c12 = bi.groupBy("bg").agg(count(lit(1)).as("__c12"))
+      // prefix count c1 folds the (already one-row-per-bigram) count
+      // table, not the raw stream: |vocab| rows into the shuffle
+      val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+        .agg(sum(col("__c12")).as("__c1"))
+      val vocab = c12.agg(countDistinct(substring_index(col("bg"), " ", -1)).as("__v"))
+      val costs = c12
+        .withColumn("__w1", substring_index(col("bg"), " ", 1))
+        .join(c1.hint("merge"), "__w1")
+        .crossJoin(broadcast(vocab))
+        .select(col("bg"), expr("(__c1 + __v) div (__c12 + 1)").as("__cost"))
+      bi.join(costs.hint("merge"), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("total_cost"))
+        .withColumn("mean_cost_ppm", expr("total_cost * 1000000 div n_bigrams"))
+        .withColumn("keep", col("mean_cost_ppm") <= 35000000L)
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, d) => {
       // corpus length profile: fixed-width binning of n_chars — the
       // pre-curation length-distribution check (narrow map + tiny agg)
@@ -1086,6 +1144,22 @@ object QueriesText {
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          |WHERE j >= 0.3 ORDER BY 1, 2""".stripMargin,
 
+    // brute-forced FULL truth (every pair, no filter): hash-matching
+    // it proves prefixFilterJaccard's candidate rule lossless here
+    "q_simjoin_prefix" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |  THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(len(toks)-2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+         | FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.sh, b.sh))::DOUBLE
+         |    / len(list_distinct(a.sh || b.sh)) AS j
+         | FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
+         |WHERE j >= 0.5 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_simhash_verify" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
          |hx AS (SELECT doc_id, substr(md5(t), 1, 15) AS hx FROM tok),
@@ -1298,6 +1372,31 @@ object QueriesText {
          | cast(sum(cost) as bigint) * 1000000 // count(*) AS mean_surprise_ppm,
          | (cast(sum(cost) as bigint) * 1000000 // count(*)) <= 2500000 AS keep
          |FROM j GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // replays the add-one-smoothed bigram LM: integer transition cost
+    // (c1 + V) // (c12 + 1) per distinct bigram, mean per doc in ppm
+    "q_ngram_lm" ->
+      s"""WITH dt AS (
+         | SELECT doc_id, $toksSql AS t FROM documents
+         | WHERE len($toksSql) >= 2),
+         |bi AS (
+         | SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+         |   CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END),
+         |   b -> b IS NOT NULL)) AS bg
+         | FROM dt),
+         |c12 AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+         |       FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c12),
+         |costs AS (
+         | SELECT bg, (c1 + v) // (c12 + 1) AS cost
+         | FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         | cast(sum(cost) as bigint) AS total_cost,
+         | cast(sum(cost) as bigint) * 1000000 // count(*) AS mean_cost_ppm,
+         | (cast(sum(cost) as bigint) * 1000000 // count(*)) <= 35000000 AS keep
+         |FROM bi JOIN costs USING (bg) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
     "q_length_histogram" ->

@@ -139,6 +139,41 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(truth), s"LSH emitted non-truth pairs: ${lsh -- truth}")
   }
 
+  test("prefix-filter join EQUALS brute-force truth (lossless, both directions)") {
+    // unlike the gated generators' subset property, prefixFilterJaccard
+    // claims completeness: pair set AND jaccard values must match the
+    // ungated all-pairs truth exactly — on the fixture and the sf
+    // corpus, at two thresholds (prefix length depends on τ)
+    for (thr <- Seq(0.3, 0.5)) {
+      val truth = Dedup.bruteForceJaccard(docs, "doc_id", "text",
+          shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+          shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == truth, s"thr=$thr: missing=${truth -- got} extra=${got -- truth}")
+    }
+    val dir = SparkTestSession.sfDir
+    if (new java.io.File(s"$dir/documents.parquet").exists) {
+      val full = spark.read.parquet(s"$dir/documents.parquet")
+      val truth = Dedup.bruteForceJaccard(full, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.prefixFilterJaccard(full, "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got == truth, s"$dir: missing=${truth -- got} extra=${got -- truth}")
+    }
+  }
+
+  test("prefix-filter join refuses to drop an oversized bucket (exactness gate)") {
+    val e = intercept[IllegalStateException] {
+      Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = 1)
+    }
+    assert(e.getMessage.contains("prefix bucket"))
+  }
+
   test("verify-gate corpora have no pairs in the LSH-sensitive jaccard band") {
     // q_dedup_minhash_verify's hash-exact oracle rests on effectively-
     // exact recall: at 16 bands × 2 rows, P[miss] = (1-j²)^16 ≈ 2e-5
