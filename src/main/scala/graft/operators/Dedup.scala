@@ -383,6 +383,9 @@ object Dedup {
     val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache (sh feeds candidate gen AND both verify
+    // sides) and sizes the verify-join pin below in one cheap job
+    val nRows = sh.count()
     val ex = sh.select(col(idCol), size(col("__sh")).as("__s"),
       explode(col("__sh")).as("__g"))
     val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
@@ -395,33 +398,56 @@ object Dedup {
     val prefix = ex.join(dfreq.hint("merge"), "__g")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__s") - ceil(lit(threshold) * col("__s")) + 1)
-      .select(col("__g"), col(idCol))
+    // ONE (shingle)-keyed shuffle serves the completeness gate, the
+    // in-bucket pair generation AND the length filter: buckets carry
+    // (id, set size) structs, sorted by id (ids are unique, so the
+    // struct sort IS the id sort)
+    val buckets = prefix.groupBy("__g")
+      .agg(sort_array(collect_set(struct(col(idCol).as("id"), col("__s").as("s")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val biggest = prefix.groupBy("__g").agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
-    if (biggest > maxBucket)
+    val biggest = buckets.agg(coalesce(max(size(col("ids"))), lit(0))).head().getInt(0)
+    if (biggest > maxBucket) {
+      buckets.unpersist(); sh.unpersist()
       throw new IllegalStateException(
         s"prefixFilterJaccard: largest prefix bucket has $biggest docs > maxBucket=$maxBucket; " +
           "dropping it would break the exact-result contract. Raise threshold (shorter " +
           "prefixes), raise maxBucket, or exact-dedup the spam cluster first.")
-    val pairs = pairsFromBuckets(prefix, Seq("__g"), idCol, maxBucket)
-    prefix.unpersist()
-    val sizes = sh.select(col(idCol), size(col("__sh")).as("__s"))
-    val pruned = pairs
-      .join(sizes.toDF("id_a", "__sa").hint("merge"), "id_a")
-      .join(sizes.toDF("id_b", "__sb").hint("merge"), "id_b")
-      .filter(least(col("__sa"), col("__sb")).cast("double")
-        >= lit(threshold) * greatest(col("__sa"), col("__sb")).cast("double"))
-      .select(col("id_a"), col("id_b"))
+    }
+    // in-bucket pairs with the PPJoin LENGTH FILTER applied during
+    // generation (J ≥ τ ⇒ min(sa,sb) ≥ τ·max(sa,sb)): sizes ride the
+    // bucket structs, so no join ever touches a pruned pair
+    val pairStructs = flatten(
+      transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(sequence(i + 1, size(col("ids")) - 1), j =>
+          struct(element_at(col("ids"), i + 1).getField("id").as("id_a"),
+                 element_at(col("ids"), j + 1).getField("id").as("id_b"),
+                 element_at(col("ids"), i + 1).getField("s").as("sa"),
+                 element_at(col("ids"), j + 1).getField("s").as("sb")))))
+    val pairs = buckets.select(explode(pairStructs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sa"), col("p.sb"))
+      .filter(least(col("sa"), col("sb")).cast("double")
+        >= lit(threshold) * greatest(col("sa"), col("sb")).cast("double"))
+      .dropDuplicates("id_a", "id_b")
     // raw-string set compare (NOT verifyJaccard's xxhash64 payload):
-    // replayable bit-for-bit by an ANSI oracle
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"))
-    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"))
-    val result = pruned.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // replayable bit-for-bit by an ANSI oracle. |union| = sa + sb − |∩|
+    // — the carried sizes spare the array_union pass. Join strategy
+    // pinned by measured corpus size, the embedCosine rule: past
+    // BroadcastSafeCorpusRows the id→shingle-set sides are driver-OOM
+    // liabilities → merge; below it AQE's broadcast plan wins.
+    val pin = nRows > BroadcastSafeCorpusRows
+    def side(n: String, v: String) = {
+      val s = sh.select(col(idCol).as(n), col("__sh").as(v))
+      if (pin) s.hint("merge") else s
+    }
+    val result = pairs.join(side("id_a", "sh_a"), "id_a").join(side("id_b", "sh_b"), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("sa") + col("sb") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint()
+    buckets.unpersist()
     sh.unpersist()
     result
   }
