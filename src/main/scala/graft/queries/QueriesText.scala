@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Media
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, LangModel, Similarity}
 import graft.sources.Tables
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -725,42 +725,13 @@ object QueriesText {
 
     "q_ngram_lm" -> ((s, d) => {
       // bigram-LM quality filter — the CONDITIONAL-probability upgrade
-      // of q_token_surprise's unigram signal (the KenLM/CCNet
-      // perplexity family): a transition w1→w2 costs its add-one-
-      // smoothed inverse conditional probability, (c1 + V) div
-      // (c12 + 1) — kept as an INTEGER ratio so the oracle stays
-      // hash-exact where float log-prob sums would be order-dependent
-      // — and a document scores the mean transition cost of its
-      // bigrams in ppm. Predictable prose rides high-count transitions
-      // (low cost); rare-transition soup scores high; `keep` cuts at
-      // 35e6 ppm (≈ mean inverse transition probability 35).
-      // Scale: bigram counts and prefix counts are corpus-scaling
-      // VOCABULARY tables — both sides of each cost join shuffle on
-      // the bigram key (merge hints: the q_tfidf_terms lesson — the
-      // static planner's aggregate estimate would broadcast a side
-      // that grows with the corpus); the 1-row V crossJoins broadcast;
-      // one map-side-combined doc_id fold ends the plan. Nothing
-      // all-pairs, nothing driver-side.
-      val bi = Tables(s, d).documents
-        .select(col("doc_id"), tokens(col("text")).as("__toks"))
-        .filter(size(col("__toks")) >= 2)
-        .select(col("doc_id"), explode(shinglesOfTokens(col("__toks"), 2)).as("bg"))
-      val c12 = bi.groupBy("bg").agg(count(lit(1)).as("__c12"))
-      // prefix count c1 folds the (already one-row-per-bigram) count
-      // table, not the raw stream: |vocab| rows into the shuffle
-      val c1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
-        .agg(sum(col("__c12")).as("__c1"))
-      val vocab = c12.agg(countDistinct(substring_index(col("bg"), " ", -1)).as("__v"))
-      val costs = c12
-        .withColumn("__w1", substring_index(col("bg"), " ", 1))
-        .join(c1.hint("merge"), "__w1")
-        .crossJoin(broadcast(vocab))
-        .select(col("bg"), expr("(__c1 + __v) div (__c12 + 1)").as("__cost"))
-      bi.join(costs.hint("merge"), "bg")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("total_cost"))
-        .withColumn("mean_cost_ppm", expr("total_cost * 1000000 div n_bigrams"))
-        .withColumn("keep", col("mean_cost_ppm") <= 35000000L)
+      // of q_token_surprise's unigram signal (operators/LangModel
+      // bigramSurprisal: integer add-one-smoothed inverse transition
+      // costs, hash-exact where float log-prob sums are order-
+      // dependent; the tokenize pass — measured as the whole budget
+      // at ×32 — runs exactly once behind a spillable cache).
+      LangModel.bigramSurprisal(Tables(s, d).documents, "doc_id", "text",
+          keepPpm = 35000000L)
         .orderBy("doc_id")
     }),
 
