@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Media
-import graft.operators.{Dedup, LangModel, Similarity}
+import graft.operators.{Dedup, LangModel, Select, Similarity, Split}
 import graft.sources.Tables
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -19,6 +19,18 @@ object QueriesText {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private def toksSql = s"string_split($normSql, ' ')"
+
+  // DuckDB replica of the md5-threshold uniform draw (first 6 hex
+  // digits of md5 as an integer in [0, 16^6)) — keep in sync with
+  // operators/Split.scala and the q_sample_stratified idiom.
+  private def md5UvalSql(argSql: String): String = {
+    val digit = (i: Int) =>
+      s"strpos('0123456789abcdef', substr(__m, $i, 1)) - 1"
+    s"""((((cast(${digit(1)} as bigint) * 16
+       |    + ${digit(2)}) * 16 + ${digit(3)}) * 16
+       |    + ${digit(4)}) * 16 + ${digit(5)}) * 16 + ${digit(6)}"""
+      .stripMargin.replace("__m", s"md5($argSql)")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_token_count" -> ((s, d) => {
@@ -638,6 +650,48 @@ object QueriesText {
         sh, keyCols = Seq("sh"), idCol = "doc_id", maxBucket = 20)
       graft.operators.Components.connectedComponents(edges)
         .orderBy("node")
+    }),
+
+    "q_token_budget" -> ((s, d) => {
+      // token-budget corpus selection (operators/Select.tokenBudget):
+      // rank every doc by an integer lexical-diversity score
+      // (distinct-token ppm — the Gopher repetition family) and keep
+      // the best docs until a global 8k-token budget is exhausted,
+      // emitting each survivor's auditable running total. The naive
+      // plan is a GLOBAL window (one task holds the corpus); the
+      // operator's two-phase form — domain-bounded bucket prefix
+      // totals + per-bucket windows — keeps every stage
+      // corpus-partitioned. Score is cast long before *1e6: int
+      // multiply overflows past ~2k tokens/doc.
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          tokenCountOfTokens(col("__toks")).as("n_tokens"),
+          size(array_distinct(col("__toks"))).as("__nd"))
+        .filter(col("n_tokens") >= 1)
+        .withColumn("diversity_ppm",
+          expr("cast(__nd as bigint) * 1000000 div n_tokens"))
+      Select.tokenBudget(base, "doc_id", "n_tokens", "diversity_ppm",
+          budget = 8000L)
+        .orderBy("doc_id")
+    }),
+
+    "q_split_leakfree" -> ((s, d) => {
+      // leakage-free train/val/test split (operators/Split.leakFree):
+      // assignment hashes the near-dup COMPONENT representative, so no
+      // near-dup pair ever straddles a split (train-on-val
+      // contamination is structurally impossible). Same capped
+      // shingle-bucket edge rule as q_shingle_clusters, so the DuckDB
+      // oracle replays components via the recursive CTE, then the
+      // md5-threshold draw digit-for-digit.
+      val docs = Tables(s, d).documents
+      val sh = docs
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), explode(shinglesOfTokens(col("__toks"), 5)).as("sh"))
+        .distinct()
+      val edges = Dedup.pairsFromBuckets(sh, Seq("sh"), "doc_id", maxBucket = 20)
+      Split.leakFree(docs, "doc_id", edges)
+        .orderBy("doc_id")
     }),
 
     "q_tfidf_terms" -> ((s, d) => {
@@ -1269,6 +1323,56 @@ object QueriesText {
         | round(list_max(list_transform(qv,
         |   (x, i) -> abs(x * scale - cast(embedding[i] as double)))), 6) AS max_err6
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t AS (
+         | SELECT doc_id, cast(len(tk) as int) AS n_tokens,
+         |  cast(len(list_distinct(tk)) as bigint) * 1000000 // len(tk) AS diversity_ppm
+         | FROM (SELECT doc_id, $toksSql AS tk FROM documents)
+         | WHERE NOT (len(tk) = 1 AND tk[1] = '')),
+         |c AS (
+         | SELECT doc_id, n_tokens, diversity_ppm,
+         |  cast(sum(n_tokens) OVER (ORDER BY diversity_ppm DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+         | FROM t)
+         |SELECT doc_id, diversity_ppm, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 8000 ORDER BY doc_id""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE
+         |tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (
+         | SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         |   ELSE list_filter(list_transform(t, (x, i) ->
+         |     CASE WHEN i <= len(t) - 4 THEN array_to_string(t[i:i+4], ' ') END),
+         |     g -> g IS NOT NULL) END) AS sh
+         |  FROM tk)),
+         |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+         |bounded AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+         |edges AS (
+         | SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         | FROM bounded a JOIN bounded b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |nodes AS (SELECT DISTINCT node FROM
+         | (SELECT ia AS node FROM edges UNION ALL SELECT ib FROM edges)),
+         |sym AS (SELECT ia AS src, ib AS dst FROM edges
+         |        UNION ALL SELECT ib, ia FROM edges),
+         |reach AS (
+         | SELECT node, node AS lbl FROM nodes
+         | UNION
+         | SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1),
+         |assigned AS (
+         | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |drawn AS (
+         | SELECT doc_id, component,
+         |  ${md5UvalSql("'spl' || cast(component as varchar)")} AS uval
+         | FROM assigned)
+         |SELECT doc_id, component,
+         | CASE WHEN uval < 13421772 THEN 'train'
+         |      WHEN uval < 15099494 THEN 'val' ELSE 'test' END AS split
+         |FROM drawn ORDER BY doc_id""".stripMargin,
 
     "q_shingle_clusters" ->
       s"""WITH RECURSIVE
