@@ -77,4 +77,61 @@ object LangModel {
     c12.unpersist()
     result
   }
+
+  /** DSIR-style importance weighting (Xie et al.'s data selection via
+    * importance resampling, reduced to its count-LM core): score every
+    * document by how much more its tokens look drawn from the TARGET
+    * distribution (rows matching `targetFilter`) than from the raw
+    * pool, and keep docs at or above `keepPpm`. The per-token weight
+    * p_target(w)/p_raw(w) is kept INTEGER-EXACT as a smoothed lift in
+    * parts-per-`scale` (the q_cooccur_pmi idiom, at full ppm
+    * resolution where digit-count log buckets wash out on mildly
+    * separated distributions):
+    * `lift = ((c_tgt+1)·scale div (c_raw+1)) · N_raw div (N_tgt+1)`
+    * and a doc scores the MEAN token lift; `scale` (1e6) is the
+    * "equally likely under both" baseline. All terms are positive, so
+    * floor-vs-truncate division semantics agree across engines. Exact
+    * in 64-bit while `scale · N_raw < 2^63` — at the default ppm scale
+    * that is ~9e12 raw tokens (tens of TB of text); drop `scale` one
+    * decade per decade beyond (the first factor is ≤ `scale` because
+    * c_tgt ≤ c_raw, so the bound is exactly scale·N_raw).
+    *
+    * Scale (the [[bigramSurprisal]] dataflow): ONE tokenize+explode
+    * pass persisted spillable; BOTH count tables fold from that single
+    * pass (target counts are a conditional aggregate — no second scan,
+    * no filter-join); totals are a 1-row broadcast; the vocab-sized
+    * lift table joins back broadcast-below / merge-above the measured
+    * [[Dedup.BroadcastSafeCorpusRows]] pin; one map-side-combined doc
+    * fold ends the plan. */
+  def dsirWeight(df: DataFrame, idCol: String, textCol: String,
+                 targetFilter: org.apache.spark.sql.Column,
+                 keepPpm: Long, scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(col(idCol), targetFilter.as("__tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.groupBy("tok")
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = counts.count() // materializes both caches, sizes the pin
+    val totals = counts.agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val gains = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr(s"((__ct + 1) * $scale div (__cr + 1)) * __nr div (__nt + 1)")
+          .as("__lift"))
+    val gainSide = if (nVocab > Dedup.BroadcastSafeCorpusRows)
+      gains.hint("merge") else broadcast(gains)
+    val result = toks.join(gainSide, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lift")).as("__total"))
+      .withColumn("mean_lift_ppm", expr("__total div n_tokens"))
+      .withColumn("keep", col("mean_lift_ppm") >= keepPpm)
+      .select(col(idCol), col("n_tokens"), col("mean_lift_ppm"), col("keep"))
+      .localCheckpoint()
+    toks.unpersist()
+    counts.unpersist()
+    result
+  }
 }

@@ -789,6 +789,18 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dsir_select" -> ((s, d) => {
+      // DSIR-style importance selection (operators/LangModel
+      // dsirWeight): target = English docs, raw = the whole pool; a
+      // doc's score is the mean integer lift p_target/p_raw of its
+      // tokens in ppm, keep at the >= 1e6 "leans target" baseline.
+      // One tokenize pass, both count LMs from one conditional
+      // aggregate, vocab-pinned lift join, one doc fold.
+      LangModel.dsirWeight(Tables(s, d).documents, "doc_id", "text",
+          targetFilter = col("lang") === "en", keepPpm = 1000000L)
+        .orderBy("doc_id")
+    }),
+
     "q_length_histogram" -> ((s, d) => {
       // corpus length profile: fixed-width binning of n_chars — the
       // pre-curation length-distribution check (narrow map + tiny agg)
@@ -1323,6 +1335,30 @@ object QueriesText {
         | round(list_max(list_transform(qv,
         |   (x, i) -> abs(x * scale - cast(embedding[i] as double)))), 6) AS max_err6
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // replays the integer DSIR lift: smoothed per-token target/raw
+    // probability ratio in ppm, mean per doc (all terms positive, so
+    // // and Spark's div agree)
+    "q_dsir_select" ->
+      s"""WITH tf AS (
+         | SELECT doc_id, lang, tok FROM
+         |  (SELECT doc_id, lang, unnest($toksSql) AS tok FROM documents)
+         | WHERE length(tok) > 0),
+         |counts AS (
+         | SELECT tok, count(*) AS cr,
+         |  count(*) FILTER (WHERE lang = 'en') AS ct
+         | FROM tf GROUP BY tok),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+         |gains AS (
+         | SELECT tok,
+         |  cast(((ct + 1) * 1000000 // (cr + 1)) * nr // (nt + 1) as bigint) AS lift
+         | FROM counts, tot),
+         |j AS (SELECT tf.doc_id, g.lift FROM tf JOIN gains g USING (tok))
+         |SELECT doc_id, count(*) AS n_tokens,
+         | cast(sum(lift) // count(*) as bigint) AS mean_lift_ppm,
+         | (sum(lift) // count(*)) >= 1000000 AS keep
+         |FROM j GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH t AS (
