@@ -231,6 +231,56 @@ object Media {
     }
   }
 
+  case class AHashRow(media_id: Long, ahash: Long)
+
+  /** 64-bit average-hash (aHash, the classic perceptual image hash)
+    * of every decodable IMAGE payload: decode via ImageIO, partition
+    * pixels into an 8×8 grid by the forward map
+    * `bit = (y·8 div H)·8 + (x·8 div W)`, set a bit iff its block's
+    * mean gray exceeds the image's global mean — compared as exact
+    * integer cross-products (`block_sum·n_px > total_sum·block_n`, no
+    * division, no floats), so any engine that can see the pixels
+    * reproduces the hash bit-for-bit. Same raster-sample access as
+    * [[graySum]] (getRGB would gamma-convert TYPE_BYTE_GRAY).
+    * Undecodable payloads are skipped, not failed. */
+  def aHash(spark: SparkSession, media: DataFrame): Dataset[AHashRow] = {
+    import spark.implicits._
+    media.filter(col("media_type") === "image").as[MediaRow].mapPartitions { it =>
+      it.flatMap { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+          val raster = img.getRaster
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var tot = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val v = if (indexed) img.getRGB(x, y) & 0xFF else raster.getSample(x, y, 0)
+              val b = by * 8 + x * 8 / w
+              sums(b) += v; cnts(b) += 1; tot += v
+              x += 1
+            }
+            y += 1
+          }
+          val nPx = w.toLong * h
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            if (cnts(b) > 0 && sums(b) * nPx > tot * cnts(b)) bits |= 1L << b
+            b += 1
+          }
+          Some(AHashRow(r.media_id, bits))
+        }
+      }
+    }
+  }
+
   case class FrameSample(media_id: Long, frame_idx: Int, frame_px_sum: Long)
 
   /** REAL frame sampling: decode every `stride`-th frame of each

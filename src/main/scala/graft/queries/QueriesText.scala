@@ -517,6 +517,27 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_sample_diverse" -> ((s, d) => {
+      // cluster-balanced diversity sampling (the SemDeDup/DDS
+      // "coverage" selection): k-means the embedding space, then take
+      // an EXACT per-cell quota in deterministic md5 order — the
+      // sample spans the space instead of mirroring its density, and
+      // any engine reproduces membership bit-for-bit (the
+      // q_sample_exact_n draw over LEARNED groups; oracle replays
+      // Lloyd's via kmeansCtes then the draw). Scale: assignment is
+      // the narrow literal-centroid argmin map (no shuffle), the
+      // quota window shuffles once on cluster id — cells are
+      // size-bounded by kForCorpus sizing, so no window straggler.
+      val assigned = graft.operators.Cluster.kmeansAssignInt8(
+        Tables(s, d).embeddings, "vec_id", "embedding", k = 8, iters = 2)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+        .orderBy(md5(concat(lit("div"), col("vec_id").cast("string"))), col("vec_id"))
+      assigned.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("vec_id"), col("cluster"), col("rk"))
+        .orderBy("cluster", "rk")
+    }),
+
     "q_corpus_filter" -> ((s, d) => {
       // composed curation pipeline: language-consistency + quality
       // + exact-dedup canonical flags -> per-language keep/drop counts
@@ -822,6 +843,56 @@ object QueriesText {
         .orderBy("media_id")
     }),
 
+    "q_media_phash" -> ((s, d) => {
+      // perceptual-hash image dedup: REAL ImageIO decode → 64-bit
+      // aHash (8×8 block means vs global mean, exact integer
+      // cross-products) → canonical-per-cluster verdicts. Clustering
+      // happens at the DISTINCT-HASH level: one node per hash group
+      // (its min media_id), 4×16-bit LSH bands over hash NODES
+      // (lossless for hamming≤3 by pigeonhole), exact hamming edges,
+      // star-contraction components, then a hash→canonical join maps
+      // every image. The first cut generated image-level pairs and
+      // its completeness gate correctly THREW at ×32 — near-identical
+      // images make pair output quadratic by definition; group-level
+      // output is linear in images + quadratic only in DISTINCT
+      // hashes, which scale with content diversity, not corpus size.
+      // Oracle replays the pixel FORMULA (the q_media_pipeline trust
+      // argument: a faked decode cannot produce formula-matching
+      // hashes from compressed containers), brute-forces the full
+      // hash graph, and walks the same closure via recursive CTE.
+      val sig = Media.aHash(s, Media.asMediaTable(Tables(s, d).documents))
+        .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = sig.groupBy("ahash").agg(min(col("media_id")).as("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = nodes.select(col("node"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftright(ahash, ${16 * b}) & 65535")): _*)).as(Seq("band", "bv")))
+      val sizes = banded.groupBy("band", "bv").agg(count(lit(1)).as("__n"))
+      val maxBucket = sizes.agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+      require(maxBucket <= 4096,
+        s"aHash band bucket of $maxBucket DISTINCT hashes exceeds the 4096 " +
+        "completeness cap: near-dup edges would be silently dropped")
+      val cand = Dedup.pairsFromBuckets(banded, Seq("band", "bv"), "node",
+        maxBucket = 4096)
+      val edges = cand
+        .join(nodes.select(col("node").as("id_a"), col("ahash").as("__ha")), "id_a")
+        .join(nodes.select(col("node").as("id_b"), col("ahash").as("__hb")), "id_b")
+        .filter(expr("bit_count(__ha ^ __hb) <= 3"))
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.Components.connectedComponents(edges)
+        .withColumnRenamed("node", "__cn")
+      val out = sig.join(nodes, "ahash")
+        .join(comp, col("node") === col("__cn"), "left")
+        .withColumn("canonical_id", coalesce(col("component"), col("node")))
+        .select(col("media_id"), col("canonical_id"),
+          (col("media_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("media_id")
+        .localCheckpoint()
+      sig.unpersist()
+      nodes.unpersist()
+      out
+    }),
+
     "q_media_thumbs" -> ((s, d) => {
       // encode-OUT round trip (Media.thumbnails): synthesize real
       // PNGs, decode, nearest-neighbor resize to a 12×12 box, re-
@@ -923,6 +994,60 @@ object QueriesText {
       |   FROM qv, c1 c)) WHERE rk = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // replays the SYNTHESIS formula of every image payload (the
+    // q_media_pipeline trust argument), derives the 64 aHash bits with
+    // the same forward block map and integer cross-product compare,
+    // brute-forces the hamming<=3 edges between DISTINCT-hash nodes,
+    // and walks the same closure via recursive CTE — hash-matching
+    // Spark's banded path proves the 4x16 banding lossless
+    "q_media_phash" ->
+      """WITH RECURSIVE dims AS (
+        | SELECT doc_id AS id, cast(8 + doc_id % 24 as bigint) AS W,
+        |        cast(8 + (doc_id*7) % 16 as bigint) AS H
+        | FROM documents WHERE doc_id % 3 = 0),
+        |xs AS (SELECT id, W, H, unnest(range(0, W)) AS x FROM dims),
+        |px AS (
+        | SELECT id, (x + y + id) % 256 AS v,
+        |  (y * 8 // H) * 8 + (x * 8 // W) AS b
+        | FROM (SELECT id, W, H, x, unnest(range(0, H)) AS y FROM xs)),
+        |tot AS (SELECT id, sum(v) AS tv, count(*) AS npx FROM px GROUP BY id),
+        |blk AS (SELECT id, b, sum(v) AS bv, count(*) AS bn FROM px GROUP BY id, b),
+        |bitlist AS (
+        | SELECT blk.id, list(CASE WHEN bv * npx > tv * bn THEN 1 ELSE 0 END ORDER BY b) AS bits
+        | FROM blk JOIN tot ON blk.id = tot.id GROUP BY blk.id),
+        |hnodes AS (SELECT bits, min(id) AS node FROM bitlist GROUP BY bits),
+        |edges AS (
+        | SELECT a.node AS ia, b.node AS ib
+        | FROM hnodes a JOIN hnodes b ON a.node < b.node
+        | WHERE len(list_filter(range(1, 65), i -> a.bits[i] != b.bits[i])) <= 3),
+        |sym AS (SELECT ia AS src, ib AS dst FROM edges
+        |        UNION ALL SELECT ib, ia FROM edges),
+        |enodes AS (SELECT DISTINCT src AS node FROM sym),
+        |reach AS (
+        | SELECT node, node AS lbl FROM enodes
+        | UNION
+        | SELECT s.dst AS node, r.lbl FROM reach r JOIN sym s ON s.src = r.node),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+        |SELECT bl.id AS media_id,
+        | coalesce(c.component, n.node) AS canonical_id,
+        | bl.id = coalesce(c.component, n.node) AS is_canonical
+        |FROM bitlist bl JOIN hnodes n ON bl.bits = n.bits
+        |LEFT JOIN comp c ON c.node = n.node
+        |ORDER BY media_id""".stripMargin,
+
+    // replays Lloyd's (kmeansCtes) then the deterministic md5-ordered
+    // per-cell quota draw
+    "q_sample_diverse" ->
+      s"""WITH $kmeansCtes,
+         |sel AS (
+         | SELECT id, cid,
+         |  cast(row_number() OVER (PARTITION BY cid
+         |   ORDER BY md5('div' || cast(id as varchar)), id) as int) AS rk
+         | FROM a2)
+         |SELECT id AS vec_id, cid AS cluster, rk
+         |FROM sel WHERE rk <= 10
+         |ORDER BY cluster, rk""".stripMargin,
 
     // replays the full approximate path: probe = rank the SAME c1
     // centroids a2's cells were assigned against (exact integer L2,

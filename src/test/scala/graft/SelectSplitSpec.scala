@@ -101,6 +101,26 @@ class SelectSplitSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("diversity sample (q_sample_diverse) takes exact per-cell quotas deterministically") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.queries.QueriesText.queries("q_sample_diverse")(spark, d)
+      .selectExpr("cast(vec_id as long)", "cast(cluster as long)", "cast(rk as int)")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    // quota respected per cell, ranks dense from 1
+    val byCell = out.groupBy(_._2)
+    for ((_, xs) <- byCell) {
+      assert(xs.size <= 10)
+      assert(xs.map(_._3).sorted == (1 to xs.size).toSeq)
+    }
+    // no vector sampled twice across cells
+    assert(out.map(_._1).distinct.size == out.size)
+    val again = graft.queries.QueriesText.queries("q_sample_diverse")(spark, d)
+      .selectExpr("cast(vec_id as long)", "cast(cluster as long)", "cast(rk as int)")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(out == again)
+  }
+
   test("leakFree component representative matches Components on the edge graph") {
     val docs = (0L until 50L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

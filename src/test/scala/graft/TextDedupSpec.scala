@@ -326,6 +326,40 @@ class MediaStreamSpec extends AnyFunSuite {
     assert(f == f2)
   }
 
+  test("aHash matches a pixel-formula reference and banding is lossless at hamming<=3") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val hs = graft.multimodal.Media.aHash(
+        spark, graft.multimodal.Media.asMediaTable(docs))
+      .collect().map(r => r.media_id -> r.ahash).toMap
+    assert(hs.nonEmpty)
+    // reference: recompute a few hashes straight from the synthesis
+    // formula (no codec) — decode-side and formula-side must agree
+    // bit-for-bit
+    def ref(id: Long): Long = {
+      val (w, h) = ((8 + id % 24).toInt, (8 + id * 7 % 16).toInt)
+      val vs = for (y <- 0 until h; x <- 0 until w)
+        yield ((y * 8 / h) * 8 + x * 8 / w, ((x + y + id) % 256))
+      val tot = vs.map(_._2).sum.toLong
+      val nPx = w.toLong * h
+      val byB = vs.groupBy(_._1)
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        byB.get(b) match {
+          case Some(cells) if cells.map(_._2).sum.toLong * nPx > tot * cells.size => acc | (1L << b)
+          case _ => acc
+        }
+      }
+    }
+    for (id <- hs.keys.take(8)) assert(hs(id) == ref(id), s"hash mismatch for $id")
+    // lossless-banding invariant on the full corpus: every hamming<=3
+    // pair shares at least one exact 16-bit band (pigeonhole)
+    val ids = hs.keys.toSeq.sorted
+    for {
+      (a, ai) <- ids.zipWithIndex; b <- ids.drop(ai + 1)
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } assert((0 until 4).exists(k =>
+      ((hs(a) >> (16 * k)) & 0xFFFF) == ((hs(b) >> (16 * k)) & 0xFFFF)))
+  }
+
   test("composed multimodal pipeline: real decode -> feature vector -> LSH buckets") {
     // the end-to-end shape a media dedup pipeline takes at scale:
     // binary column -> partition-batched codec decode -> a float
