@@ -517,6 +517,26 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_embed_gram" -> ((s, d) => {
+      // exact integer gram (scatter) matrix of the int8-quantized
+      // embedding corpus — the distributed core of PCA / whitening /
+      // covariance-based outlier scoring: G[i][j] = Σ_v q_i·q_j over
+      // the upper triangle. Pipeline shape: the shared global int8
+      // grid (Cluster.quantize — one corpus max + a narrow map), one
+      // narrow generate of dim(dim+1)/2 products per vector, ONE
+      // map-side-combined (i,j) shuffle whose reduced size is 2080
+      // cells per partition regardless of corpus rows. The eigen step
+      // on the 64×64 result is driver-side by design (constant work);
+      // the corpus-scaling half is this plan (operators/Stats
+      // gramMatrix — the expression-level draft generated 2080
+      // structs PER VECTOR and measured 0.81-of-linear at ×32; the
+      // per-partition fold emits 2080 partials PER PARTITION).
+      val q = graft.operators.Cluster.quantize(
+        Tables(s, d).embeddings, "vec_id", "embedding")
+      graft.operators.Stats.gramMatrix(q, "q")
+        .orderBy("i", "j")
+    }),
+
     "q_sample_diverse" -> ((s, d) => {
       // cluster-balanced diversity sampling (the SemDeDup/DDS
       // "coverage" selection): k-means the embedding space, then take
@@ -954,8 +974,11 @@ object QueriesText {
   /** Shared DuckDB replay of Cluster.trainInt8 (k=8, 2 Lloyd
     * iterations unrolled) through the FINAL assignment `a2` — used by
     * both the q_kmeans summary oracle and q_dedup_semantic's blocking
-    * oracle. Any change to the Scala trainer must mirror here. */
-  private val kmeansCtes: String =
+    * oracle. Any change to the Scala trainer must mirror here.
+    * (The g/sc/qv quantization prefix lives in [[quantCtes]], shared
+    * with oracles that need the int8 grid but not the Lloyd
+    * iterations — q_embed_gram.) */
+  private val quantCtes: String =
     """g AS (
       | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
       | FROM embeddings),
@@ -963,7 +986,10 @@ object QueriesText {
       |qv AS (
       | SELECT vec_id AS id,
       |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
-      | FROM embeddings, sc),
+      | FROM embeddings, sc)""".stripMargin
+
+  private val kmeansCtes: String =
+    s"""$quantCtes,
       |c0 AS (
       | SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid, q AS cq
       | FROM (SELECT id, q FROM qv ORDER BY id LIMIT 8)),
@@ -1035,6 +1061,19 @@ object QueriesText {
         |FROM bitlist bl JOIN hnodes n ON bl.bits = n.bits
         |LEFT JOIN comp c ON c.node = n.node
         |ORDER BY media_id""".stripMargin,
+
+    // replays the int8 grid (quantCtes) then folds the upper-triangle
+    // products — exact integer equality, cell for cell
+    "q_embed_gram" ->
+      s"""WITH $quantCtes,
+         |xs AS (SELECT q, unnest(range(1, len(q) + 1)) AS i FROM qv),
+         |prods AS (
+         | SELECT i, j, q[i] * q[j] AS p
+         | FROM (SELECT q, i, unnest(range(i, len(q) + 1)) AS j FROM xs))
+         |SELECT cast(i as int) AS i, cast(j as int) AS j,
+         | cast(sum(p) as bigint) AS gram
+         |FROM prods GROUP BY i, j
+         |ORDER BY i, j""".stripMargin,
 
     // replays Lloyd's (kmeansCtes) then the deterministic md5-ordered
     // per-cell quota draw

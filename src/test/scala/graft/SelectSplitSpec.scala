@@ -121,6 +121,23 @@ class SelectSplitSpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("embed gram matrix equals a plain-Scala fold over the quantized vectors") {
+    val d = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val q = graft.operators.Cluster.quantize(emb, "vec_id", "embedding")
+      .select("q").as[Seq[Long]].collect()
+    val dim = q.head.size
+    val ref = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    for (v <- q; i <- 0 until dim; j <- i until dim)
+      ref((i + 1, j + 1)) = ref.getOrElse((i + 1, j + 1), 0L) + v(i) * v(j)
+    val got = graft.queries.QueriesText.queries("q_embed_gram")(spark, d)
+      .as[(Int, Int, Long)].collect()
+    assert(got.length == dim * (dim + 1) / 2)
+    for ((i, j, g) <- got) assert(g == ref((i, j)), s"cell ($i,$j)")
+    // diagonal of a gram matrix is a sum of squares: never negative
+    assert(got.filter(r => r._1 == r._2).forall(_._3 >= 0))
+  }
+
   test("leakFree component representative matches Components on the edge graph") {
     val docs = (0L until 50L).toDF("doc_id")
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
