@@ -307,6 +307,36 @@ object Cluster {
     * `literalAssignMaxK` is a test seam (ClusterSpec forces the join
     * path at small k to prove path parity); production callers leave
     * the default. */
+  /** Incremental index maintenance: assign a NEW batch of vectors to
+    * the cells of an index trained on the history alone — the ANN
+    * counterpart of [[Dedup.incrementalExact]]'s nightly-ingest
+    * contract. The index's frozen state is (grid scale, post-update
+    * centroids): the grid derives from the HISTORY max (a deployed
+    * index stores it; batch vectors landing outside ±127 stay exact,
+    * just off-grid), history trains `iters` Lloyd rounds, and the
+    * batch is ONE narrow argmin map against the final centroids — no
+    * retraining, no history re-shuffle, O(batch) work per ingest.
+    * Returns (idCol, cluster, dist) for the batch rows only.
+    * History and batch MUST share the grid — quantizing each side on
+    * its own max would put them in incomparable spaces (the
+    * [[quantize]] scaladoc contract). */
+  def assignIncremental(emb: DataFrame, idCol: String, vecCol: String,
+                        historyPred: Column, k: Int, iters: Int): DataFrame = {
+    val hist = emb.filter(historyPred)
+    val gmaxRow = hist.agg(
+      max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
+      .head()
+    val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
+    val gscale = if (gmax == 0.0) 1.0 else gmax / 127.0
+    def onGrid(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
+    val trained = trainLoop(onGrid(hist).localCheckpoint(false),
+      k, iters, LiteralAssignMaxK)
+    assignTo(onGrid(emb.filter(!historyPred)), trained.centroids)
+      .select(col("id").as(idCol), col("cid").as("cluster"), col("dist"))
+  }
+
   private[graft] def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
                                k: Int, iters: Int,
                                literalAssignMaxK: Int = LiteralAssignMaxK)

@@ -517,6 +517,22 @@ object QueriesText {
         .orderBy("vec_id")
     }),
 
+    "q_ann_incremental" -> ((s, d) => {
+      // incremental ANN index maintenance (Cluster.assignIncremental —
+      // the q_dedup_incremental contract for vectors): the index's
+      // frozen state is (history grid scale, post-update centroids
+      // from 2 Lloyd rounds on history vec_id < 400); a new batch is
+      // ONE narrow argmin map against those centroids — no
+      // retraining, no history re-shuffle, O(batch) per ingest.
+      // Oracle unrolls history training then replays the batch argmin
+      // with the same (dist, cid) ties — the whole trajectory is a
+      // pure function of the data.
+      graft.operators.Cluster.assignIncremental(
+          Tables(s, d).embeddings, "vec_id", "embedding",
+          historyPred = col("vec_id") < 400, k = 8, iters = 2)
+        .orderBy("vec_id")
+    }),
+
     "q_embed_gram" -> ((s, d) => {
       // exact integer gram (scatter) matrix of the int8-quantized
       // embedding corpus — the distributed core of PCA / whitening /
@@ -1061,6 +1077,68 @@ object QueriesText {
         |FROM bitlist bl JOIN hnodes n ON bl.bits = n.bits
         |LEFT JOIN comp c ON c.node = n.node
         |ORDER BY media_id""".stripMargin,
+
+    // unrolls the HISTORY-only trajectory (grid from history max,
+    // init by smallest history ids, 2 Lloyd rounds incl. the final
+    // update) then assigns the BATCH against the post-update
+    // centroids — deliberately restated with history filters rather
+    // than reusing kmeansCtes (whose grid/init span the full corpus)
+    "q_ann_incremental" ->
+      """WITH g AS (
+        | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
+        | FROM embeddings WHERE vec_id < 400),
+        |sc AS (SELECT CASE WHEN m IS NULL OR m = 0 THEN 1.0 ELSE m / 127.0 END AS gs FROM g),
+        |qv AS (
+        | SELECT vec_id AS id,
+        |  list_transform(embedding, x -> cast(floor(cast(x as double) / gs + 0.5) as bigint)) AS q
+        | FROM embeddings, sc),
+        |h AS (SELECT id, q FROM qv WHERE id < 400),
+        |c0 AS (
+        | SELECT cast(row_number() OVER (ORDER BY id) - 1 as int) AS cid, q AS cq
+        | FROM (SELECT id, q FROM h ORDER BY id LIMIT 8)),
+        |a1 AS (
+        | SELECT id, q, cid FROM (
+        |  SELECT id, q, cid,
+        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT h.id, h.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(h.q) + 1),
+        |     i -> (h.q[i] - c.cq[i]) * (h.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM h, c0 c)) WHERE rk = 1),
+        |u1 AS (
+        | SELECT cid, i AS pos,
+        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+        |c1 AS (
+        | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
+        | FROM (SELECT c0.cid, t.i, c0.cq[t.i] AS cv FROM c0, range(1, 65) t(i)) g
+        | LEFT JOIN u1 u ON u.cid = g.cid AND u.pos = g.i
+        | GROUP BY g.cid),
+        |a2 AS (
+        | SELECT id, q, cid FROM (
+        |  SELECT id, q, cid,
+        |   row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        |  FROM (SELECT h.id, h.q, c.cid,
+        |   cast(list_sum(list_transform(range(1, len(h.q) + 1),
+        |     i -> (h.q[i] - c.cq[i]) * (h.q[i] - c.cq[i]))) as bigint) AS dist
+        |   FROM h, c1 c)) WHERE rk = 1),
+        |u2 AS (
+        | SELECT cid, i AS pos,
+        |  cast(floor(cast(sum(q[i]) as double) / count(*)) as bigint) AS v
+        | FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+        |c2 AS (
+        | SELECT g.cid, list(coalesce(u.v, g.cv) ORDER BY g.i) AS cq
+        | FROM (SELECT c1.cid, t.i, c1.cq[t.i] AS cv FROM c1, range(1, 65) t(i)) g
+        | LEFT JOIN u2 u ON u.cid = g.cid AND u.pos = g.i
+        | GROUP BY g.cid),
+        |b AS (SELECT id, q FROM qv WHERE id >= 400)
+        |SELECT id AS vec_id, cid AS cluster, dist FROM (
+        | SELECT id, cid, dist,
+        |  row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rk
+        | FROM (SELECT b.id, c.cid,
+        |  cast(list_sum(list_transform(range(1, len(b.q) + 1),
+        |    i -> (b.q[i] - c.cq[i]) * (b.q[i] - c.cq[i]))) as bigint) AS dist
+        |  FROM b, c2 c)) WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // replays the int8 grid (quantCtes) then folds the upper-triangle
     // products — exact integer equality, cell for cell

@@ -121,6 +121,38 @@ class SelectSplitSpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("assignIncremental covers exactly the batch and lands dupes in their history cell") {
+    // two well-separated history blobs + a batch that duplicates one
+    // history vector per blob and adds one nearby vector
+    def vec(base: Float): Seq[Float] = Seq.tabulate(8)(i => base + i * 0.01f)
+    val hist = (0L until 20L).map(i =>
+      (i, vec(if (i % 2 == 0) 1.0f else 100.0f)))
+    val batch = Seq((100L, vec(1.0f)), (101L, vec(100.0f)), (102L, vec(99.0f)))
+    val emb = (hist ++ batch).toDF("vec_id", "embedding")
+    val out = graft.operators.Cluster.assignIncremental(
+        emb, "vec_id", "embedding", col("vec_id") < 100, k = 2, iters = 2)
+      .selectExpr("vec_id", "cast(cluster as int)", "cast(dist as long)")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(100L, 101L, 102L)) // batch only, once each
+    // the history side of the same universe, assigned by the full trainer
+    val histAssign = graft.operators.Cluster.kmeansAssignInt8(
+        emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 2, iters = 2)
+      .selectExpr("vec_id", "cast(cluster as int)").as[(Long, Int)].collect().toMap
+    // a batch duplicate of a history vector joins that vector's cell
+    assert(out(0)._2 == histAssign(0L))
+    assert(out(1)._2 == histAssign(1L))
+    assert(out(2)._2 == histAssign(1L)) // 99.0 ~ the 100.0 blob
+    // exact duplicates of centroid-space vectors: dist equals the dupe's
+    // history-side dist model (same grid, same centroids) and the two
+    // blobs land in different cells
+    assert(out(0)._2 != out(1)._2)
+    val again = graft.operators.Cluster.assignIncremental(
+        emb, "vec_id", "embedding", col("vec_id") < 100, k = 2, iters = 2)
+      .selectExpr("vec_id", "cast(cluster as int)", "cast(dist as long)")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("embed gram matrix equals a plain-Scala fold over the quantized vectors") {
     val d = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
