@@ -233,6 +233,11 @@ object Media {
 
   case class AHashRow(media_id: Long, ahash: Long)
 
+  /** Largest image (in pixels) [[aHash]]'s exact integer compare
+    * covers: nPx² · 255/64 < 2^63 ⇒ nPx < ~1.52e9. Larger images are
+    * skipped like undecodable ones (documented in [[aHash]]). */
+  private[graft] val AHashMaxExactPixels = 1500000000L
+
   /** 64-bit average-hash (aHash, the classic perceptual image hash)
     * of every decodable IMAGE payload: decode via ImageIO, partition
     * pixels into an 8×8 grid by the forward map
@@ -242,13 +247,24 @@ object Media {
     * division, no floats), so any engine that can see the pixels
     * reproduces the hash bit-for-bit. Same raster-sample access as
     * [[graySum]] (getRGB would gamma-convert TYPE_BYTE_GRAY).
-    * Undecodable payloads are skipped, not failed. */
+    * Undecodable payloads are skipped, not failed — BOTH the
+    * no-reader-claims-it case (ImageIO.read → null) and the
+    * valid-header-truncated-body case (ImageIO.read → IOException);
+    * one corrupt blob in a 100 TB ingest must not fail the task.
+    * Images past [[AHashMaxExactPixels]] (~1.5 gigapixels) are also
+    * skipped: beyond it the exact cross-product compare
+    * `block_sum·n_px > total_sum·block_n` can exceed int64
+    * (block_sum ≤ 255·nPx/64, so the product needs nPx² < 2^63·64/255)
+    * and the bit-for-bit reproducibility contract would silently
+    * break rather than loudly not apply. */
   def aHash(spark: SparkSession, media: DataFrame): Dataset[AHashRow] = {
     import spark.implicits._
     media.filter(col("media_type") === "image").as[MediaRow].mapPartitions { it =>
       it.flatMap { r =>
-        val img = ImageIO.read(new ByteArrayInputStream(r.payload))
-        if (img == null) None
+        val img =
+          try ImageIO.read(new ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null } // corrupt body with a valid header
+        if (img == null || img.getWidth.toLong * img.getHeight > AHashMaxExactPixels) None
         else {
           val (w, h) = (img.getWidth, img.getHeight)
           val indexed = img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]

@@ -322,7 +322,12 @@ object Cluster {
     * [[quantize]] scaladoc contract). */
   def assignIncremental(emb: DataFrame, idCol: String, vecCol: String,
                         historyPred: Column, k: Int, iters: Int): DataFrame = {
-    val hist = emb.filter(historyPred)
+    // three-valued logic would drop NULL-predicate rows from BOTH
+    // sides (filter(p) and filter(!p) each reject NULL); coalescing to
+    // false pins them deterministically to the batch, preserving the
+    // every-row-is-history-or-batch contract
+    val isHist = coalesce(historyPred, lit(false))
+    val hist = emb.filter(isHist)
     val gmaxRow = hist.agg(
       max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
       .head()
@@ -333,7 +338,7 @@ object Cluster {
         x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
     val trained = trainLoop(onGrid(hist).localCheckpoint(false),
       k, iters, LiteralAssignMaxK)
-    assignTo(onGrid(emb.filter(!historyPred)), trained.centroids)
+    assignTo(onGrid(emb.filter(!isHist)), trained.centroids)
       .select(col("id").as(idCol), col("cid").as("cluster"), col("dist"))
   }
 

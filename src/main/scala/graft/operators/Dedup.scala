@@ -380,6 +380,15 @@ object Dedup {
                           maxBucket: Int = 10000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    // the exactness-critical bounds below are computed in INTEGER
+    // arithmetic at ppm resolution: ceil(τ·s) via double can land one
+    // ULP high exactly when τ·s is an integer (τ=0.5, s even), which
+    // would shorten the prefix by one shingle and silently drop a
+    // qualifying pair — the one failure mode a lossless filter must
+    // not have. τ is snapped to ppm once at the boundary; every
+    // subsequent bound is exact 64-bit (s ≤ shingles/doc, so
+    // s·tPpm ≤ ~1e12 « 2^63).
+    val tPpm = math.round(threshold * 1e6)
     val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -397,7 +406,9 @@ object Dedup {
     // would broadcast a corpus-scaling build)
     val prefix = ex.join(dfreq.hint("merge"), "__g")
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__s") - ceil(lit(threshold) * col("__s")) + 1)
+      // prefix length = s - ceil(τ·s) + 1, ceil in exact integers:
+      // ceil(s·tPpm / 1e6) = (s·tPpm + 999999) div 1e6
+      .filter(expr(s"__rk <= __s - ((__s * ${tPpm}L + 999999) div 1000000) + 1"))
     // ONE (shingle)-keyed shuffle serves the completeness gate, the
     // in-bucket pair generation AND the length filter: buckets carry
     // (id, set size) structs, sorted by id (ids are unique, so the
@@ -426,8 +437,10 @@ object Dedup {
                  element_at(col("ids"), j + 1).getField("s").as("sb")))))
     val pairs = buckets.select(explode(pairStructs).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.sa"), col("p.sb"))
-      .filter(least(col("sa"), col("sb")).cast("double")
-        >= lit(threshold) * greatest(col("sa"), col("sb")).cast("double"))
+      // PPJoin length filter in the same exact integers: J ≥ τ ⇒
+      // min·1e6 ≥ tPpm·max (no division, no floats)
+      .filter(least(col("sa"), col("sb")).cast("long") * lit(1000000L)
+        >= lit(tPpm) * greatest(col("sa"), col("sb")).cast("long"))
       .dropDuplicates("id_a", "id_b")
     // raw-string set compare (NOT verifyJaccard's xxhash64 payload):
     // replayable bit-for-bit by an ANSI oracle. |union| = sa + sb − |∩|

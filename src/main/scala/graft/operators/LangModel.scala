@@ -70,7 +70,16 @@ object LangModel {
     val result = bi.join(costs, Seq("__w1", "__w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("total_cost"))
-      .withColumn("mean_cost_ppm", expr("total_cost * 1000000 div n_bigrams"))
+      // the ppm lift runs in DECIMAL: total_cost is a per-doc sum of
+      // costs each bounded by (c1 + V), which scales with corpus token
+      // count — on a multi-billion-token corpus a long doc's
+      // total_cost·1e6 would exceed 2^63 in int64. DECIMAL(30,0)·1e6
+      // needs precision 38, exact; the integral divide lands back in a
+      // long. The RESULT stays int64-exact while the per-doc MEAN cost
+      // < 2^63/1e6 ≈ 9.2e12 — i.e. while prefix counts stay below ~9e12
+      // tokens, the same tens-of-TB bound [[dsirWeight]] documents.
+      .withColumn("mean_cost_ppm",
+        expr("cast(total_cost as decimal(30,0)) * 1000000 div n_bigrams"))
       .withColumn("keep", col("mean_cost_ppm") <= keepPpm)
       .localCheckpoint()
     bi.unpersist()

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Select {
 
+  /** Guard rails for [[tokenBudget]]'s partition-free bucket window
+    * (measured bucket count, not a planner estimate): past `Warn` the
+    * score is plainly finer than a ppm-style integer domain (loud
+    * stderr); past `HardMax` the one-task window IS the job and the
+    * call refuses with the remediation (quantize the score). */
+  private[graft] val BucketWindowWarn = 4000000L
+  private[graft] val BucketWindowHardMax = 64000000L
+
   /** Keep the maximal prefix of `df` under the total order
     * (`scoreCol` DESC, `idCol` ASC) whose cumulative `weightCol` stays
     * within `budget` (inclusive). Returns (idCol, scoreCol, weightCol,
@@ -53,6 +61,25 @@ object Select {
       .agg(sum(col(weightCol)).as("__bw"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBuckets = buckets.count() // materializes the cache, sizes the pin
+    // the bucket prefix window below has NO partitionBy — its single
+    // task is domain-bounded work ONLY if the score is a bucketed
+    // integer (ppm-style: ≤ 1e6+1 buckets). A continuous double score
+    // makes the bucket table corpus-sized and funnels the corpus
+    // through one task — exactly the straggler plan this operator
+    // exists to avoid. nBuckets is already measured, so the guard is
+    // free: warn loudly past the plausible-integer-domain ceiling,
+    // refuse where the single-task window becomes the job.
+    if (nBuckets > BucketWindowHardMax)
+      throw new IllegalStateException(
+        s"tokenBudget: $nBuckets distinct score values — the score column looks " +
+          "continuous, which turns the domain-bounded bucket window into a " +
+          "corpus-sized single-task sort. Quantize the score to an integer " +
+          "domain (e.g. ppm) before selecting.")
+    else if (nBuckets > BucketWindowWarn)
+      System.err.println(
+        s"[select] tokenBudget: $nBuckets distinct score values (> $BucketWindowWarn) — " +
+          "scores this fine-grained push the whole corpus through the one-task " +
+          "bucket window; quantize to an integer (ppm) domain for bounded work")
     val bucketWin = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = buckets
