@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Cleaning, Dedup, Derive, Ids, Joins, Mix, Pack, Reshape, Tokenize}
+import graft.operators.{Cleaning, Components, Dedup, Derive, Ids, Joins, LangModel, Mix, Pack, Reshape, Select, Split, Tokenize}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,7 +143,98 @@ object QueriesPipeline {
         (_, up) => stageWideDoc(up("observations"))))
   }
 
+  /** The CURATION endgame — the round-10 operator islands composed as
+    * the one dataflow a pretraining pipeline actually ships, ending in
+    * a per-document curation MANIFEST (the audit artifact: why each
+    * surviving doc is in the set, which split it landed in, which
+    * training bin packs it):
+    *
+    *   1. LM quality filter  ([[LangModel.bigramSurprisal]], the
+    *      corpus-trained bigram surprisal gate at 35e6 ppm)
+    *   2. exact dedup        ([[Dedup.exact]], min-id survivor per
+    *      content fingerprint)
+    *   3. near-dup dedup     ([[Dedup.prefixFilterJaccard]] 3-gram
+    *      J≥0.5 pairs → [[Components]] min-label → keep each
+    *      component's representative). The LOSSLESS configuration on
+    *      purpose: the whole chain stays hash-verifiable against one
+    *      chained DuckDB oracle. At 100 TB the same slot composes
+    *      [[Dedup.minHashLsh]] as the candidate pruner with the
+    *      prefix filter as the exact re-scorer (both independently
+    *      oracle-verified); the chain's shape is unchanged.
+    *   4. DSIR scoring       ([[LangModel.dsirWeight]], target = en)
+    *   5. token-budget cut   ([[Select.tokenBudget]], best docs by
+    *      mean lift until 12k tokens, auditable running total)
+    *   6. leak-free split    ([[Split.leakFree]] keyed on 5-shingle
+    *      co-occurrence components of the SELECTED corpus — split
+    *      leakage guards residual overlap BELOW the dedup threshold)
+    *   7. packing            ([[Pack.sequences]] over the train split
+    *      at the SQL-replayable maxOpenBins=1 config, 512-token bins)
+    *
+    * Scale shape: stages 1–4 are the measured corpus-linear operators
+    * (each persists its dominant tokenize pass once); everything after
+    * the budget cut is BOUNDED BY CONFIG (≤ budget/1 docs), so the
+    * tail joins are AQE-broadcast dimension joins at any corpus size.
+    * Stage boundaries localCheckpoint(eager=false) exactly where a
+    * production pipeline would materialize an intermediate table
+    * (the q_corpus_e2e discipline). */
+  private[graft] def curateManifest(docs0: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
+    val docs = docs0.select(col("doc_id"), col("text"), col("lang"))
+    // 1. LM filter (docs with <2 tokens carry no bigram signal: dropped)
+    val lmKeep = LangModel.bigramSurprisal(docs, "doc_id", "text",
+        keepPpm = 35000000L)
+      .filter(col("keep")).select("doc_id")
+    val kept = docs.join(lmKeep, "doc_id")
+    // 2. exact dedup (min-id survivor per fingerprint)
+    val canon = docs
+      .join(Dedup.exact(kept, "doc_id", "text").select("doc_id"), "doc_id")
+      .localCheckpoint(eager = false) // feeds pair-gen AND the reps filter
+    // 3. near-dup components over the complete J>=0.5 pair set
+    val pairs = Dedup.prefixFilterJaccard(canon, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val reps = canon.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .drop("component")
+    // 4. DSIR importance scoring on the deduped corpus (target = en)
+    val scored = LangModel.dsirWeight(reps, "doc_id", "text",
+        targetFilter = col("lang") === "en", keepPpm = 1000000L)
+      .select("doc_id", "n_tokens", "mean_lift_ppm")
+    // 5. global token budget; output is CONFIG-BOUNDED from here on
+    val sel = Select.tokenBudget(scored, "doc_id", "n_tokens",
+        "mean_lift_ppm", budget = 12000L)
+      .localCheckpoint(eager = false) // consumed by split, pack, manifest
+    // 6. leak-free split on residual 5-shingle overlap of the selection
+    val sh5 = docs.join(sel.select("doc_id"), "doc_id")
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(tokens(col("text")), 5)).as("sh"))
+      .distinct()
+    val edges = Dedup.pairsFromBuckets(sh5, Seq("sh"), "doc_id", maxBucket = 20)
+    val spl = Split.leakFree(sel.select("doc_id"), "doc_id", edges)
+      .localCheckpoint(eager = false) // consumed by pack and manifest
+    // 7. pack the train split into 512-token context windows
+    val trainCounts = sel
+      .join(spl.filter(col("split") === "train").select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("n_tokens"))
+    val bins = Pack.sequences(trainCounts, "doc_id", "n_tokens",
+      maxTokens = 512, numShards = 16, maxOpenBins = 1)
+    val docBins = bins
+      .select(col("bin_id"), explode(split(col("doc_ids"), ",")).as("__m"))
+      .select(col("__m").cast("long").as("doc_id"), col("bin_id"))
+    sel.join(docs.select("doc_id", "lang"), "doc_id")
+      .join(spl.select("doc_id", "component", "split"), "doc_id")
+      .join(docBins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("mean_lift_ppm"), col("cum_tokens"), col("component"),
+        col("split"), col("bin_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_curate_e2e" -> ((s, d) => {
+      curateManifest(Tables(s, d).documents).orderBy("doc_id")
+    }),
 
     "q_pipeline_e2e" -> ((s, d) => {
       val t = Tables(s, d)
@@ -336,6 +427,98 @@ object QueriesPipeline {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // the chained replay of curateManifest, stage for stage (each
+    // stage SQL is the already-verified standalone oracle with its
+    // input rewired to the previous CTE); multiply-referenced CTEs are
+    // MATERIALIZED or DuckDB re-inlines the quadratic pair stage per
+    // reference
+    "q_curate_e2e" ->
+      """WITH RECURSIVE
+        |dt AS (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t FROM documents WHERE len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) >= 2),
+        |bi AS MATERIALIZED (SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+        |   CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END), b -> b IS NOT NULL)) AS bg FROM dt),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c12),
+        |costs AS (SELECT bg, (c1 + v) // (c12 + 1) AS cost
+        |  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1, v),
+        |lmkeep AS (SELECT doc_id FROM bi JOIN costs USING (bg) GROUP BY doc_id
+        |  HAVING cast(sum(cost) as bigint) * 1000000 // count(*) <= 35000000),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM documents JOIN lmkeep USING (doc_id) GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))),
+        |canon AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+        |cs AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+        |  THEN [array_to_string(tk, ' ')]
+        |  ELSE list_transform(range(len(tk)-2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+        | FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS tk FROM canon)),
+        |nd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM cs a, cs b WHERE a.doc_id < b.doc_id
+        | AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |ndnodes AS (SELECT DISTINCT node FROM (SELECT id_a AS node FROM nd UNION ALL SELECT id_b FROM nd)),
+        |ndsym AS (SELECT id_a AS src, id_b AS dst FROM nd UNION ALL SELECT id_b, id_a FROM nd),
+        |ndreach AS (SELECT node, node AS lbl FROM ndnodes
+        | UNION SELECT s2.dst, r.lbl FROM ndreach r JOIN ndsym s2 ON s2.src = r.node),
+        |ndcomp AS (SELECT node, min(lbl) AS component FROM ndreach GROUP BY 1),
+        |reps AS MATERIALIZED (SELECT c.* FROM canon c LEFT JOIN ndcomp ON ndcomp.node = c.doc_id
+        |  WHERE coalesce(ndcomp.component, c.doc_id) = c.doc_id),
+        |tf AS (SELECT doc_id, lang, tok FROM
+        |  (SELECT doc_id, lang, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS tok FROM reps) WHERE length(tok) > 0),
+        |cnt AS (SELECT tok, count(*) AS cr, count(*) FILTER (WHERE lang = 'en') AS ct2 FROM tf GROUP BY tok),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct2) AS nt FROM cnt),
+        |gains AS (SELECT tok, cast(((ct2 + 1) * 1000000 // (cr + 1)) * nr // (nt + 1) as bigint) AS lift FROM cnt, tot),
+        |scored AS MATERIALIZED (SELECT tf.doc_id, count(*) AS n_tokens, cast(sum(lift) // count(*) as bigint) AS mean_lift_ppm
+        |  FROM tf JOIN gains USING (tok) GROUP BY tf.doc_id),
+        |sel AS MATERIALIZED (SELECT doc_id, n_tokens, mean_lift_ppm, cum_tokens FROM
+        |  (SELECT doc_id, n_tokens, mean_lift_ppm,
+        |    cast(sum(n_tokens) OVER (ORDER BY mean_lift_ppm DESC, doc_id ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+        |   FROM scored) WHERE cum_tokens <= 12000),
+        |s5 AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+        |   ELSE list_filter(list_transform(t, (x, i) ->
+        |     CASE WHEN i <= len(t) - 4 THEN array_to_string(t[i:i+4], ' ') END), g -> g IS NOT NULL) END) AS sh
+        |  FROM (SELECT s.doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t FROM sel s JOIN documents USING (doc_id)))),
+        |bk AS (SELECT sh FROM s5 GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+        |bounded AS (SELECT s.doc_id, s.sh FROM s5 s JOIN bk USING (sh)),
+        |edges AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        | FROM bounded a JOIN bounded b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        |enodes AS (SELECT DISTINCT node FROM (SELECT ia AS node FROM edges UNION ALL SELECT ib FROM edges)),
+        |esym AS (SELECT ia AS src, ib AS dst FROM edges UNION ALL SELECT ib, ia FROM edges),
+        |ereach AS (SELECT node, node AS lbl FROM enodes
+        | UNION SELECT s.dst AS node, r.lbl FROM ereach r JOIN esym s ON s.src = r.node),
+        |ecomp AS (SELECT node, min(lbl) AS component FROM ereach GROUP BY 1),
+        |spl AS MATERIALIZED (SELECT doc_id, component,
+        |  CASE WHEN uval < 13421772 THEN 'train' WHEN uval < 15099494 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+        |   ((((cast(strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 1, 1)) - 1 as bigint) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 2, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 4, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 6, 1)) - 1 AS uval
+        |  FROM sel s LEFT JOIN ecomp c ON c.node = s.doc_id)),
+        |pq AS (SELECT *, cast(row_number() OVER (PARTITION BY shard ORDER BY ord) as int) AS rn FROM
+        |  (SELECT s.doc_id AS id, s.n_tokens AS n_tok, md5(cast(s.doc_id as varchar)) AS ord,
+        |    cast(((strpos('0123456789abcdef', substr(md5(cast(s.doc_id as varchar)), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef', substr(md5(cast(s.doc_id as varchar)), 2, 1)) - 1) % 16 as int) AS shard
+        |   FROM sel s JOIN spl p USING (doc_id) WHERE p.split = 'train')),
+        |step AS (
+        | SELECT shard, 0 AS rn, cast(NULL as bigint) AS id, 0 AS n_tok,
+        |        false AS oversize, -1 AS bin_seq, -1 AS cur_seq, 0 AS next_seq, 0 AS used
+        | FROM (SELECT DISTINCT shard FROM pq)
+        | UNION ALL
+        | SELECT d.shard, d.rn, d.id, d.n_tok, d.n_tok > 512,
+        |  CASE WHEN d.n_tok > 512 THEN s.next_seq
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq ELSE s.next_seq END,
+        |  CASE WHEN d.n_tok > 512 THEN s.cur_seq
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq ELSE s.next_seq END,
+        |  CASE WHEN d.n_tok > 512 THEN s.next_seq + 1
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.next_seq ELSE s.next_seq + 1 END,
+        |  CASE WHEN d.n_tok > 512 THEN s.used
+        |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.used + d.n_tok ELSE d.n_tok END
+        | FROM step s JOIN pq d ON d.shard = s.shard AND d.rn = s.rn + 1),
+        |packed AS (SELECT id AS doc_id, cast(shard as bigint) * 4294967296 + bin_seq AS bin_id
+        | FROM step WHERE rn > 0)
+        |SELECT s.doc_id, d.lang, s.n_tokens, s.mean_lift_ppm, s.cum_tokens,
+        | sp.component, sp.split, pb.bin_id
+        |FROM sel s JOIN documents d USING (doc_id)
+        |JOIN spl sp USING (doc_id) LEFT JOIN packed pb USING (doc_id)
+        |ORDER BY s.doc_id
+        |""".stripMargin,
 
     // replays Pack.sequences at maxOpenBins = 1 exactly: md5 shard
     // byte (% 16), md5 scan order, then a recursive CTE advancing

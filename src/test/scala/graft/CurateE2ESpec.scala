@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.Dedup
+import graft.queries.QueriesPipeline
+import graft.sources.Tables
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation flagship (q_curate_e2e) as a COMPOSITION contract:
+  * the chained stages must preserve each other's invariants end to
+  * end, and the whole chain must run in a bounded number of shuffles
+  * (the point of composing bounded operators is that the composition
+  * stays bounded — a regression that re-derives an upstream stage per
+  * consumer would show up here as a stage-count blowup before it
+  * shows up as a 100 TB incident).
+  */
+class CurateE2ESpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // materialize the WHOLE chain once under a stage-counting listener:
+  // localCheckpoints and measured-size counts execute during build, so
+  // the audit must span construction + final collect, not just the
+  // last query fragment's plan
+  private lazy val (rows, totalStages, shuffleStages) = {
+    var stages = 0
+    var shuffles = 0
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        if (sc.stageInfo.taskMetrics != null &&
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
+          shuffles += 1
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = QueriesPipeline
+        .curateManifest(Tables(spark, SparkTestSession.sfDir).documents)
+      val out = df.collect()
+      // listener events are posted asynchronously; give the bus a
+      // moment to drain before reading the counters
+      Thread.sleep(2000)
+      (out, stages, shuffles)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("manifest is non-empty with unique ids and a respected budget") {
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "duplicate doc_id in manifest")
+    assert(rows.forall(_.getLong(4) <= 12000L), "cum_tokens over budget")
+    // the running total is exactly the prefix sum under the selection
+    // order (score desc, id asc) — the budget cut is auditable
+    val ordered = rows.sortBy(r => (-r.getLong(3), r.getLong(0)))
+    var cum = 0L
+    ordered.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(4) === cum,
+        s"cum_tokens mismatch at doc ${r.getLong(0)}: ${r.getLong(4)} vs $cum")
+    }
+  }
+
+  test("splits are total and bins cover exactly the train split") {
+    val splits = rows.map(_.getString(6)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    rows.foreach { r =>
+      val hasBin = !r.isNullAt(7)
+      if (r.getString(6) == "train")
+        assert(hasBin, s"train doc ${r.getLong(0)} missing a bin")
+      else assert(!hasBin, s"${r.getString(6)} doc ${r.getLong(0)} packed")
+    }
+    // no bin over the 512-token budget unless it is a single oversize doc
+    rows.filter(_.getString(6) == "train").groupBy(_.getLong(7)).foreach {
+      case (_, members) =>
+        val tot = members.map(_.getLong(2)).sum
+        assert(tot <= 512 || members.length == 1,
+          s"bin over budget with ${members.length} docs / $tot tokens")
+    }
+  }
+
+  test("selection carries no near-dup pair at the dedup threshold") {
+    // every selected doc is its near-dup component's representative, so
+    // re-running the lossless pair generator ON the selection must come
+    // back empty — the composition-level restatement of stage 3
+    val sel = rows.map(_.getLong(0)).toSeq
+    val docs = Tables(spark, SparkTestSession.sfDir).documents
+      .filter(col("doc_id").isin(sel: _*))
+    assert(Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5).isEmpty)
+  }
+
+  test("no split leaks across a 5-shingle co-occurrence component") {
+    val byId = rows.map(r => r.getLong(0) -> r.getString(6)).toMap
+    val byComp = rows.groupBy(_.getLong(5))
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_.getString(6)).toSet.size === 1,
+        s"component $comp straddles splits")
+    }
+  }
+
+  test("the whole chain executes in a bounded number of stages") {
+    // measured at sf0.001 (local[4]): the full chain — LM filter,
+    // exact dedup, prefix-filter pairs + components, DSIR, budget,
+    // split components, pack, manifest joins — completes in ~102
+    // stages, of which ~49 write shuffle data. The bound has ~1.25x
+    // slack for AQE re-planning variance; a composition regression
+    // that re-runs a tokenize pass per consumer multiplies these.
+    info(s"chain ran $totalStages stages, $shuffleStages wrote shuffle data")
+    assert(totalStages > 0)
+    assert(totalStages <= 130, s"stage blowup: $totalStages stages")
+    assert(shuffleStages <= 60, s"shuffle blowup: $shuffleStages shuffle stages")
+  }
+}
