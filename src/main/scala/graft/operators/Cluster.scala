@@ -327,20 +327,63 @@ object Cluster {
     // false pins them deterministically to the batch, preserving the
     // every-row-is-history-or-batch contract
     val isHist = coalesce(historyPred, lit(false))
-    val hist = emb.filter(isHist)
+    val (gscale, cents) = trainIndex(emb.filter(isHist), idCol, vecCol, k, iters)
+    assignTo(onGridAt(emb.filter(!isHist), idCol, vecCol, gscale), cents)
+      .select(col("id").as(idCol), col("cid").as("cluster"), col("dist"))
+  }
+
+  /** The PERSISTABLE ANN index state [[assignIncremental]] re-trains on
+    * every call — the frozen (grid scale, post-update centroids) pair
+    * as one config-sized DataFrame (k rows of (cid, cq, gscale): a
+    * KB-scale parquet target). Write it once ([[Targets]]); every
+    * ingest then calls [[assignIndexed]] — one narrow argmin map over
+    * the batch, no history scan, no Lloyd rounds. */
+  def annIndex(history: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int): DataFrame = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val (gscale, cents) = trainIndex(history, idCol, vecCol, k, iters)
+    cents.zipWithIndex.map { case (cq, c) => (c, cq, gscale) }
+      .toDF("cid", "cq", "gscale")
+  }
+
+  /** Assign a batch against a read-back [[annIndex]] — bit-identical
+    * to [[assignIncremental]]'s batch output over the same history
+    * (spec-proven): the k-row index collect is the capped
+    * merges-table class, and the batch never touches history. */
+  def assignIndexed(index: DataFrame, batch: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    val rows = index.select(col("cid"), col("cq"), col("gscale")).collect()
+    require(rows.nonEmpty, "empty ANN index")
+    val gscale = rows.head.getDouble(2)
+    val cents: IndexedSeq[Seq[Long]] = rows.sortBy(_.getInt(0))
+      .map(_.getSeq[Long](1).toIndexedSeq: Seq[Long]).toIndexedSeq
+    assignTo(onGridAt(batch, idCol, vecCol, gscale), cents)
+      .select(col("id").as(idCol), col("cid").as("cluster"), col("dist"))
+  }
+
+  // shared by the in-one-call and persisted-index incremental paths:
+  // grid from the HISTORY max (the quantize scaladoc contract — batch
+  // vectors landing outside ±127 stay exact, just off-grid), then
+  // `iters` Lloyd rounds over the on-grid history
+  private def trainIndex(hist: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): (Double, IndexedSeq[Seq[Long]]) = {
     val gmaxRow = hist.agg(
       max(array_max(transform(col(vecCol), x => abs(x.cast("double"))))).as("m"))
       .head()
     val gmax = if (gmaxRow.isNullAt(0)) 0.0 else gmaxRow.getDouble(0)
     val gscale = if (gmax == 0.0) 1.0 else gmax / 127.0
-    def onGrid(df: DataFrame) = df.select(col(idCol).cast("long").as("id"),
+    val trained = trainLoop(
+      onGridAt(hist, idCol, vecCol, gscale).localCheckpoint(false),
+      k, iters, LiteralAssignMaxK)
+    (gscale, trained.centroids)
+  }
+
+  private def onGridAt(df: DataFrame, idCol: String, vecCol: String,
+                       gscale: Double): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") / lit(gscale) + lit(0.5)).cast("long")).as("q"))
-    val trained = trainLoop(onGrid(hist).localCheckpoint(false),
-      k, iters, LiteralAssignMaxK)
-    assignTo(onGrid(emb.filter(!isHist)), trained.centroids)
-      .select(col("id").as(idCol), col("cid").as("cluster"), col("dist"))
-  }
 
   private[graft] def trainInt8(emb: DataFrame, idCol: String, vecCol: String,
                                k: Int, iters: Int,

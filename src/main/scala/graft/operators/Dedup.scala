@@ -65,16 +65,39 @@ object Dedup {
     * keeps the null-fp group). With the sentinel, all null-text docs
     * form one content group, the same grouping [[exact]] gives them. */
   def incrementalExact(history: DataFrame, batch: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val fpOf = (c: Column) => coalesce(fingerprint(c), lit("__null_text__"))
-    val hIdx = history
-      .select(fpOf(col(textCol)).as("fp"), col(idCol).cast("long").as("__hid"))
-      .groupBy("fp").agg(min(col("__hid")).as("__hist_id"))
+                       idCol: String, textCol: String): DataFrame =
+    incrementalExactIndexed(exactIndex(history, idCol, textCol),
+      batch, idCol, textCol)
+
+  private val fpOf = (c: Column) => coalesce(fingerprint(c), lit("__null_text__"))
+
+  /** The PERSISTABLE (fp, hist_id) content index [[incrementalExact]]
+    * re-derives from history text on every call — exposed so a
+    * deployment writes it ONCE as a parquet target ([[Targets]]) and
+    * every subsequent ingest reads it back instead of re-fingerprinting
+    * the corpus: the measured 0.39 history-axis wall exponent
+    * (SCALE_r10 incremental_dedup_history_axis) is exactly that
+    * rebuild; against a read-back index only the ~40 B/doc index rows
+    * move. Refresh after an ingest with [[exactIndexUpdated]] — the
+    * reference's Luigi parquet-target reuse (impc_etl/workflow/main
+    * .py:1), re-expressed as index state. */
+  def exactIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fpOf(col(textCol)).as("fp"), col(idCol).cast("long").as("__hid"))
+      .groupBy("fp").agg(min(col("__hid")).as("hist_id"))
+
+  /** [[incrementalExact]] against a prebuilt [[exactIndex]] (verdicts
+    * identical by construction — the non-indexed form delegates here).
+    * O(batch) work plus one narrow scan of the index — no history
+    * text is ever read; at warehouse scale the index is a bucketed
+    * table this fp-join co-locates with. */
+  def incrementalExactIndexed(index: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
     val b = batch.select(col(idCol).cast("long").as(idCol),
       fpOf(col(textCol)).as("fp"))
     val bIdx = b.groupBy("fp").agg(min(col(idCol)).as("__batch_min"))
     b.join(bIdx, Seq("fp"))
-      .join(hIdx, Seq("fp"), "left")
+      .join(index.select(col("fp"), col("hist_id").as("__hist_id")),
+        Seq("fp"), "left")
       .select(col(idCol), col("fp"),
         when(col("__hist_id").isNotNull, lit("dup_history"))
           .when(col(idCol) =!= col("__batch_min"), lit("dup_batch"))
@@ -82,6 +105,16 @@ object Dedup {
         // for 'new' rows the batch winner IS the row itself
         coalesce(col("__hist_id"), col("__batch_min")).as("canonical_id"))
   }
+
+  /** Post-ingest index refresh: the next night's [[exactIndex]] from
+    * the current index plus the batch — one narrow union + min, no
+    * history text. Equal to exactIndex(history ∪ batch) because min
+    * distributes over the union (spec-proven). */
+  def exactIndexUpdated(index: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    index.select(col("fp"), col("hist_id"))
+      .unionByName(exactIndex(batch, idCol, textCol))
+      .groupBy("fp").agg(min(col("hist_id")).as("hist_id"))
 
   /** All unordered in-bucket pairs from a sorted id list column. */
   private def bucketPairs(docsCol: Column): Column =

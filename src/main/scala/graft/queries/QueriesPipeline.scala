@@ -236,6 +236,41 @@ object QueriesPipeline {
       curateManifest(Tables(s, d).documents).orderBy("doc_id")
     }),
 
+    "q_ingest_night" -> ((s, d) => {
+      // the ingest-night DEPLOYMENT surface as a Targets DAG: the
+      // history content index is built ONCE as a persisted parquet
+      // target, the nightly verdict stage READS it back
+      // (Dedup.incrementalExactIndexed — no history re-fingerprint:
+      // the measured 0.39 history-axis rebuild residual removed), and
+      // a third stage refreshes the index for the next night from
+      // index+batch alone. The DAG root is wiped first so Verify
+      // always measures current code — skip-if-done/cone-invalidation
+      // semantics are TargetsSpec's contract; what this query pins is
+      // the index's parquet ROUND TRIP feeding verdicts that
+      // hash-match the one-call operator's oracle.
+      import graft.operators.Targets
+      import graft.operators.Targets.Stage
+      val root = sys.props("java.io.tmpdir") +
+        "/graft_ingest_dag_" + new java.io.File(d).getName
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val history = (sp: SparkSession) =>
+        Tables(sp, d).documents.filter(col("doc_id") % 10 < 7)
+      val batch = (sp: SparkSession) =>
+        Tables(sp, d).documents.filter(col("doc_id") % 10 >= 7)
+      Targets.run(s, root, Seq(
+        Stage("dedup_index", Nil,
+          (sp, _) => Dedup.exactIndex(history(sp), "doc_id", "text")),
+        Stage("ingest_verdicts", Seq("dedup_index"),
+          (sp, up) => Dedup.incrementalExactIndexed(up("dedup_index"),
+            batch(sp), "doc_id", "text")),
+        Stage("dedup_index_next", Seq("dedup_index"),
+          (sp, up) => Dedup.exactIndexUpdated(up("dedup_index"),
+            batch(sp), "doc_id", "text"))))
+      Targets.read(s, root, "ingest_verdicts").orderBy("doc_id")
+    }),
+
     "q_pipeline_e2e" -> ((s, d) => {
       val t = Tables(s, d)
       wideDocs(t.events, t.customer).orderBy("user_id")
@@ -427,6 +462,23 @@ object QueriesPipeline {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // identical truth to q_dedup_incremental's oracle (the indexed DAG
+    // path must land on the same verdicts the one-call operator does)
+    "q_ingest_night" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH fp AS (SELECT doc_id, coalesce(md5($norm), '__null_text__') AS fp FROM documents),
+         |h AS (SELECT fp, min(doc_id) AS hist_id FROM fp WHERE doc_id % 10 < 7 GROUP BY 1),
+         |b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 >= 7),
+         |bm AS (SELECT fp, min(doc_id) AS batch_min FROM b GROUP BY 1)
+         |SELECT b.doc_id, b.fp,
+         | CASE WHEN h.hist_id IS NOT NULL THEN 'dup_history'
+         |      WHEN b.doc_id <> bm.batch_min THEN 'dup_batch'
+         |      ELSE 'new' END AS status,
+         | coalesce(h.hist_id, bm.batch_min) AS canonical_id
+         |FROM b JOIN bm USING (fp) LEFT JOIN h USING (fp)
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
     // the chained replay of curateManifest, stage for stage (each
     // stage SQL is the already-verified standalone oracle with its

@@ -21,7 +21,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_stream_asof",
     "q_media_pipeline",
     "q_dedup_clusters", "q_shingle_clusters", "q_hierarchy", "q_ancestor_arrays",
-    "q_curate_e2e") // full curation chain: measured counts + checkpoints at build
+    "q_curate_e2e", // full curation chain: measured counts + checkpoints at build
+    "q_ingest_night") // Targets DAG: materializes parquet targets at build
 
   /** Plan every query with AQE off: the non-adaptive physical plan
     * materializes WholeStageCodegen spans at plan time (under AQE the
