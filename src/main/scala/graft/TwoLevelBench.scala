@@ -68,7 +68,21 @@ object TwoLevelBench {
         System.err.println(s"[twolevel] dedup DROP GATE: $msg")
         s""""dedup_sec":$secDedup,"dedup_drop_gate":"${msg.replace("\"", "'")}""""
     }
-    val json = s"""{"note":"assignCells on a corpus past the flat ceiling (n > 4096*64): must auto-escalate to kmeansTwoLevel. Single-shot wall-times (capability certification, not a regression series). Cell sizes on the ScaleGen-derived corpus are copies x points-per-cell by construction (vectors replicate verbatim), so bounded cells here = the per-shard fineK derivation holding, not an accident of the data.","sf":"$sfDir","n":$n,"assign_sec":$secAssign,"n_cells":$nCells,"avg_cell":$avgCell,"max_cell":$maxCell,"p99_cell":$p99Cell,$dedupJson}"""
+    // determinism AT the certified sampled config (the xxhash64 coarse
+    // sample gate is active here — coarseK x 32 << 400k): the same
+    // assignment from a different physical layout must be row-for-row
+    // identical. ClusterSpec proves this at spec scale with sampling
+    // forced; this measures it at the certification scale itself.
+    val t2 = System.nanoTime()
+    val again = graft.operators.Cluster.assignCells(
+      emb.repartition(97), "vec_id", "embedding", targetCellSize = 64,
+      iters = 2, nKnown = Some(n))
+    val diverged = cells.join(again.withColumnRenamed("cluster", "c2"), "vec_id")
+      .filter(col("cluster") =!= col("c2")).count()
+    val secDet = (System.nanoTime() - t2) / 1e9
+    System.err.println(f"[twolevel] determinism re-run=${secDet}%.1fs diverged=$diverged")
+
+    val json = s"""{"note":"assignCells on a corpus past the flat ceiling (n > 4096*64): must auto-escalate to kmeansTwoLevel. Single-shot wall-times (capability certification, not a regression series). Cell sizes on the ScaleGen-derived corpus are copies x points-per-cell by construction (vectors replicate verbatim), so bounded cells here = the per-shard fineK derivation holding, not an accident of the data. determinism_diverged_rows re-runs the SAME sampled config (xxhash64 coarse gate active at this n) from a repartitioned layout - 0 means the certification config is layout-independent at certification scale.","sf":"$sfDir","n":$n,"assign_sec":$secAssign,"n_cells":$nCells,"avg_cell":$avgCell,"max_cell":$maxCell,"p99_cell":$p99Cell,"determinism_rerun_sec":$secDet,"determinism_diverged_rows":$diverged,$dedupJson}"""
     val p = java.nio.file.Paths.get(s"target/twolevel_$tag.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -70,6 +70,50 @@ object QueriesExtra {
         .orderBy("l_orderkey", "l_linenumber", "parameter")
     }),
 
+    "q_doc_tree" -> ((s, d) => {
+      // mp_chooser analog (jobs/load/mp_chooser_mapper.py:1): the
+      // nested key→key→…→leaf JSON selection tree (pipeline →
+      // trimmed procedure code → vocabulary-mapped key → leaf term).
+      // The reference collect()s every row and builds the dict in a
+      // driver loop — corpus-sized driver state; here each nesting
+      // level is ONE map-side-combined groupBy assembling sorted JSON
+      // fragments, so the tree stays distributed and only the
+      // top-level docs leave the plan. Strings and longs only,
+      // fragment sort fixes key order — both engines render the same
+      // bytes (manual assembly, not to_json: nested maps of maps are
+      // not sortable Spark values, sorted fragments are).
+      val t = Tables(s, d)
+      val leaf = t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          // the reference trims procedureKey at its last separator
+          substring_index(col("o_orderpriority"), "-", 1).as("prio"),
+          when(col("o_orderstatus") === "O", "OPEN")
+            .when(col("o_orderstatus") === "F", "FILLED")
+            .when(col("o_orderstatus") === "P", "PENDING")
+            .otherwise(col("o_orderstatus")).as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+      val frag3 = leaf.select(col("seg"), col("prio"),
+        concat(lit("\""), col("status"), lit("\":{\"n\":"),
+          col("n").cast("string"), lit(",\"cents\":"),
+          col("cents").cast("string"), lit("}")).as("frag"))
+      val l3 = frag3.groupBy("seg", "prio")
+        .agg(concat(lit("{"),
+            array_join(sort_array(collect_list(col("frag"))), ","),
+            lit("}")).as("m3"),
+          count(lit(1)).as("n_leaves"))
+      val frag2 = l3.select(col("seg"), col("n_leaves"),
+        concat(lit("\""), col("prio"), lit("\":"), col("m3")).as("frag"))
+      frag2.groupBy("seg")
+        .agg(sum(col("n_leaves")).as("n_leaves"),
+          concat(lit("{"),
+            array_join(sort_array(collect_list(col("frag"))), ","),
+            lit("}")).as("doc"))
+        .select(col("seg"), col("n_leaves"), col("doc"))
+        .orderBy("seg")
+    }),
+
     "q_doc_json" -> ((s, d) => {
       // solr/mongo document-mapper analog: nested doc struct -> JSON
       val t = Tables(s, d)
@@ -494,6 +538,26 @@ object QueriesExtra {
         | UNION ALL
         | SELECT l_orderkey, l_linenumber, 'l_linestatus', 'categorical', NULL, l_linestatus FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, parameter""".stripMargin,
+
+    "q_doc_tree" ->
+      """WITH leaf AS (
+        | SELECT c.c_mktsegment AS seg,
+        |  substr(o.o_orderpriority, 1, strpos(o.o_orderpriority, '-') - 1) AS prio,
+        |  CASE o.o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
+        |   WHEN 'P' THEN 'PENDING' ELSE o.o_orderstatus END AS status,
+        |  count(*) AS n,
+        |  cast(sum(cast(floor(o.o_totalprice * 100 + 0.5) as bigint)) as bigint) AS cents
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2, 3),
+        |l3 AS (
+        | SELECT seg, prio,
+        |  '{' || string_agg('"' || status || '":{"n":' || n || ',"cents":' || cents || '}', ',' ORDER BY status) || '}' AS m3,
+        |  count(*) AS n_leaves
+        | FROM leaf GROUP BY 1, 2)
+        |SELECT seg, cast(sum(n_leaves) as bigint) AS n_leaves,
+        | '{' || string_agg('"' || prio || '":' || m3, ',' ORDER BY prio) || '}' AS doc
+        |FROM l3 GROUP BY seg
+        |ORDER BY seg""".stripMargin,
 
     "q_doc_json" ->
       """SELECT c_custkey,

@@ -140,6 +140,33 @@ class ClusterSpec extends AnyFunSuite {
     assert(truth.subsetOf(two), s"two-level blocking must keep all dup pairs (missing ${(truth -- two).size})")
   }
 
+  test("sampled coarse training preserves the fine-assignment invariants") {
+    // the 400k certification runs with the xxhash64 sample gate ACTIVE
+    // (coarseK x samplePerCoarse << n), a config the DuckDB oracle
+    // cannot replay — this differential pins the same invariants where
+    // a spec can see them, with sampling FORCED (samplePerCoarse=2):
+    // layout-independent determinism, every row assigned once, bounded
+    // cells, and exact-dup co-location (the blocking-recall contract)
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val dups = base.map { case (i, v) => (i + 1000L) -> v }
+    val emb = embTable(base ++ dups)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Cluster.kmeansTwoLevel(df, "vec_id", "embedding",
+        targetCellSize = 8, maxK = 16, samplePerCoarse = 2)
+    val r1 = run(emb).orderBy("vec_id").collect().toSeq
+    val r2 = run(emb.repartition(17)).orderBy("vec_id").collect().toSeq
+    assert(r1 == r2, "sampled config must stay layout-independent")
+    assert(r1.map(_.getLong(0)).distinct.size == 400, "every row exactly once")
+    val cells = r1.groupBy(_.getLong(1)).map(_._2.size)
+    assert(cells.max <= 8 * 16, s"cells stay bounded (max=${cells.max})")
+    val cellOf = r1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.foreach { case (i, _) =>
+      assert(cellOf(i) == cellOf(i + 1000L),
+        s"exact dup $i split across cells under sampled coarse training") }
+  }
+
   test("empty cluster keeps its previous centroid and emits n=0") {
     // k=3 over two distinct points: one cluster can never win a vector
     val emb = embTable((0L until 10L).map(i =>

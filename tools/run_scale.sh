@@ -212,6 +212,20 @@ if [ ! -f target/twolevel_x200.json ]; then
     sbt -batch "runMain graft.TwoLevelBench" 2>&1 | grep -E '^\[twolevel\]' || true
 fi
 
+# IVF recall-vs-cost where cost is REAL (VERDICT r10 next-round #3):
+# the 64k-vector curve was job-overhead-bound (cost-FLAT); re-sweep on
+# the 400k x200emb corpus where cell scans outweigh per-job overhead.
+# targetCellSize=128 keeps the derived nlist (3125) inside the flat
+# ceiling while still exercising the broadcast-join probe; k=250 sits
+# above the 199 verbatim ScaleGen copies per query (the same
+# k-above-copy-count rule the x32 sweep documents).
+if [ ! -f target/recall_x200.json ]; then
+  echo "== IVF recall sweep @400k -> recall_x200.json"
+  env SPARK_GRAFT_SF_DIR=target/scale/x200emb SPARK_GRAFT_RECALL_TAG=x200 \
+    SPARK_GRAFT_RECALL_CELL=128 SPARK_GRAFT_RECALL_K=250 \
+    sbt -batch "runMain graft.RecallBench" 2>&1 | grep -E '^\[recall\]' || true
+fi
+
 # incremental-dedup history axis (VERDICT r9 next-round #5): FIXED
 # batch, history x1/x10/x32 — the O(batch) claim measured directly
 # (wall ~flat; only the narrow (fp, min-id) index scales with history)

@@ -136,9 +136,16 @@ NOTES = {
         "same curve). The gate-relevant alternatives are worse: a FIXED k "
         "keeps time linear but lets cells grow until the maxBlock cap "
         "drops them — the silent-empty-dedup failure embedCosine now "
-        "refuses loudly. At real scale the standard mitigations are "
-        "sample-training + two-level (coarse-then-fine) assignment, which "
-        "the kForCorpus maxK refusal message points at. Correctness of "
+        "refuses loudly. Past the flat ceiling (262k vectors) assignCells "
+        "auto-escalates to the two-level coarse-then-fine path "
+        "(kmeansTwoLevel — certified at 400k vectors, SCALE_r10 "
+        "two_level_kmeans_x200). The SHUFFLE ratio here is the DESIGNED "
+        "size-conditional join pin, not drift: below "
+        "Dedup.BroadcastSafeCorpusRows (64k rows) the verify joins "
+        "broadcast (near-zero shuffle at x1), past it they flip to merge "
+        "joins — the same measured crossover q_ngram_lm's note documents, "
+        "installed after an un-pinned broadcast build OOM'd an 8g driver "
+        "at 400k vectors. Correctness of "
         "the derived-k path is oracle-pinned at the 500-vector corpus "
         "(derivation lands on the oracle's k=8) and the assignment paths "
         "are spec-proven bit-identical."),
@@ -523,10 +530,12 @@ def main(out_path):
         with open("target/incremental_hist.json") as fh:
             report["incremental_dedup_history_axis"] = json.load(fh)
 
-    # ---- IVF recall-vs-cost curve (r9 #6) ----
-    if os.path.exists("target/recall_x32.json"):
-        with open("target/recall_x32.json") as fh:
-            report["ivf_recall_curve_x32"] = json.load(fh)
+    # ---- IVF recall-vs-cost curve (r9 #6; r10 #3 re-sweeps at 400k
+    # vectors where probe cost is not job-overhead-bound) ----
+    for tag in ("x32", "x200"):
+        if os.path.exists(f"target/recall_{tag}.json"):
+            with open(f"target/recall_{tag}.json") as fh:
+                report[f"ivf_recall_curve_{tag}"] = json.load(fh)
 
     # ---- partitions matrix (x32 corpus, 8g JVM, partitions swept) ----
     sweep = (32, 128, 256)
