@@ -418,10 +418,16 @@ object Dedup {
     // ULP high exactly when τ·s is an integer (τ=0.5, s even), which
     // would shorten the prefix by one shingle and silently drop a
     // qualifying pair — the one failure mode a lossless filter must
-    // not have. τ is snapped to ppm once at the boundary; every
-    // subsequent bound is exact 64-bit (s ≤ shingles/doc, so
-    // s·tPpm ≤ ~1e12 « 2^63).
-    val tPpm = math.round(threshold * 1e6)
+    // not have. τ is snapped to ppm once at the boundary — FLOOR, not
+    // round: the candidate gates must run at a threshold ≤ τ (gate
+    // looser ⇒ candidate superset ⇒ still lossless vs the exact final
+    // `jaccard >= threshold` filter), whereas rounding UP (τ=2/3 →
+    // 666667 ppm) makes the length filter stricter than the final
+    // filter and drops a pair with J exactly τ (|A|=2 ⊂ |B|=3:
+    // 2·1e6 < 666667·3 prunes, yet 2/3 ≥ τ passes). Every subsequent
+    // bound is exact 64-bit (s ≤ shingles/doc, so s·tPpm ≤ ~1e12 «
+    // 2^63).
+    val tPpm = math.floor(threshold * 1e6).toLong
     val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

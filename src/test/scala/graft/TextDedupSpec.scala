@@ -166,6 +166,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter keeps a J-exactly-τ containment pair at non-ppm τ (floor snap)") {
+    // the ppm-ROUNDING counterexample: round(τ·1e6) at τ = 2/3 gives
+    // 666667 > τ·1e6, making the integer length filter (min·1e6 ≥
+    // tPpm·max: 2e6 < 666667·3) STRICTER than the final
+    // jaccard >= threshold filter, which accepts J = 2/3 — a
+    // qualifying containment pair (2 shingles ⊂ 3 shingles) silently
+    // vanishes. The floor snap keeps every candidate gate at ≤ τ
+    // (candidate superset — lossless); this pins it.
+    val pair = Seq(
+      (1L, "alpha beta gamma delta"),            // 2 3-shingles
+      (2L, "alpha beta gamma delta epsilon"))    // 3 3-shingles, superset
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixFilterJaccard(pair, "doc_id", "text",
+        shingleN = 3, threshold = 2.0 / 3.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"J=2/3 containment pair must survive: $got")
+  }
+
   test("prefix-filter join refuses to drop an oversized bucket (exactness gate)") {
     val e = intercept[IllegalStateException] {
       Dedup.prefixFilterJaccard(docs, "doc_id", "text",
