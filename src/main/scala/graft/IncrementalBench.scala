@@ -50,7 +50,17 @@ object IncrementalBench {
     // should go ~flat where the rebuild path measured exponent 0.39
     def runIndexed(histDir: String, f: Int): (Double, Long) = {
       val idxPath = s"target/scale/fp_index_x$f.parquet"
-      if (!new java.io.File(s"$idxPath/_SUCCESS").exists()) {
+      // the cache key is the CORPUS, not just the factor: a reused
+      // index over a regenerated corpus would silently decouple the
+      // indexed-path timings from the measured history — rebuild
+      // whenever the corpus _SUCCESS is newer than the index's
+      val idxSuccess = new java.io.File(s"$idxPath/_SUCCESS")
+      val corpusSuccess =
+        new java.io.File(s"$histDir/documents.parquet/_SUCCESS")
+      val stale = !idxSuccess.exists() ||
+        (corpusSuccess.exists() &&
+          corpusSuccess.lastModified() > idxSuccess.lastModified())
+      if (stale) {
         graft.operators.Dedup.exactIndex(
             spark.read.parquet(s"$histDir/documents.parquet")
               .filter(col("doc_id") % 10 < 7), "doc_id", "text")

@@ -504,6 +504,72 @@ object Dedup {
     result
   }
 
+  /** The 100 TB configuration of the near-dup slot: MinHash/LSH
+    * banding PRUNES the candidate space, the prefix filter's exact
+    * raw-string Jaccard re-scores the survivors — same output schema
+    * and same bit-exact `jaccard` values as [[prefixFilterJaccard]]
+    * (raw-string `array_intersect`, |union| = sa + sb − |∩|, round 6),
+    * so the two strategies are interchangeable behind a config flag
+    * (see `QueriesPipeline.curateManifest(nearDupStrategy)`).
+    *
+    * Why this is the scale path: the lossless prefix filter shuffles
+    * every document's rarest ~(1−τ)·s shingles — the bucket shuffle
+    * grows with corpus text. LSH banding shuffles a FIXED-WIDTH
+    * signature (numHashes longs/doc) regardless of document length,
+    * and the band-bucket pair space is far sparser than prefix-shingle
+    * buckets on non-duplicate text. The price is probabilistic recall
+    * at the threshold margin: at the 32-hash/16-band (rows=2) default,
+    * pair recall is 1−(1−J²)¹⁶ ≥ 0.99 at J = 0.5 and →1 above it
+    * (the `q_dedup_minhash_verify` configuration, where measured
+    * recall on the test corpus is exact). CurateStrategySpec asserts
+    * the pruned survivor set EQUALS the lossless one on the test
+    * corpus; the ×32 A/B row in SCALE_r{N} measures the bucket-shuffle
+    * reduction.
+    *
+    * Dataflow: one persisted tokenize+shingle+minhash pass feeds the
+    * banding branch and both re-score sides; banding is one
+    * (band, bucket)-keyed shuffle of 8-byte hashes; the re-score join
+    * is pinned merge past [[BroadcastSafeCorpusRows]] (same rule as
+    * the lossless path). */
+  def minhashPrunedJaccard(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, threshold: Double = 0.5,
+                           numHashes: Int = 32, bands: Int = 16,
+                           maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .withColumn("__s", size(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = sh.count() // materializes the cache, sizes the join pin
+    val banded = sh
+      .withColumn("minhash", minhashSig(col("__sh"), numHashes))
+      .select(col(idCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("minhash"), b * rows + 1, rows)).as("bh"))): _*)).as("lsh"))
+      .select(col(idCol), col("lsh.band"), col("lsh.bh"))
+    val pairs = pairsFromBuckets(banded, Seq("band", "bh"), idCol, maxBucket)
+    val pin = nRows > BroadcastSafeCorpusRows
+    def reScoreSide(n: String, shName: String, sName: String) = {
+      val s = sh.select(col(idCol).as(n), col("__sh").as(shName),
+        col("__s").as(sName))
+      if (pin) s.hint("merge") else s
+    }
+    val result = pairs
+      .join(reScoreSide("id_a", "sh_a", "sa"), "id_a")
+      .join(reScoreSide("id_b", "sh_b", "sb"), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("sa") + col("sb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint()
+    sh.unpersist()
+    result
+  }
+
   /** Exact dedup with a SURVIVOR POLICY and rewrite map: one row per
     * input document carrying the canonical `keep_id` of its content
     * group — the table downstream references are rewritten through.

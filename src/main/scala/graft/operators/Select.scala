@@ -47,6 +47,15 @@ object Select {
     *    default, the measured embedCosine pin) and by shuffle above
     *    it, sized by the MEASURED bucket count (the same count that
     *    materializes the bucket aggregate), never a planner estimate.
+    *
+    * Contract on `scoreCol`: the score must be (or be quantized to)
+    * a bounded integer domain — ppm-style, ≤ ~1e6 distinct values.
+    * Past [[BucketWindowWarn]] (4M) distinct values the call warns on
+    * stderr; past [[BucketWindowHardMax]] (64M) it THROWS
+    * `IllegalStateException` rather than run the corpus through the
+    * one-task bucket window. Callers with continuous double scores
+    * must quantize up front (e.g. `floor(score * 1e6)`): what used to
+    * be a silent straggler plan is now a loud refusal.
     */
   def tokenBudget(df: DataFrame, idCol: String, weightCol: String,
                   scoreCol: String, budget: Long,

@@ -542,7 +542,8 @@ object QueriesExtra {
     "q_doc_tree" ->
       """WITH leaf AS (
         | SELECT c.c_mktsegment AS seg,
-        |  substr(o.o_orderpriority, 1, strpos(o.o_orderpriority, '-') - 1) AS prio,
+        |  CASE WHEN strpos(o.o_orderpriority, '-') = 0 THEN o.o_orderpriority
+        |   ELSE substr(o.o_orderpriority, 1, strpos(o.o_orderpriority, '-') - 1) END AS prio,
         |  CASE o.o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FILLED'
         |   WHEN 'P' THEN 'PENDING' ELSE o.o_orderstatus END AS status,
         |  count(*) AS n,

@@ -153,14 +153,18 @@ object QueriesPipeline {
     *      corpus-trained bigram surprisal gate at 35e6 ppm)
     *   2. exact dedup        ([[Dedup.exact]], min-id survivor per
     *      content fingerprint)
-    *   3. near-dup dedup     ([[Dedup.prefixFilterJaccard]] 3-gram
-    *      J≥0.5 pairs → [[Components]] min-label → keep each
-    *      component's representative). The LOSSLESS configuration on
-    *      purpose: the whole chain stays hash-verifiable against one
-    *      chained DuckDB oracle. At 100 TB the same slot composes
-    *      [[Dedup.minHashLsh]] as the candidate pruner with the
-    *      prefix filter as the exact re-scorer (both independently
-    *      oracle-verified); the chain's shape is unchanged.
+    *   3. near-dup dedup     (`nearDupStrategy` config: "lossless" —
+    *      [[Dedup.prefixFilterJaccard]] 3-gram J≥0.5 pairs — or
+    *      "pruned" — [[Dedup.minhashPrunedJaccard]], LSH-banded
+    *      candidates exactly re-scored; both → [[Components]]
+    *      min-label → keep each component's representative). The
+    *      default stays LOSSLESS on purpose: the whole chain is
+    *      hash-verifiable against one chained DuckDB oracle. "pruned"
+    *      is the 100 TB configuration — fixed-width signature shuffle
+    *      instead of corpus-text prefix shuffle; CurateStrategySpec
+    *      asserts both strategies produce the IDENTICAL manifest on
+    *      the test corpus, and the ×32 A/B row in SCALE_r{N} measures
+    *      the shuffle reduction.
     *   4. DSIR scoring       ([[LangModel.dsirWeight]], target = en)
     *   5. token-budget cut   ([[Select.tokenBudget]], best docs by
     *      mean lift until 12k tokens, auditable running total)
@@ -177,7 +181,21 @@ object QueriesPipeline {
     * Stage boundaries localCheckpoint(eager=false) exactly where a
     * production pipeline would materialize an intermediate table
     * (the q_corpus_e2e discipline). */
-  private[graft] def curateManifest(docs0: DataFrame): DataFrame = {
+  private[graft] def curateManifest(docs0: DataFrame,
+                                    nearDupStrategy: String = "lossless"): DataFrame =
+    curateThrough(docs0, nearDupStrategy, "manifest")
+
+  /** [[curateManifest]] cut off after a named stage — the measurement
+    * surface CurateDecomp uses to ATTRIBUTE the chain's shuffle volume
+    * to its stages at scale (cumulative-prefix diffs). `through` is one
+    * of `pairs` (stages 1–3's pair generation), `sel` (…components +
+    * DSIR + token budget), `spl` (…shingle-edge leak-free split),
+    * `manifest` (the full chain). The "manifest" path is exactly the
+    * former curateManifest body — same frames, same checkpoints. */
+  private[graft] def curateThrough(docs0: DataFrame, nearDupStrategy: String,
+                                   through: String): DataFrame = {
+    require(Set("pairs", "sel", "spl", "manifest")(through),
+      s"unknown stage '$through'")
     import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
     val docs = docs0.select(col("doc_id"), col("text"), col("lang"))
     // 1. LM filter (docs with <2 tokens carry no bigram signal: dropped)
@@ -189,9 +207,18 @@ object QueriesPipeline {
     val canon = docs
       .join(Dedup.exact(kept, "doc_id", "text").select("doc_id"), "doc_id")
       .localCheckpoint(eager = false) // feeds pair-gen AND the reps filter
-    // 3. near-dup components over the complete J>=0.5 pair set
-    val pairs = Dedup.prefixFilterJaccard(canon, "doc_id", "text",
-      shingleN = 3, threshold = 0.5)
+    // 3. near-dup components over the J>=0.5 pair set — strategy
+    // selects the pair GENERATOR only; both emit the same schema and
+    // bit-exact jaccard, so everything downstream is shared
+    val pairs = nearDupStrategy match {
+      case "lossless" => Dedup.prefixFilterJaccard(canon, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      case "pruned" => Dedup.minhashPrunedJaccard(canon, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 32, bands = 16)
+      case other => throw new IllegalArgumentException(
+        s"nearDupStrategy must be 'lossless' or 'pruned', got '$other'")
+    }
+    if (through == "pairs") return pairs
     val comp = Components.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")
     val reps = canon.join(comp, Seq("doc_id"), "left")
@@ -205,6 +232,7 @@ object QueriesPipeline {
     val sel = Select.tokenBudget(scored, "doc_id", "n_tokens",
         "mean_lift_ppm", budget = 12000L)
       .localCheckpoint(eager = false) // consumed by split, pack, manifest
+    if (through == "sel") return sel
     // 6. leak-free split on residual 5-shingle overlap of the selection
     val sh5 = docs.join(sel.select("doc_id"), "doc_id")
       .select(col("doc_id"),
@@ -213,6 +241,7 @@ object QueriesPipeline {
     val edges = Dedup.pairsFromBuckets(sh5, Seq("sh"), "doc_id", maxBucket = 20)
     val spl = Split.leakFree(sel.select("doc_id"), "doc_id", edges)
       .localCheckpoint(eager = false) // consumed by pack and manifest
+    if (through == "spl") return spl
     // 7. pack the train split into 512-token context windows
     val trainCounts = sel
       .join(spl.filter(col("split") === "train").select("doc_id"), "doc_id")
@@ -233,7 +262,13 @@ object QueriesPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_curate_e2e" -> ((s, d) => {
-      curateManifest(Tables(s, d).documents).orderBy("doc_id")
+      // SPARK_GRAFT_NEARDUP selects the near-dup pair generator for
+      // the SCALE A/B only (bench sets "pruned" for the ×32 row);
+      // Verify never sets it, so the oracle always checks the default
+      // lossless chain — and CurateStrategySpec proves the two
+      // strategies produce the identical manifest anyway
+      val strat = sys.env.getOrElse("SPARK_GRAFT_NEARDUP", "lossless")
+      curateManifest(Tables(s, d).documents, strat).orderBy("doc_id")
     }),
 
     "q_ingest_night" -> ((s, d) => {
@@ -250,8 +285,13 @@ object QueriesPipeline {
       // hash-match the one-call operator's oracle.
       import graft.operators.Targets
       import graft.operators.Targets.Stage
+      // root is suffixed with the Spark application id: deterministic
+      // within a run (re-invocations in one driver still share/wipe
+      // the same DAG root) but unique across drivers, so a concurrent
+      // bench + verify on one machine can't clobber each other's DAG
       val root = sys.props("java.io.tmpdir") +
-        "/graft_ingest_dag_" + new java.io.File(d).getName
+        "/graft_ingest_dag_" + new java.io.File(d).getName +
+        "_" + s.sparkContext.applicationId
       val rootPath = new org.apache.hadoop.fs.Path(root)
       rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(rootPath, true)

@@ -23,14 +23,18 @@ class CurateE2ESpec extends AnyFunSuite {
   // the audit must span construction + final collect, not just the
   // last query fragment's plan
   private lazy val (rows, totalStages, shuffleStages) = {
-    var stages = 0
-    var shuffles = 0
+    // atomic counters + an explicit bus drain: the listener callback
+    // runs on the listener-bus thread, so a plain var read after the
+    // collect has no happens-before edge and a fixed sleep can
+    // under-count on a contended machine
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffles = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        stages += 1
+        stages.incrementAndGet()
         if (sc.stageInfo.taskMetrics != null &&
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten > 0)
-          shuffles += 1
+          shuffles.incrementAndGet()
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -38,10 +42,9 @@ class CurateE2ESpec extends AnyFunSuite {
       val df = QueriesPipeline
         .curateManifest(Tables(spark, SparkTestSession.sfDir).documents)
       val out = df.collect()
-      // listener events are posted asynchronously; give the bus a
-      // moment to drain before reading the counters
-      Thread.sleep(2000)
-      (out, stages, shuffles)
+      org.apache.spark.sql.GraftBridge
+        .drainListenerBus(spark.sparkContext, 30000)
+      (out, stages.get(), shuffles.get())
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

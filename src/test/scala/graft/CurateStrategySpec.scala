@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Dedup
+import graft.queries.QueriesPipeline
+import graft.sources.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100 TB curation config as CODE, not prose (VERDICT r11 #3):
+  * `curateManifest(nearDupStrategy = "pruned")` swaps the lossless
+  * prefix-filter pair generator for MinHash/LSH-pruned candidates
+  * with an exact Jaccard re-score. This spec is the interchange
+  * contract — on the test corpus the two strategies must produce
+  * the IDENTICAL pair set and the IDENTICAL end-to-end manifest
+  * (at the 32-hash/16-band config, per-pair recall at J = 0.5 is
+  * ≥ 0.99 and the minhash signature is deterministic, so equality
+  * here is a reproducible assertion, not a flaky sample).
+  */
+class CurateStrategySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private lazy val docs =
+    Tables(spark, SparkTestSession.sfDir).documents
+
+  test("pruned pair generator reproduces the lossless pair set exactly") {
+    val lossless = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val pruned = Dedup.minhashPrunedJaccard(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(lossless.nonEmpty, "test corpus produced no near-dup pairs — " +
+      "the equality assertion would be vacuous")
+    assert(pruned.toSeq === lossless.toSeq,
+      s"pair sets differ: lossless=${lossless.length} pruned=${pruned.length}")
+  }
+
+  test("pruned strategy yields the identical curation manifest") {
+    def manifest(strategy: String): Seq[Seq[Any]] =
+      QueriesPipeline.curateManifest(docs, strategy)
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val lossless = manifest("lossless")
+    val pruned = manifest("pruned")
+    assert(lossless.nonEmpty)
+    assert(pruned === lossless,
+      s"manifests differ: lossless=${lossless.length} rows, pruned=${pruned.length}")
+  }
+
+  test("unknown strategy is refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      QueriesPipeline.curateManifest(docs, "typo")
+    }
+    assert(e.getMessage.contains("nearDupStrategy"))
+  }
+}

@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -87,6 +87,33 @@ EOF
 # (the partitions_matrix below measures that boundary directly).
 bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
+# r12 ladder supplement (VERDICT r11 #1/#6): q_doc_tree + q_ingest_night
+# joined CORE after the x32 dump was captured — bench just the two and
+# merge into the reused dump (no-op once scale_x32.json contains them)
+if ! python3 -c "import json,sys; d=json.load(open('target/scale_x32.json')); sys.exit(0 if {'q_doc_tree','q_ingest_night'} <= set(d['queries']) else 1)" 2>/dev/null; then
+  bench scale_x32_sup.json target/scale/x32 \
+    SPARK_GRAFT_ONLY=q_doc_tree,q_ingest_night \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
+  python3 - <<'EOF'
+import json
+d = json.load(open('target/scale_x32.json'))
+d['queries'].update(json.load(open('target/scale_x32_sup.json'))['queries'])
+json.dump(d, open('target/scale_x32.json', 'w'))
+EOF
+fi
+# near-dup strategy A/B at x32 (VERDICT r11 #3): q_curate_e2e rerun with
+# the minhash-pruned pair generator (output proven identical by
+# CurateStrategySpec); control row is scale_x32.json's q_curate_e2e
+bench curate_pruned_x32.json target/scale/x32 \
+  SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
+# per-stage shuffle attribution for the crossover note (VERDICT r11 #2)
+if [ ! -f target/curate_decomp_x32.json ]; then
+  echo "== curate decomp -> curate_decomp_x32.json"
+  env SPARK_GRAFT_SF_DIR=target/scale/x32 SPARK_GRAFT_DECOMP_TAG=x32 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+    sbt -batch "runMain graft.CurateDecomp" 2>&1 | grep -E '^\[decomp\]' || true
+fi
 # x100 runs the family in THREE fresh-JVM chunks, merged afterwards:
 # the single-JVM 37-query x100 run accumulates enough heap/codegen
 # pressure by the second pass to wedge (r9 measured: one run parked
