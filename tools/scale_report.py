@@ -159,10 +159,16 @@ NOTES = {
         "size-conditional crossover q_dedup_semantic/q_ngram_lm document. "
         "Post-flip growth is honest: x10->x32 is 1.36x over linear, the "
         "residual being near-dup candidate-pair growth. The "
-        "curate_neardup_strategy_ab_x32 section decomposes the x32 "
-        "shuffle by stage (cumulative-prefix diffs) and measures the "
-        "minhash-pruned generator's reduction; the x100 row confirms the "
-        "post-flip slope."),
+        "curate_neardup_strategy_ab_x32 decomposition (cumulative-prefix "
+        "diffs) pins WHERE the x32 bytes live: the stage-3 pair "
+        "GENERATION segment owns 5726 of 5758 MB (the prefix-filter "
+        "bucket shuffle — every doc's rarest (1-tau)*s shingles), the "
+        "shingle-edge split stage 0.4 MB, everything else ~32 MB. "
+        "Swapping the generator to nearDupStrategy=pruned (minhash "
+        "banding, identical output per CurateStrategySpec) cuts the "
+        "chain's shuffle 15x (5758 -> 381 MB) and wall 88 -> 71 s at "
+        "x32 — the measured 100 TB configuration; the x100 row confirms "
+        "the post-flip slope."),
     "q_ingest_night": (
         "the nightly-ingest DAG (persisted fingerprint index -> verdicts "
         "-> refreshed index) WRITES its three stages as parquet targets — "
