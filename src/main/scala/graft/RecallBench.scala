@@ -51,6 +51,31 @@ object RecallBench {
     System.err.println(f"[recall] n=$n nlist=$nlist k=$k queries=$nQueries " +
       f"train=${trainSec}%.1fs truth=${truth.size} pairs")
 
+    // index-geometry adjudication (VERDICT r12 "what's wrong" #3: the
+    // x200 sweep reported IDENTICAL recall and candidate counts at
+    // nprobe=1 vs 2 — plumbing bug or corpus geometry?). On a corpus
+    // of d distinct vectors replicated verbatim, k-means with
+    // nlist > d converges with centroids ON the copy groups plus
+    // DUPLICATE/empty cells (several initial centroids sample the same
+    // base vector; assignment ties break to the lowest cid, starving
+    // the twins) — a query's 2nd-nearest centroid is then an empty
+    // twin at distance 0 and probe 2 legitimately adds nothing. These
+    // numbers decide which story is true:
+    val dupCentroids = tr.assignCentroids.size - tr.assignCentroids.distinct.size
+    val cellSizes = tr.assigned.groupBy("cid").count()
+      .collect().map(r => r.get(0).asInstanceOf[Number].intValue -> r.getLong(1)).toMap
+    val emptyCells = nlist - cellSizes.size
+    System.err.println(s"[recall] geometry: $dupCentroids duplicate centroid(s) " +
+      s"of $nlist, $emptyCells empty cell(s)")
+    // per-query candidate pool added by each extra probe rank: the
+    // EXACT production probe construction (Similarity.probeCells)
+    def poolOf(nprobe: Int): Long = graft.operators.Similarity
+      .probeCells(tr, emb, qFilter, nprobe)
+      .collect().map(r => cellSizes.getOrElse(r.get(1).asInstanceOf[Number].intValue, 0L)).sum
+    val pools = Seq(1, 2, 4, 8).map(p => p -> poolOf(p)).toMap
+    System.err.println(s"[recall] candidate pools by nprobe: " +
+      pools.toSeq.sortBy(_._1).map { case (p, c) => s"$p->$c" }.mkString(" "))
+
     def probe(nprobe: Int): (Set[(Long, Long)], Double) = {
       val t1 = System.nanoTime()
       val got = graft.operators.Similarity
@@ -72,7 +97,7 @@ object RecallBench {
         f"probe_sec=${sec}%.2f candidates~=${got.size}")
       f"""{"nprobe":$nprobe,"recall_at_$k":$recall%.6f,"probe_sec":$sec%.3f}"""
     }
-    val json = s"""{"note":"nlist derived by kForCorpus at targetCellSize=$cell (join-path probe past the literal ceiling); index trained once, nprobe swept; probe_sec = min of 2 runs per point after a full warmup sweep (the single-shot curve was JIT-warmup-dominated and INVERTED). Whether probe cost moves with nprobe is the MEASUREMENT, not an assumption: at 64k vectors (r10, x32) the curve was cost-FLAT - per-job overhead dominated the cell scans - which is why the sweep re-runs at larger n/deeper cells where the scan term can surface. recall vs brute-force truth over ${truth.size} (query, neighbor) pairs; k=$k must sit ABOVE the ScaleGen verbatim-copy count per query (factor-1 copies all score cosine 1.0 and would make small-k recall vacuous)","sf":"$sfDir","n":$n,"nlist":$nlist,"cell":$cell,"k":$k,"n_queries":$nQueries,"train_sec":$trainSec,"sweep":[${points.mkString(",")}]}"""
+    val json = s"""{"note":"nlist derived by kForCorpus at targetCellSize=$cell (join-path probe past the literal ceiling); index trained once, nprobe swept; probe_sec = min of 2 runs per point after a full warmup sweep (the single-shot curve was JIT-warmup-dominated and INVERTED). Whether probe cost moves with nprobe is the MEASUREMENT, not an assumption: at 64k vectors (r10, x32) the curve was cost-FLAT - per-job overhead dominated the cell scans - which is why the sweep re-runs at larger n/deeper cells where the scan term can surface. recall vs brute-force truth over ${truth.size} (query, neighbor) pairs; k=$k must sit ABOVE the ScaleGen verbatim-copy count per query (factor-1 copies all score cosine 1.0 and would make small-k recall vacuous). geometry: when nlist exceeds the corpus's DISTINCT vector count (ScaleGen replicates verbatim), k-means converges with duplicate/empty twin cells and extra probes can legitimately add zero candidates - duplicate_centroids/empty_cells/candidate_pool_by_nprobe adjudicate flat sweep points (VERDICT r12 #3)","sf":"$sfDir","n":$n,"nlist":$nlist,"cell":$cell,"k":$k,"n_queries":$nQueries,"train_sec":$trainSec,"duplicate_centroids":$dupCentroids,"empty_cells":$emptyCells,"candidate_pool_by_nprobe":{${pools.toSeq.sortBy(_._1).map { case (p, c) => s""""$p":$c""" }.mkString(",")}},"sweep":[${points.mkString(",")}]}"""
     val p = java.nio.file.Paths.get(s"target/recall_$tag.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -5,6 +5,19 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Fail FAST on bench-only env knobs: q_curate_e2e reads these from
+    // the shared queries map, and a stray exported var would make the
+    // DuckDB oracle check a non-default chain (the pruned strategy can
+    // diverge spuriously at the recall margin on non-test corpora; a
+    // scaled budget changes the manifest outright). The invocation
+    // convention ("Verify never sets them") is now enforced, not
+    // assumed.
+    val benchOnly = Seq("SPARK_GRAFT_NEARDUP", "SPARK_GRAFT_CURATE_BUDGET")
+      .filter(sys.env.contains)
+    require(benchOnly.isEmpty,
+      s"bench-only env knob(s) ${benchOnly.mkString(", ")} set — Verify " +
+        "must check the default config; unset them (the oracle SQL " +
+        "replays the default lossless chain at the default budget)")
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names (local iteration
     // on a subset; the driver always runs the full surface)

@@ -128,17 +128,31 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Bucket membership lists from exploded (bucket key → id) rows:
+    * one sorted id list per bucket, singletons dropped. Only ids
+    * shuffle. Split from [[pairsFromLists]] so a caller can account
+    * for capped buckets (see [[minhashPrunedJaccard]]) without a
+    * second bucket shuffle. */
+  private[graft] def bucketLists(banded: DataFrame, keyCols: Seq[String],
+                                 idCol: String): DataFrame =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+
+  /** In-bucket candidate pairs from [[bucketLists]] output, buckets
+    * past `maxBucket` dropped (the pathological-bucket cap). */
+  private[graft] def pairsFromLists(lists: DataFrame, maxBucket: Int): DataFrame =
+    lists.filter(size(col("ids")) <= maxBucket)
+      .select(bucketPairs(col("ids")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+
   /** Candidate (id_a, id_b) pairs from exploded (bucket key → id)
     * rows: group to sorted id lists, cap pathological buckets,
     * emit in-bucket pairs, dedup. Only ids shuffle. */
   private[graft] def pairsFromBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
                                       maxBucket: Int): DataFrame =
-    banded.groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(bucketPairs(col("ids")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .dropDuplicates("id_a", "id_b")
+    pairsFromLists(bucketLists(banded, keyCols, idCol), maxBucket)
 
   /** Join shingle sets back onto candidate pairs and keep those with
     * jaccard >= threshold. Shingles are compared as xxhash64 longs —
@@ -163,7 +177,7 @@ object Dedup {
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
+    require(numHashes % bands == 0, "bands must divide numHashes")
     // persisted: the banding branch and the Jaccard-verify branch both
     // read it — without the cache the tokenize+shingle+minhash scan
     // (the dominant narrow stage) runs twice
@@ -172,11 +186,7 @@ object Dedup {
       .withColumn("minhash", minhashSig(col("__sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sig.select(col(idCol),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("minhash"), b * rows + 1, rows)).as("bh"))): _*)).as("lsh"))
-      .select(col(idCol), col("lsh.band"), col("lsh.bh"))
+    val banded = bandBuckets(sig, idCol, numHashes, bands)
 
     val pairs = pairsFromBuckets(banded, Seq("band", "bh"), idCol, maxBucket)
     // materialize the (tiny) verified pairs eagerly, then release the
@@ -186,6 +196,21 @@ object Dedup {
       idCol, threshold).localCheckpoint()
     sig.unpersist()
     result
+  }
+
+  /** LSH band buckets from a `minhash` signature column: each of the
+    * `bands` row-slices hashes to one (band, bh) bucket key per doc.
+    * The ONE definition of the banding scheme — [[minHashLsh]] and
+    * [[minhashPrunedJaccard]] both ride it, so a change to the slice
+    * hashing can never desynchronize the two entry points. */
+  private def bandBuckets(sig: DataFrame, idCol: String,
+                          numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col(idCol),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("minhash"), b * rows + 1, rows)).as("bh"))): _*)).as("lsh"))
+      .select(col(idCol), col("lsh.band"), col("lsh.bh"))
   }
 
   /** 64-bit SimHash signature column (one-pass native expression). */
@@ -536,21 +561,32 @@ object Dedup {
                            numHashes: Int = 32, bands: Int = 16,
                            maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
       .withColumn("__s", size(col("__sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRows = sh.count() // materializes the cache, sizes the join pin
-    val banded = sh
-      .withColumn("minhash", minhashSig(col("__sh"), numHashes))
-      .select(col(idCol),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("minhash"), b * rows + 1, rows)).as("bh"))): _*)).as("lsh"))
-      .select(col(idCol), col("lsh.band"), col("lsh.bh"))
-    val pairs = pairsFromBuckets(banded, Seq("band", "bh"), idCol, maxBucket)
+    val banded = bandBuckets(
+      sh.withColumn("minhash", minhashSig(col("__sh"), numHashes)),
+      idCol, numHashes, bands)
+    // bucket lists persist for ONE extra pass that ACCOUNTS for the
+    // pathological-bucket cap instead of silently eating it: a dropped
+    // LSH bucket is a real recall-loss mode (a dense >maxBucket
+    // near-dup cluster loses its in-bucket pairs), distinct from the
+    // banding probability — the lossless twin THROWS in the analogous
+    // case, so the pruned path must at least be loud.
+    val buckets = bucketLists(banded, Seq("band", "bh"), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val over = buckets.filter(size(col("ids")) > maxBucket)
+      .agg(count(lit(1)).as("n"), coalesce(max(size(col("ids"))), lit(0)).as("mx"))
+      .collect()(0)
+    if (over.getLong(0) > 0) System.err.println(
+      s"[graft] minhashPrunedJaccard: dropped ${over.getLong(0)} LSH bucket(s) " +
+        s"past maxBucket=$maxBucket (largest ${over.getInt(1)} docs) — " +
+        "their in-bucket candidate pairs are LOST (recall loss beyond the " +
+        "banding probability); raise maxBucket or exact-dedup upstream")
+    val pairs = pairsFromLists(buckets, maxBucket)
     val pin = nRows > BroadcastSafeCorpusRows
     def reScoreSide(n: String, shName: String, sName: String) = {
       val s = sh.select(col(idCol).as(n), col("__sh").as(shName),
@@ -566,6 +602,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .localCheckpoint()
+    buckets.unpersist()
     sh.unpersist()
     result
   }

@@ -200,14 +200,43 @@ object Similarity {
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   literalProbeMaxK: Int = Cluster.LiteralAssignMaxK): DataFrame = {
     val cells = tr.assigned // (id, q, cid, dist)
+    val probed = probeCells(tr, corpus, queryFilter, nprobe, idCol,
+      literalProbeMaxK)
+    val corpusVec = corpus.select(col(idCol).cast("long").as("id"), col(vecCol))
+    val qVec = corpus.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
+    val cand = cells.select(col("id"), col("cid"))
+      .join(broadcast(probed), Seq("cid"))
+      .filter(col("query_id") =!= col("id"))
+      .join(corpusVec, Seq("id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rk"))
+  }
+
+  /** The probe set of [[ivfInt8TopKOn]] — (query_id, cid), each
+    * query's `nprobe` nearest assignment cells — exposed so the recall
+    * harness can ADJUDICATE a flat recall curve (which cells did probe
+    * N add, and were they empty?) against the exact same probe
+    * construction the production path executes, instead of a
+    * re-derivation that could hide a plumbing bug. */
+  private[graft] def probeCells(tr: Cluster.Trained, corpus: DataFrame,
+                  queryFilter: Column, nprobe: Int,
+                  idCol: String = "vec_id",
+                  literalProbeMaxK: Int = Cluster.LiteralAssignMaxK): DataFrame = {
+    val cells = tr.assigned // (id, q, cid, dist)
     // query rows' quantized vectors come from the same assignment
     // frame — same grid, no re-quantization drift
     val qids = corpus.filter(queryFilter)
       .select(col(idCol).cast("long").as("id"))
     val qq = cells.join(broadcast(qids), Seq("id"))
       .select(col("id").as("query_id"), col("q"))
-    val probed =
-      if (tr.assignCentroids.size <= literalProbeMaxK) {
+    if (tr.assignCentroids.size <= literalProbeMaxK) {
         // the SAME scored-struct builder as Cluster.assignLiteral —
         // one definition keeps probe and assignment bit-identical
         val scoredCells = Cluster.scoredCellStructs(tr.assignCentroids)
@@ -226,22 +255,7 @@ object Similarity {
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= nprobe)
           .select(col("query_id"), col("cid"))
-      }
-    val corpusVec = corpus.select(col(idCol).cast("long").as("id"), col(vecCol))
-    val qVec = corpus.filter(queryFilter)
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv"))
-    val cand = cells.select(col("id"), col("cid"))
-      .join(broadcast(probed), Seq("cid"))
-      .filter(col("query_id") =!= col("id"))
-      .join(corpusVec, Seq("id"))
-      .join(broadcast(qVec), Seq("query_id"))
-      .withColumn("cosine", VectorFunctions.cosine(col("__qv"), col(vecCol)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("id"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("rk"))
+    }
   }
 
   /** Multi-table LSH ANN: a query's candidates are the union of its

@@ -337,11 +337,27 @@ object QueriesCore {
     }),
 
     "q_approx_distinct" -> ((s, d) => {
-      // HLL sketch — approximate, no exact oracle (rows-only check)
+      // HLL sketch, DRIVER-CERTIFIED (VERDICT r12 #5): the sketch
+      // estimate itself is not SQL-reproducible, but its ERROR BOUND
+      // is — the same aggregation computes the exact distinct count
+      // and emits a within_bounds boolean (|est − exact| ≤ 3·rsd·exact,
+      // floor 1); the oracle computes the identical exact counts and
+      // emits literal TRUE, so the hash match certifies the bound: an
+      // out-of-bound sketch flips the boolean and FAILS the compare.
+      // The exact twin exists for certification only — production runs
+      // the sketch alone (that is its whole point at 100 TB).
       Tables(s, d).events
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("value"), 0.01).as("approx_values"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("value")).as("exact_values"),
+          approx_count_distinct(col("user_id")).as("__au"), // rsd 0.05
+          approx_count_distinct(col("value"), 0.01).as("__av"))
+        .select(col("event_type"), col("exact_users"), col("exact_values"),
+          (abs(col("__au") - col("exact_users")).cast("double") <=
+            greatest(lit(1.0), col("exact_users") * 0.15)).as("users_within_bounds"),
+          (abs(col("__av") - col("exact_values")).cast("double") <=
+            greatest(lit(1.0), col("exact_values") * 0.03)).as("values_within_bounds"))
         .orderBy("event_type")
     }),
 
@@ -371,6 +387,17 @@ object QueriesCore {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // the exact counts replay in SQL; within_bounds is literal TRUE —
+    // the hash match certifies the Spark side's sketch-vs-exact bound
+    // (an out-of-bound estimate flips the boolean and fails the hash)
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | count(DISTINCT value) AS exact_values,
+        | TRUE AS users_within_bounds,
+        | TRUE AS values_within_bounds
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,

@@ -324,15 +324,29 @@ object QueriesDepth {
     "q_approx_percentile" -> ((s, d) => {
       // sketch percentiles (percentile_approx, GK-style): the
       // single-pass bounded-memory path for 100 TB quantiles, next to
-      // q_percentile's exact sort-based path. Declared rows-only: the
-      // sketch's merge is partition-order dependent, so values are
-      // within-accuracy approximate, not hash-stable — the spec bounds
-      // them against the exact percentiles instead.
+      // q_percentile's exact sort-based path. DRIVER-CERTIFIED
+      // (VERDICT r12 #5): the sketch values are partition-order
+      // dependent (not hash-stable), but the ACCURACY CONTRACT is
+      // checkable — at accuracy 10000 the rank error is ≤ 1e-4, so the
+      // estimate must land between the exact 0.49/0.51 (0.94/0.96)
+      // rank values (100× headroom). The emitted boolean rides the
+      // hash compare; the oracle computes the identical exact
+      // percentiles and literal TRUE.
+      val v = col("l_extendedprice").cast("double")
       Tables(s, d).lineitem
         .groupBy("l_returnflag")
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+          percentile_approx(v, lit(0.5), lit(10000)).as("__p50a"),
+          percentile_approx(v, lit(0.95), lit(10000)).as("__p95a"),
+          percentile(v, lit(0.49)).as("__p50lo"),
+          percentile(v, lit(0.51)).as("__p50hi"),
+          percentile(v, lit(0.94)).as("__p95lo"),
+          percentile(v, lit(0.96)).as("__p95hi"),
+          round(percentile(v, lit(0.5)), 6).as("p50_exact"),
+          round(percentile(v, lit(0.95)), 6).as("p95_exact"))
+        .select(col("l_returnflag"), col("p50_exact"), col("p95_exact"),
+          col("__p50a").between(col("__p50lo"), col("__p50hi")).as("p50_within_bounds"),
+          col("__p95a").between(col("__p95lo"), col("__p95hi")).as("p95_within_bounds"))
         .orderBy("l_returnflag")
     }),
 
@@ -744,6 +758,17 @@ object QueriesDepth {
       yield s"((($c >> $i) & 1) << ${i * dims.size + j})").mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+
+    // exact percentiles replay via quantile_cont (the q_percentile
+    // interpolation equivalence); *_within_bounds is literal TRUE —
+    // the hash match certifies the Spark-side rank-error contract
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(cast(l_extendedprice as double), 0.5), 6) AS p50_exact,
+        | round(quantile_cont(cast(l_extendedprice as double), 0.95), 6) AS p95_exact,
+        | TRUE AS p50_within_bounds,
+        | TRUE AS p95_within_bounds
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT p_brand,

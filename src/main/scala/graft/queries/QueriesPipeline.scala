@@ -182,8 +182,9 @@ object QueriesPipeline {
     * production pipeline would materialize an intermediate table
     * (the q_corpus_e2e discipline). */
   private[graft] def curateManifest(docs0: DataFrame,
-                                    nearDupStrategy: String = "lossless"): DataFrame =
-    curateThrough(docs0, nearDupStrategy, "manifest")
+                                    nearDupStrategy: String = "lossless",
+                                    budget: Long = 12000L): DataFrame =
+    curateThrough(docs0, nearDupStrategy, "manifest", budget)
 
   /** [[curateManifest]] cut off after a named stage — the measurement
     * surface CurateDecomp uses to ATTRIBUTE the chain's shuffle volume
@@ -193,7 +194,8 @@ object QueriesPipeline {
     * `manifest` (the full chain). The "manifest" path is exactly the
     * former curateManifest body — same frames, same checkpoints. */
   private[graft] def curateThrough(docs0: DataFrame, nearDupStrategy: String,
-                                   through: String): DataFrame = {
+                                   through: String,
+                                   budget: Long = 12000L): DataFrame = {
     require(Set("pairs", "sel", "spl", "manifest")(through),
       s"unknown stage '$through'")
     import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
@@ -230,7 +232,7 @@ object QueriesPipeline {
       .select("doc_id", "n_tokens", "mean_lift_ppm")
     // 5. global token budget; output is CONFIG-BOUNDED from here on
     val sel = Select.tokenBudget(scored, "doc_id", "n_tokens",
-        "mean_lift_ppm", budget = 12000L)
+        "mean_lift_ppm", budget = budget)
       .localCheckpoint(eager = false) // consumed by split, pack, manifest
     if (through == "sel") return sel
     // 6. leak-free split on residual 5-shingle overlap of the selection
@@ -263,12 +265,21 @@ object QueriesPipeline {
 
     "q_curate_e2e" -> ((s, d) => {
       // SPARK_GRAFT_NEARDUP selects the near-dup pair generator for
-      // the SCALE A/B only (bench sets "pruned" for the ×32 row);
-      // Verify never sets it, so the oracle always checks the default
-      // lossless chain — and CurateStrategySpec proves the two
-      // strategies produce the identical manifest anyway
+      // the SCALE A/B only (bench sets "pruned" for the ×32/×100
+      // rows); Verify FAILS FAST if it is set (enforced, not a
+      // convention), so the oracle always checks the default lossless
+      // chain — and CurateStrategySpec proves the two strategies
+      // produce the identical manifest anyway
       val strat = sys.env.getOrElse("SPARK_GRAFT_NEARDUP", "lossless")
-      curateManifest(Tables(s, d).documents, strat).orderBy("doc_id")
+      // SPARK_GRAFT_CURATE_BUDGET scales the stage-5 token budget with
+      // the corpus in the SCALE ladder only (a fixed 12k budget empties
+      // the manifest past ~×32, so the ×100 tier would exercise stages
+      // 1–4 but leave the config-bounded tail degenerate — VERDICT r12
+      // "what's wrong" #4). Verify FAILS FAST if either var is set, so
+      // the oracle always checks the default 12k lossless chain.
+      val budget = sys.env.get("SPARK_GRAFT_CURATE_BUDGET")
+        .map(_.toLong).getOrElse(12000L)
+      curateManifest(Tables(s, d).documents, strat, budget).orderBy("doc_id")
     }),
 
     "q_ingest_night" -> ((s, d) => {
@@ -367,6 +378,34 @@ object QueriesPipeline {
       val merges = Tokenize.trainBpeDistributed(docs, "text", numMerges = 30)
       Tokenize.bpeCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
+    }),
+
+    "q_token_bpe_verify" -> ((s, d) => {
+      // oracle-checked verification twin for the BPE TRAINER (the
+      // q_pack_verify pattern, VERDICT r12 #7 — the last rows-only
+      // family gets a hash-compared anchor): the SAME Tokenize.trainBpe
+      // — same regex pre-tokenizer, same (count desc, left, right)
+      // code-point tie-break, same bestN ≥ 2 stop rule, same greedy
+      // left-to-right merge application — at a REPLAYABLE config
+      // (8 merges, 200-word dict), where DuckDB unrolls the 8 training
+      // rounds as chained CTEs (the kmeansCtes discipline): per round,
+      // weighted adjacent-pair counts over the current symbol
+      // sequences, argmax with the identical tie-break, and the merge
+      // applied via literal string replace over a double-space-
+      // delimited symbol string — replace's non-overlapping
+      // left-to-right scan IS the BPE merge fold (a merged token l+r
+      // can never equal l, so look-behind never re-merges). The
+      // production paths (q_token_bpe_exact 100×5000,
+      // q_token_bpe_dist distributed) stay rows-only; this entry pins
+      // the trainer's whole decision trajectory to an
+      // engine-independent truth.
+      import s.implicits._
+      val merges = Tokenize.trainBpe(Tables(s, d).documents, "text",
+        numMerges = 8, maxWords = 200)
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy("merge_rank")
     }),
 
     "q_pack_sequences" -> ((s, d) => {
@@ -502,6 +541,49 @@ object QueriesPipeline {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // replays Tokenize.trainBpe's whole decision trajectory at the
+    // 8-merge/200-word config: word dict (same regex, same
+    // (n desc, w) cap), then 8 unrolled rounds of weighted pair-count
+    // → argmax (count desc, left, right — DuckDB's binary UTF-8
+    // collation IS code-point order, the trainer's tie-break) → merge
+    // application via literal replace over '  '-delimited symbols
+    // (boundary spaces make symbol-prefix/suffix false matches
+    // impossible; replace's left-to-right non-overlap matches the
+    // greedy fold, incl. the l==r run case). Empty mN short-circuits
+    // the remaining rounds — the bestN>=2 stop rule.
+    "q_token_bpe_verify" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""p$r AS (
+           | SELECT pr.l AS l, pr.r AS r, sum(n) AS cnt
+           | FROM (
+           |  SELECT unnest(list_transform(range(1, len(syms)),
+           |    i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS pr, n
+           |  FROM (SELECT string_split(trim(s), '  ') AS syms, n FROM w${r - 1}))
+           | GROUP BY 1, 2),
+           |m$r AS (SELECT l, r FROM p$r WHERE cnt >= 2
+           |        ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$r AS (SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+           |          ' ' || m.l || m.r || ' ') AS s, n
+           |        FROM w${r - 1}, m$r m)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 8)
+        .map(r => s"SELECT ${r - 1} AS merge_rank, l AS lhs, r AS rhs FROM m$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH wf AS (
+         | SELECT w, count(*) AS n FROM (
+         |  SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS w
+         |  FROM documents)
+         | GROUP BY w ORDER BY n DESC, w LIMIT 200),
+         |w0 AS (
+         | SELECT '  ' || array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> substr(w, i, 1)), '  ') || '  ' AS s, n
+         | FROM wf),
+         |$rounds
+         |SELECT cast(merge_rank as int) AS merge_rank, lhs, rhs FROM (
+         | $sel)
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     // identical truth to q_dedup_incremental's oracle (the indexed DAG
     // path must land on the same verdicts the one-call operator does)

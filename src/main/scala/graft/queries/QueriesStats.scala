@@ -109,16 +109,28 @@ object QueriesStats {
       // mergeable HLL sketches (Spark 4 datasketches built-ins): one
       // sketch per parameter, then a sketch-UNION rollup — the 100 TB
       // pattern where per-partition/per-day sketches merge into any
-      // rollup without re-touching raw data. rows-only: sketch
-      // estimates have no DuckDB-reproducible SQL form; the spec
-      // bounds them against exact distinct counts
-      val per = Tables(s, d).events.groupBy("event_type")
-        .agg(hll_sketch_agg(col("user_id")).as("sk"))
-      per.select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("approx_users"))
-        .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
-          .select(lit("__total__").as("event_type"),
-            hll_sketch_estimate(col("sk")).as("approx_users")))
+      // rollup without re-touching raw data. DRIVER-CERTIFIED
+      // (VERDICT r12 #5): estimates have no DuckDB-reproducible form,
+      // but the error bound does — each row emits within_bounds
+      // (|est − exact| ≤ 3·rsd·exact, rsd ≈ 1.04/√2¹² ≈ 1.6% at the
+      // default lgConfigK=12, so 5%; floor 1) next to the exact count;
+      // the oracle emits the same exacts and literal TRUE, so the hash
+      // match certifies the sketch AND the union (the rollup row's
+      // bound is checked against the true global distinct).
+      val ev = Tables(s, d).events
+      val per = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val tot = per.agg(hll_union_agg(col("sk")).as("sk"))
+        .select(hll_sketch_estimate(col("sk")).as("__est"))
+        .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+        .select(lit("__total__").as("event_type"), col("exact_users"), col("__est"))
+      per.select(col("event_type"), col("exact_users"),
+          hll_sketch_estimate(col("sk")).as("__est"))
+        .unionByName(tot)
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")).cast("double") <=
+            greatest(lit(1.0), col("exact_users") * 0.05)).as("within_bounds"))
         .orderBy("event_type")
     }),
 
@@ -223,6 +235,17 @@ object QueriesStats {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // per-type exacts + the true global distinct for the union row;
+    // within_bounds is literal TRUE — the hash match certifies both
+    // the per-sketch and the sketch-UNION error bounds
+    "q_hll_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_bounds
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__total__', count(DISTINCT user_id), TRUE FROM events
+        |ORDER BY event_type""".stripMargin,
 
     "q_ttest_welch" ->
       """WITH m AS (

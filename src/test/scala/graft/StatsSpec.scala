@@ -194,24 +194,27 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(twap - (10.0 * 30 + 40.0 * 10) / 40) < 1e-9)
   }
 
-  test("q_hll_union estimates track exact distincts and the union dominates") {
+  test("q_hll_union exact twins match independents and bounds hold") {
+    // r13: the query emits (event_type, exact_users, within_bounds) —
+    // the sketch estimate became an in-plan bound check the driver
+    // hash-compares; this spec re-derives the exacts independently
     val d = SparkTestSession.sfDir
     val got = SparkEntry.queries("q_hll_union")(spark, d)
-      .as[(String, Long)].collect().toMap
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
     val ev = graft.sources.Tables(spark, d).events
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("nd"))
       .as[(String, Long)].collect().toMap
     val exactTotal = ev.select(countDistinct("user_id")).as[Long].head()
     exact.foreach { case (t, nd) =>
-      val est = got(t)
-      assert(math.abs(est - nd) <= math.max(2L, (nd * 0.05).toLong),
-        s"$t: est $est vs exact $nd")
+      val (e, w) = got(t)
+      assert(e == nd && w, s"$t: exact $e vs $nd, within=$w")
     }
-    val totalEst = got("__total__")
-    assert(math.abs(totalEst - exactTotal) <= math.max(2L, (exactTotal * 0.05).toLong))
-    // a union of sketches can never estimate below its largest input
-    assert(totalEst >= got.filterKeys(_ != "__total__").values.max)
+    val (te, tw) = got("__total__")
+    assert(te == exactTotal && tw)
+    // the union row covers every per-type population
+    assert(te >= exact.values.max)
   }
 
   test("degenerate groups surface null, never NaN/Inf") {

@@ -11,7 +11,7 @@
 # delete target/scale or target/*_x*.json to force a re-run.
 set -e
 cd "$(dirname "$0")/.."
-OUT=${1:-SCALE_r6.json}
+OUT=${1:-SCALE_r13.json}
 SF=/root/testdata/sf0.1
 
 # the gate's own fixtures first: an hour of benching behind a broken
@@ -22,7 +22,15 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project
+
+# q_curate_e2e's stage-5 token budget scales with the corpus factor
+# (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
+# leaving the config-bounded tail stages degenerate at x100 — a real
+# deployment sizes the budget with the corpus). Verify NEVER sees these
+# (it fails fast if the var is set); sf0.1 (x1) stays at the
+# oracle-checked default 12k.
+BUDGET_X10=120000; BUDGET_X32=384000; BUDGET_X100=1200000
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -66,7 +74,7 @@ fi
 
 # full suite at x1 (sf0.1 itself) and x10
 bench full_x1.json "$SF"
-bench full_x10.json target/scale/x10
+bench full_x10.json target/scale/x10 SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X10
 
 # core family x1/x10 are FILTERED from the full runs (same harness,
 # same numbers); x32/x100 run the family directly. x100 runs at
@@ -86,7 +94,8 @@ EOF
 # ancestor-array workload enough that 32 partitions OOM a task at x32
 # (the partitions_matrix below measures that boundary directly).
 bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
 # r12 ladder supplement (VERDICT r11 #1/#6): q_doc_tree + q_ingest_night
 # joined CORE after the x32 dump was captured — bench just the two and
 # merge into the reused dump (no-op once scale_x32.json contains them)
@@ -94,24 +103,33 @@ if ! python3 -c "import json,sys; d=json.load(open('target/scale_x32.json')); sy
   bench scale_x32_sup.json target/scale/x32 \
     SPARK_GRAFT_ONLY=q_doc_tree,q_ingest_night \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
-  python3 - <<'EOF'
+  # bench() tolerates a crashed run by leaving no dump — the merge must
+  # not abort the whole campaign under set -e (ADVICE r12); the hole
+  # then surfaces through scale_report's missing-query gate instead
+  if [ -f target/scale_x32_sup.json ]; then
+    python3 - <<'EOF'
 import json
 d = json.load(open('target/scale_x32.json'))
 d['queries'].update(json.load(open('target/scale_x32_sup.json'))['queries'])
 json.dump(d, open('target/scale_x32.json', 'w'))
 EOF
+  else
+    echo "!! scale_x32_sup.json absent (crashed bench?); x32 stays partial"
+  fi
 fi
 # near-dup strategy A/B at x32 (VERDICT r11 #3): q_curate_e2e rerun with
 # the minhash-pruned pair generator (output proven identical by
 # CurateStrategySpec); control row is scale_x32.json's q_curate_e2e
 bench curate_pruned_x32.json target/scale/x32 \
   SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
-# per-stage shuffle attribution for the crossover note (VERDICT r11 #2)
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
+# per-stage shuffle attribution for the crossover note (VERDICT r11 #2);
+# spill bytes ride every row (VERDICT r12 #5/#8)
 if [ ! -f target/curate_decomp_x32.json ]; then
   echo "== curate decomp -> curate_decomp_x32.json"
   env SPARK_GRAFT_SF_DIR=target/scale/x32 SPARK_GRAFT_DECOMP_TAG=x32 \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32 \
     sbt -batch "runMain graft.CurateDecomp" 2>&1 | grep -E '^\[decomp\]' || true
 fi
 # x100 runs the family in THREE fresh-JVM chunks, merged afterwards:
@@ -126,9 +144,16 @@ X100_C3=$(echo "$CORE" | cut -d, -f33-)
 i=1
 for chunk in "$X100_C1" "$X100_C2" "$X100_C3"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
+    SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100
   i=$((i+1))
 done
+# pruned-strategy x100 row (VERDICT r12 #4: the x32 A/B gets its x100
+# sibling, both strategies non-degenerate under the scaled budget)
+bench curate_pruned_x100.json target/scale/x100 \
+  SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100
 # rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
 # files carry the reuse/idempotence semantics, and a stale merged file
 # from a prior partial run must never win over freshly re-benched
@@ -293,4 +318,17 @@ for p in 32 128 256; do
     SPARK_GRAFT_SHUFFLE_PARTITIONS=$p
 done
 
+# assemble + gate LAST, then refuse success unless the merged artifact
+# at the repo root is NEWER than every dump it folds (the r11/r12
+# sequencing defect: the end-of-round snapshot committed while the
+# campaign was still writing dumps, so the artifact the SURVEY cited
+# never reached git — this gate makes that impossible to repeat
+# silently)
 python3 tools/scale_report.py "$OUT"
+stale=$(find target -maxdepth 1 -name '*.json' -newer "$OUT" | sort)
+if [ -n "$stale" ]; then
+  echo "!! $OUT is OLDER than these dumps it should fold:"; echo "$stale"
+  echo "!! re-run tools/scale_report.py $OUT (and COMMIT the result)"
+  exit 1
+fi
+echo "== $OUT assembled, gated, and newer than every dump — COMMIT IT"

@@ -159,7 +159,7 @@ NOTES = {
         "size-conditional crossover q_dedup_semantic/q_ngram_lm document. "
         "Post-flip growth is honest: x10->x32 is 1.36x over linear, the "
         "residual being near-dup candidate-pair growth. The "
-        "curate_neardup_strategy_ab_x32 decomposition (cumulative-prefix "
+        "curate_neardup_strategy_ab decomposition (cumulative-prefix "
         "diffs) pins WHERE the x32 bytes live: the stage-3 pair "
         "GENERATION segment owns 5726 of 5758 MB (the prefix-filter "
         "bucket shuffle — every doc's rarest (1-tau)*s shingles), the "
@@ -554,18 +554,20 @@ def main(out_path):
     # produce the identical manifest; decomp attributes the x32 shuffle
     # to stages via cumulative-prefix diffs (CurateDecomp).
     curate_ab = {}
-    if runs.get(32) and "q_curate_e2e" in runs[32]:
-        curate_ab["lossless_x32"] = entry_at(runs[32]["q_curate_e2e"])
-    if os.path.exists("target/curate_pruned_x32.json"):
-        with open("target/curate_pruned_x32.json") as fh:
-            pq = json.load(fh)["queries"]
-        if "q_curate_e2e" in pq and pq["q_curate_e2e"]["sec"] >= 0:
-            curate_ab["pruned_x32"] = entry_at(pq["q_curate_e2e"])
+    for factor in (32, 100):
+        if runs.get(factor) and "q_curate_e2e" in runs[factor]:
+            curate_ab[f"lossless_x{factor}"] = entry_at(runs[factor]["q_curate_e2e"])
+        pruned_path = f"target/curate_pruned_x{factor}.json"
+        if os.path.exists(pruned_path):
+            with open(pruned_path) as fh:
+                pq = json.load(fh)["queries"]
+            if "q_curate_e2e" in pq and pq["q_curate_e2e"]["sec"] >= 0:
+                curate_ab[f"pruned_x{factor}"] = entry_at(pq["q_curate_e2e"])
     if os.path.exists("target/curate_decomp_x32.json"):
         with open("target/curate_decomp_x32.json") as fh:
             curate_ab["stage_decomposition"] = json.load(fh)
     if curate_ab:
-        report["curate_neardup_strategy_ab_x32"] = {
+        report["curate_neardup_strategy_ab"] = {
             "note": (
                 "q_curate_e2e with nearDupStrategy=pruned (MinHash 32x16 "
                 "banding prunes candidates, exact raw-string Jaccard "
@@ -581,7 +583,16 @@ def main(out_path):
                 "pair generation; pairs->sel = components + DSIR + token "
                 "budget; sel->spl = 5-shingle split edges; spl->manifest "
                 "= packing + manifest joins); its pruned_pairs row "
-                "isolates the generator swap."),
+                "isolates the generator swap. Each row carries SPILL "
+                "bytes next to shuffle: the lossless chain's x32 spill "
+                "(~25 GB in r12) is pinned to the stage-3 pair "
+                "generation — exactly the segment the pruned generator "
+                "removes. x100 rows run under the corpus-scaled token "
+                "budget (SPARK_GRAFT_CURATE_BUDGET — r12's fixed 12k "
+                "budget emptied the x100 manifest, leaving the "
+                "config-bounded tail degenerate; Verify fails fast if "
+                "the knob is set, so the oracle still checks the "
+                "default)."),
             **curate_ab}
 
     # ---- two-level k-means certification (r9 #2) ----
