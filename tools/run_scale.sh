@@ -93,30 +93,37 @@ EOF
 # state stays flat — the r8 testdata regeneration deepened the
 # ancestor-array workload enough that 32 partitions OOM a task at x32
 # (the partitions_matrix below measures that boundary directly).
-bench scale_x32.json target/scale/x32 SPARK_GRAFT_ONLY=$CORE \
-  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
-  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
-# r12 ladder supplement (VERDICT r11 #1/#6): q_doc_tree + q_ingest_night
-# joined CORE after the x32 dump was captured — bench just the two and
-# merge into the reused dump (no-op once scale_x32.json contains them)
-if ! python3 -c "import json,sys; d=json.load(open('target/scale_x32.json')); sys.exit(0 if {'q_doc_tree','q_ingest_night'} <= set(d['queries']) else 1)" 2>/dev/null; then
-  bench scale_x32_sup.json target/scale/x32 \
-    SPARK_GRAFT_ONLY=q_doc_tree,q_ingest_night \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16
-  # bench() tolerates a crashed run by leaving no dump — the merge must
-  # not abort the whole campaign under set -e (ADVICE r12); the hole
-  # then surfaces through scale_report's missing-query gate instead
-  if [ -f target/scale_x32_sup.json ]; then
-    python3 - <<'EOF'
+# x32 runs the family in the SAME three fresh-JVM chunks as x100:
+# r13 measured the single-JVM 51-query x32 run OOMing a task at the
+# START OF PASS 2 (q_ancestor_arrays, after a clean full first pass) —
+# the accumulated old-gen/codegen pressure class that sent x100 to
+# chunks in r9 reaches x32 once the corpus-scaled curate budget
+# retains its bigger localCheckpoints. Chunks are merged like x100's
+# (a crashed chunk leaves a hole the missing-query gate surfaces —
+# never a set -e abort).
+CHUNK_C1=$(echo "$CORE" | cut -d, -f1-16)
+CHUNK_C2=$(echo "$CORE" | cut -d, -f17-32)
+CHUNK_C3=$(echo "$CORE" | cut -d, -f33-)
+i=1
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3"; do
+  bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
+    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
+    SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
+  i=$((i+1))
+done
+rm -f target/scale_x32.json
+python3 - <<'EOF'
 import json
-d = json.load(open('target/scale_x32.json'))
-d['queries'].update(json.load(open('target/scale_x32_sup.json'))['queries'])
-json.dump(d, open('target/scale_x32.json', 'w'))
+qs = {}
+for i in (1, 2, 3):
+    try:
+        qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
+    except FileNotFoundError:
+        pass
+if qs:
+    json.dump({"queries": qs, "sf": "target/scale/x32"},
+              open('target/scale_x32.json', 'w'))
 EOF
-  else
-    echo "!! scale_x32_sup.json absent (crashed bench?); x32 stays partial"
-  fi
-fi
 # near-dup strategy A/B at x32 (VERDICT r11 #3): q_curate_e2e rerun with
 # the minhash-pruned pair generator (output proven identical by
 # CurateStrategySpec); control row is scale_x32.json's q_curate_e2e
@@ -138,11 +145,8 @@ fi
 # forever in AQE's stage-event wait with zero CPU, another OOM'd a
 # task) — a fresh JVM per ~12 queries keeps old-gen pressure flat and
 # any failure isolated to its chunk.
-X100_C1=$(echo "$CORE" | cut -d, -f1-16)
-X100_C2=$(echo "$CORE" | cut -d, -f17-32)
-X100_C3=$(echo "$CORE" | cut -d, -f33-)
 i=1
-for chunk in "$X100_C1" "$X100_C2" "$X100_C3"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100
