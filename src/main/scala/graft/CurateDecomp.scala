@@ -9,11 +9,14 @@ package graft
   * BenchListener; successive diffs attribute shuffle-write/wall to
   * the stage segment between cuts. Each prefix re-executes its
   * upstream (fresh localCheckpoints), so shuffle-byte diffs are clean
-  * attributions, not cache artifacts. WALL-CLOCK diffs are NOT: under
-  * the repo's documented ~1.4× small-query noise band, sec diffs for
-  * small segments can be noisy or negative — the emitted JSON flags
-  * any negative sec segment and carries the caveat, and only the
-  * deterministic shuffle_write diffs should be read as attributions.
+  * attributions, not cache artifacts. ONLY the shuffle_write diffs
+  * are deterministic: wall-clock diffs sit inside the ~1.4×
+  * small-query timing band, and SPILL diffs are execution-memory-
+  * pressure dependent (whether a hash aggregate spills varies with
+  * task interleaving — the r13 x32 run measured a −198 MB sel→spl
+  * spill diff), so both can go negative on small segments. The
+  * emitted JSON flags negative sec segments and carries the caveat;
+  * read spill totals per PREFIX row (cumulative), not per segment.
   *
   * Also runs the full manifest under `nearDupStrategy = "pruned"` —
   * the minhash-pruned A/B twin the ×32 SCALE row captures — so the
@@ -35,6 +38,8 @@ object CurateDecomp {
     val tag = sys.env.getOrElse("SPARK_GRAFT_DECOMP_TAG", "x32")
     val budget = sys.env.get("SPARK_GRAFT_CURATE_BUDGET")
       .map(_.toLong).getOrElse(12000L)
+    val keepPpm = sys.env.get("SPARK_GRAFT_CURATE_KEEPPPM")
+      .map(_.toLong).getOrElse(35000000L)
     val spark = GraftSession.local()
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
@@ -44,7 +49,8 @@ object CurateDecomp {
       spark.catalog.clearCache()
       listener.reset()
       val t0 = System.nanoTime()
-      graft.queries.QueriesPipeline.curateThrough(docs, strategy, through, budget)
+      graft.queries.QueriesPipeline.curateThrough(docs, strategy, through,
+          budget, keepPpm)
         .write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
@@ -60,10 +66,11 @@ object CurateDecomp {
     val pruned = run("pruned manifest (A/B)", "pruned", "manifest")
     val prunedPairs = run("pruned through pairs", "pruned", "pairs")
 
-    // stage segments: diff of successive cumulative prefixes. Shuffle
-    // and spill diffs are deterministic; sec diffs carry timing noise
-    // and are flagged when negative (kept raw, not clamped — a clamp
-    // would hide the noise the flag exists to surface).
+    // stage segments: diff of successive cumulative prefixes. Only
+    // shuffle diffs are deterministic; sec (timing noise) and spill
+    // (memory-pressure dependent) can go negative and are kept raw,
+    // not clamped — a clamp would hide what the flag exists to
+    // surface.
     val segs = cuts.zip("" +: cuts).map { case (c, prev) =>
       val (s, w, p) = cum(c)
       val (ps, pw, pp) = if (prev.isEmpty) (0.0, 0L, 0L) else cum(prev)
@@ -80,7 +87,7 @@ object CurateDecomp {
       s"""{"sec":${r._1},"shuffle_write":${r._2},"spill":${r._3}}"""
     val cumJson = cuts.map(c => s""""$c":${rowJson(cum(c))}""").mkString(",")
     val json =
-      s"""{"note":"q_curate_e2e stage attribution at $tag (budget=$budget) via cumulative-prefix diffs (each prefix re-executes upstream from scratch). ONLY shuffle_write/spill diffs are noise-free attributions; segment sec diffs sit inside the ~1.4x small-query timing band and can go negative (flagged per segment via sec_noisy, raw value kept). pruned_* rows are the minhash-pruned nearDupStrategy A/B (same manifest, CurateStrategySpec-proven).","corpus":"$sfDir","budget":$budget,"cumulative":{$cumJson},"segments":{$segJson},"pruned_manifest":${rowJson(pruned)},"pruned_pairs":${rowJson(prunedPairs)},"lossless_manifest":${rowJson(cum("manifest"))}}"""
+      s"""{"note":"q_curate_e2e stage attribution at $tag (budget=$budget) via cumulative-prefix diffs (each prefix re-executes upstream from scratch). ONLY shuffle_write diffs are noise-free attributions; segment sec diffs sit inside the ~1.4x small-query timing band and segment SPILL diffs are execution-memory-pressure dependent - both can go negative on small segments (sec flagged via sec_noisy, raw values kept; read spill from the cumulative prefix rows). pruned_* rows are the minhash-pruned nearDupStrategy A/B (same manifest, CurateStrategySpec-proven).","corpus":"$sfDir","budget":$budget,"cumulative":{$cumJson},"segments":{$segJson},"pruned_manifest":${rowJson(pruned)},"pruned_pairs":${rowJson(prunedPairs)},"lossless_manifest":${rowJson(cum("manifest"))}}"""
     val p = java.nio.file.Paths.get(s"target/curate_decomp_$tag.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -12,7 +12,8 @@ object Verify {
     // scaled budget changes the manifest outright). The invocation
     // convention ("Verify never sets them") is now enforced, not
     // assumed.
-    val benchOnly = Seq("SPARK_GRAFT_NEARDUP", "SPARK_GRAFT_CURATE_BUDGET")
+    val benchOnly = Seq("SPARK_GRAFT_NEARDUP", "SPARK_GRAFT_CURATE_BUDGET",
+        "SPARK_GRAFT_CURATE_KEEPPPM")
       .filter(sys.env.contains)
     require(benchOnly.isEmpty,
       s"bench-only env knob(s) ${benchOnly.mkString(", ")} set — Verify " +

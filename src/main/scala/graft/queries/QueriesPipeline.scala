@@ -183,8 +183,9 @@ object QueriesPipeline {
     * (the q_corpus_e2e discipline). */
   private[graft] def curateManifest(docs0: DataFrame,
                                     nearDupStrategy: String = "lossless",
-                                    budget: Long = 12000L): DataFrame =
-    curateThrough(docs0, nearDupStrategy, "manifest", budget)
+                                    budget: Long = 12000L,
+                                    keepPpm: Long = 35000000L): DataFrame =
+    curateThrough(docs0, nearDupStrategy, "manifest", budget, keepPpm)
 
   /** [[curateManifest]] cut off after a named stage — the measurement
     * surface CurateDecomp uses to ATTRIBUTE the chain's shuffle volume
@@ -195,14 +196,15 @@ object QueriesPipeline {
     * former curateManifest body — same frames, same checkpoints. */
   private[graft] def curateThrough(docs0: DataFrame, nearDupStrategy: String,
                                    through: String,
-                                   budget: Long = 12000L): DataFrame = {
+                                   budget: Long = 12000L,
+                                   keepPpm: Long = 35000000L): DataFrame = {
     require(Set("pairs", "sel", "spl", "manifest")(through),
       s"unknown stage '$through'")
     import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
     val docs = docs0.select(col("doc_id"), col("text"), col("lang"))
     // 1. LM filter (docs with <2 tokens carry no bigram signal: dropped)
     val lmKeep = LangModel.bigramSurprisal(docs, "doc_id", "text",
-        keepPpm = 35000000L)
+        keepPpm = keepPpm)
       .filter(col("keep")).select("doc_id")
     val kept = docs.join(lmKeep, "doc_id")
     // 2. exact dedup (min-id survivor per fingerprint)
@@ -279,7 +281,20 @@ object QueriesPipeline {
       // the oracle always checks the default 12k lossless chain.
       val budget = sys.env.get("SPARK_GRAFT_CURATE_BUDGET")
         .map(_.toLong).getOrElse(12000L)
-      curateManifest(Tables(s, d).documents, strat, budget).orderBy("doc_id")
+      // SPARK_GRAFT_CURATE_KEEPPPM re-calibrates the stage-1 LM gate
+      // per corpus (bench ladder only, same fail-fast rule): an
+      // ABSOLUTE surprisal threshold is corpus-calibrated by nature —
+      // r13 measured the ScaleGen ×100 perturbation bijections
+      // shifting the per-doc surprisal distribution from median
+      // 29.6M ppm (×1) to 41.7M (×100), so the ×1-calibrated 35M gate
+      // kept ZERO of 500k docs (the real cause of r12's degenerate
+      // ×100 row — the budget was only the visible symptom). The ×1
+      // default is p90 × ~1.17 ("drop the junk tail"); each tier's
+      // knob value applies the same rule to its own measured p90.
+      val keepPpm = sys.env.get("SPARK_GRAFT_CURATE_KEEPPPM")
+        .map(_.toLong).getOrElse(35000000L)
+      curateManifest(Tables(s, d).documents, strat, budget, keepPpm)
+        .orderBy("doc_id")
     }),
 
     "q_ingest_night" -> ((s, d) => {

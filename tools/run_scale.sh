@@ -31,6 +31,15 @@ CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,
 # (it fails fast if the var is set); sf0.1 (x1) stays at the
 # oracle-checked default 12k.
 BUDGET_X10=120000; BUDGET_X32=384000; BUDGET_X100=1200000
+# ...and the stage-1 LM gate threshold needs per-corpus CALIBRATION at
+# x100 (r13 measured the real cause of the degenerate x100 manifest:
+# ScaleGen's perturbation bijections shift the per-doc surprisal
+# distribution — median 29.6M ppm at x1, 30.5M at x10, ~33.3M p90 at
+# x32 where the 35M default still keeps 95%, but 41.7M median /
+# 45.0M p90 at x100 where the x1-calibrated 35M keeps ZERO docs). The
+# x1 default is p90 x ~1.17 ("drop the junk tail"); 52M applies the
+# same rule to x100's measured p90. x10/x32 keep the default.
+KEEPPPM_X100=52000000
 
 gen() { # factor
   if [ ! -d "target/scale/x$1" ]; then
@@ -93,19 +102,23 @@ EOF
 # state stays flat — the r8 testdata regeneration deepened the
 # ancestor-array workload enough that 32 partitions OOM a task at x32
 # (the partitions_matrix below measures that boundary directly).
-# x32 runs the family in the SAME three fresh-JVM chunks as x100:
-# r13 measured the single-JVM 51-query x32 run OOMing a task at the
-# START OF PASS 2 (q_ancestor_arrays, after a clean full first pass) —
-# the accumulated old-gen/codegen pressure class that sent x100 to
-# chunks in r9 reaches x32 once the corpus-scaled curate budget
-# retains its bigger localCheckpoints. Chunks are merged like x100's
-# (a crashed chunk leaves a hole the missing-query gate surfaces —
-# never a set -e abort).
+# x32 runs the family in the SAME fresh-JVM chunks as x100: r13
+# measured the single-JVM 51-query x32 run OOMing a task at the START
+# OF PASS 2 (q_ancestor_arrays, after a clean full first pass) — the
+# accumulated old-gen/codegen pressure class that sent x100 to chunks
+# in r9 reaches x32 once the corpus-scaled curate budget retains its
+# bigger localCheckpoints. FOUR chunks since the r13 x100 run: c4
+# isolates the budget-scaled q_curate_e2e (+ the cheap DAG/projection
+# tail) in its own JVM — sharing it with the stateful stream queries
+# OOM'd q_stream_sessions at x100. Chunks merge hole-tolerantly (a
+# crashed chunk surfaces through the missing-query gate, never a
+# set -e abort).
 CHUNK_C1=$(echo "$CORE" | cut -d, -f1-16)
 CHUNK_C2=$(echo "$CORE" | cut -d, -f17-32)
-CHUNK_C3=$(echo "$CORE" | cut -d, -f33-)
+CHUNK_C3=$(echo "$CORE" | cut -d, -f33-47)
+CHUNK_C4=$(echo "$CORE" | cut -d, -f48-)
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4"; do
   bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
@@ -115,7 +128,7 @@ rm -f target/scale_x32.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3):
+for i in (1, 2, 3, 4):
     try:
         qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -139,17 +152,15 @@ if [ ! -f target/curate_decomp_x32.json ]; then
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32 \
     sbt -batch "runMain graft.CurateDecomp" 2>&1 | grep -E '^\[decomp\]' || true
 fi
-# x100 runs the family in THREE fresh-JVM chunks, merged afterwards:
-# the single-JVM 37-query x100 run accumulates enough heap/codegen
-# pressure by the second pass to wedge (r9 measured: one run parked
-# forever in AQE's stage-event wait with zero CPU, another OOM'd a
-# task) — a fresh JVM per ~12 queries keeps old-gen pressure flat and
-# any failure isolated to its chunk.
+# x100 runs the family in the same FOUR fresh-JVM chunks (r9: a
+# single-JVM x100 run wedges or OOMs by the second pass; r13: even a
+# 19-query chunk OOM'd once the corpus-scaled curate budget shared a
+# JVM with the stateful stream queries — c4 isolates it).
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
-    SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100
+    SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
   i=$((i+1))
 done
 # pruned-strategy x100 row (VERDICT r12 #4: the x32 A/B gets its x100
@@ -157,7 +168,7 @@ done
 bench curate_pruned_x100.json target/scale/x100 \
   SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
-  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
 # rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
 # files carry the reuse/idempotence semantics, and a stale merged file
 # from a prior partial run must never win over freshly re-benched
@@ -168,7 +179,7 @@ rm -f target/scale_x100.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3):
+for i in (1, 2, 3, 4):
     try:
         qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -315,11 +326,35 @@ fi
 # query (spill is sort-buffer/partitions), and the unique-key
 # countDistinct (partial-agg hash state is rows/partitions). peak mem
 # and spill must fall as partitions rise — the deployment knob, shown
-# rather than asserted.
+# rather than asserted. The sweep runs as TWO PAIRS per point merged
+# into one part_p$p.json: the r12 AND r13 campaigns both measured the
+# 4-heavy-query co-resident JVM OOMing at p32/p128 on pass 2 (all four
+# retain array/sort state at once — co-residency pressure, not the
+# knob; the same queries pass inside the mixed 16-query x32 chunks),
+# which left the matrix a single-point p256 row two rounds running.
 for p in 32 128 256; do
-  bench part_p$p.json target/scale/x32 \
-    SPARK_GRAFT_ONLY=q_ancestor_arrays,q_hierarchy,q_observations,q_file_provenance \
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=$p
+  if [ ! -f target/part_p$p.json ]; then
+    bench part_p${p}_a.json target/scale/x32 \
+      SPARK_GRAFT_ONLY=q_ancestor_arrays,q_hierarchy \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=$p
+    bench part_p${p}_b.json target/scale/x32 \
+      SPARK_GRAFT_ONLY=q_observations,q_file_provenance \
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=$p
+  fi
+  if [ ! -f target/part_p$p.json ]; then
+    python3 - <<EOF
+import json
+qs = {}
+for h in ('a', 'b'):
+    try:
+        qs.update(json.load(open(f'target/part_p${p}_{h}.json'))['queries'])
+    except FileNotFoundError:
+        pass
+if qs:
+    json.dump({"queries": qs, "sf": "target/scale/x32"},
+              open('target/part_p${p}.json', 'w'))
+EOF
+  fi
 done
 
 # assemble + gate LAST, then refuse success unless the merged artifact
