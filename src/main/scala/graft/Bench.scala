@@ -50,7 +50,13 @@ class BenchListener extends org.apache.spark.scheduler.SparkListener {
 class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
   val rows, bytes = new AtomicLong
   val outRows = new AtomicLong(-1)
-  def reset(): Unit = { rows.set(0); bytes.set(0); outRows.set(-1) }
+  // capped-bucket drop accounting from the near-dup generators' named
+  // observation (Dedup.NearDupDropObservation, r14): summed across the
+  // executions a query triggers, so the pruned curate rows carry their
+  // recall-loss accounting in bench/scale artifacts like spill does
+  val ndDroppedBuckets, ndDroppedRows, ndLargestBucket = new AtomicLong
+  def reset(): Unit = { rows.set(0); bytes.set(0); outRows.set(-1)
+    ndDroppedBuckets.set(0); ndDroppedRows.set(0); ndLargestBucket.set(0) }
   override def onSuccess(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
                          durationNs: Long): Unit = {
@@ -70,6 +76,15 @@ class BroadcastProbe extends org.apache.spark.sql.util.QueryExecutionListener {
     qe.observedMetrics.get(Bench.SinkObservation).foreach { row =>
       outRows.set(row.getLong(0))
     }
+    // positional access (withDropMetric's aggregate order); null-guard:
+    // the literal max aggregates evaluate to null over an empty result
+    qe.observedMetrics.get(graft.operators.Dedup.NearDupDropObservation)
+      .filter(r => r.length >= 3 && !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+      .foreach { row =>
+        ndDroppedBuckets.addAndGet(row.getLong(0))
+        ndDroppedRows.addAndGet(row.getLong(1))
+        ndLargestBucket.getAndUpdate(cur => math.max(cur, row.getInt(2).toLong))
+      }
   }
   override def onFailure(funcName: String,
                          qe: org.apache.spark.sql.execution.QueryExecution,
@@ -167,7 +182,10 @@ object Bench {
         }
         attemptsByQuery(name) = attemptsByQuery(name) :+ (elapsed, listener.snapshot +
           ("bcast_rows" -> bcast.rows.get, "bcast_bytes" -> bcast.bytes.get,
-            "out_rows" -> bcast.outRows.get))
+            "out_rows" -> bcast.outRows.get,
+            "neardup_dropped_buckets" -> bcast.ndDroppedBuckets.get,
+            "neardup_dropped_rows" -> bcast.ndDroppedRows.get,
+            "neardup_largest_bucket" -> bcast.ndLargestBucket.get))
       }
       System.err.println(s"[bench] --- pass $pass/${if (passMajor) iters else 1} complete ---")
     }

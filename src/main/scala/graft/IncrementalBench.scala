@@ -76,25 +76,58 @@ object IncrementalBench {
       (sec, listener.shuffleWrite.get)
     }
 
+    // the NEAR-dup sibling (r14, VERDICT r13 #1): same fixed batch
+    // triaged against a PREBUILT Dedup.minhashIndex parquet target per
+    // history factor — the O(batch) claim for the banded signature
+    // path. The index build (one-time deployment cost) is excluded
+    // from the timed run, exactly like runIndexed above.
+    def runNearDup(histDir: String, f: Int): (Double, Long) = {
+      val idxPath = s"target/scale/nd_index_x$f.parquet"
+      val idxSuccess = new java.io.File(s"$idxPath/_SUCCESS")
+      val corpusSuccess =
+        new java.io.File(s"$histDir/documents.parquet/_SUCCESS")
+      val stale = !idxSuccess.exists() ||
+        (corpusSuccess.exists() &&
+          corpusSuccess.lastModified() > idxSuccess.lastModified())
+      if (stale) {
+        graft.operators.Dedup.minhashIndex(
+            spark.read.parquet(s"$histDir/documents.parquet")
+              .filter(col("doc_id") % 10 < 7), "doc_id", "text")
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      listener.reset()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.incrementalNearDupIndexed(
+          spark.read.parquet(idxPath), batch, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark.sparkContext, 10000)
+      (sec, listener.shuffleWrite.get)
+    }
+
     val rows = hists.map { case (f, dir) =>
       val histN = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 10 < 7).count()
       val (sec, shw) = Seq(run(dir), run(dir)).minBy(_._1)
       val (isec, ishw) = Seq(runIndexed(dir, f), runIndexed(dir, f)).minBy(_._1)
+      val (nsec, nshw) = Seq(runNearDup(dir, f), runNearDup(dir, f)).minBy(_._1)
       System.err.println(f"[inc] history x$f%-3d ($histN%8d docs) batch=$batchN " +
         f"sec=$sec%6.2f shW=${shw / 1048576.0}%8.2fMB | indexed sec=$isec%6.2f " +
-        f"shW=${ishw / 1048576.0}%8.2fMB")
-      (f, histN, sec, shw, isec, ishw)
+        f"shW=${ishw / 1048576.0}%8.2fMB | neardup sec=$nsec%6.2f " +
+        f"shW=${nshw / 1048576.0}%8.2fMB")
+      (f, histN, sec, shw, isec, ishw, nsec, nshw)
     }
     val t1 = rows.head._3
     val t32 = rows.last._3
     val exponent = math.log(t32 / t1) / math.log(32.0)
     val iexponent = math.log(rows.last._5 / rows.head._5) / math.log(32.0)
+    val nexponent = math.log(rows.last._7 / rows.head._7) / math.log(32.0)
     System.err.println(f"[inc] wall-time exponent vs history growth: $exponent%.3f " +
-      f"rebuild / $iexponent%.3f indexed (0 = O(batch), 1 = O(history))")
-    val per = rows.map { case (f, hn, s, w, is, iw) =>
-      s""""x$f":{"history_docs":$hn,"sec":$s,"shuffle_write":$w,"indexed_sec":$is,"indexed_shuffle_write":$iw}""" }.mkString(",")
-    val json = f"""{"note":"FIXED batch ($batchN docs) vs history x1/x10/x32; min of 2 runs per point; exponent = log(t_x32/t_x1)/log(32) - ~0 is the O(batch) claim, 1 would be re-deduping the corpus per ingest. Shuffle bytes include the history (fp, min-id) index reduction - linear in DISTINCT history content but ~40B/doc, never the text. indexed_* rows are the PERSISTED-INDEX path (Dedup.exactIndex written once as a parquet target, incrementalExactIndexed reading it back): the fingerprint rebuild - the rebuild path's measured residual - is gone, leaving only the narrow index scan.","batch_docs":$batchN,"factors":{$per},"wall_exponent":$exponent%.4f,"indexed_wall_exponent":$iexponent%.4f}"""
+      f"rebuild / $iexponent%.3f indexed / $nexponent%.3f neardup-indexed " +
+      "(0 = O(batch), 1 = O(history))")
+    val per = rows.map { case (f, hn, s, w, is, iw, ns, nw) =>
+      s""""x$f":{"history_docs":$hn,"sec":$s,"shuffle_write":$w,"indexed_sec":$is,"indexed_shuffle_write":$iw,"neardup_indexed_sec":$ns,"neardup_indexed_shuffle_write":$nw}""" }.mkString(",")
+    val json = f"""{"note":"FIXED batch ($batchN docs) vs history x1/x10/x32; min of 2 runs per point; exponent = log(t_x32/t_x1)/log(32) - ~0 is the O(batch) claim, 1 would be re-deduping the corpus per ingest. Shuffle bytes include the history (fp, min-id) index reduction - linear in DISTINCT history content but ~40B/doc, never the text. indexed_* rows are the PERSISTED-INDEX path (Dedup.exactIndex written once as a parquet target, incrementalExactIndexed reading it back): the fingerprint rebuild - the rebuild path's measured residual - is gone, leaving only the narrow index scan. neardup_indexed_* rows are the r14 NEAR-dup sibling (Dedup.minhashIndex parquet target read back by incrementalNearDupIndexed): batch band keys gate the index scan, exact Jaccard re-scores candidates - history text never read, signatures only shuffled where a band bucket matches the batch.","batch_docs":$batchN,"factors":{$per},"wall_exponent":$exponent%.4f,"indexed_wall_exponent":$iexponent%.4f,"neardup_indexed_wall_exponent":$nexponent%.4f}"""
     val p = java.nio.file.Paths.get("target/incremental_hist.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))

@@ -173,7 +173,14 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard
     * over the shingle sets. Returns (id_a, id_b, jaccard) with
-    * id_a < id_b, jaccard >= threshold. */
+    * id_a < id_b, jaccard >= threshold.
+    *
+    * Config change (r13): non-divisible (numHashes, bands) configs now
+    * FAIL the require below where they previously silently floored
+    * rows = numHashes / bands (dropping the trailing hashes from every
+    * band — a quietly different recall curve than the one asked for).
+    * All in-repo callers use 32/8 or 32/16; an external caller relying
+    * on the old flooring must pick a divisible config explicitly. */
   def minHashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
@@ -575,17 +582,14 @@ object Dedup {
     // LSH bucket is a real recall-loss mode (a dense >maxBucket
     // near-dup cluster loses its in-bucket pairs), distinct from the
     // banding probability — the lossless twin THROWS in the analogous
-    // case, so the pruned path must at least be loud.
+    // case, so the pruned path must at least be loud. Since r14 the
+    // numbers ALSO ride the returned frame as the named
+    // NearDupDropObservation (withDropMetric), landing in bench/scale
+    // artifacts next to spill instead of only a stderr line.
     val buckets = bucketLists(banded, Seq("band", "bh"), idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val over = buckets.filter(size(col("ids")) > maxBucket)
-      .agg(count(lit(1)).as("n"), coalesce(max(size(col("ids"))), lit(0)).as("mx"))
-      .collect()(0)
-    if (over.getLong(0) > 0) System.err.println(
-      s"[graft] minhashPrunedJaccard: dropped ${over.getLong(0)} LSH bucket(s) " +
-        s"past maxBucket=$maxBucket (largest ${over.getInt(1)} docs) — " +
-        "their in-bucket candidate pairs are LOST (recall loss beyond the " +
-        "banding probability); raise maxBucket or exact-dedup upstream")
+    val (db, dr, mx) = dropStats(buckets, maxBucket)
+    warnDrops(db, dr, mx, maxBucket, "minhashPrunedJaccard")
     val pairs = pairsFromLists(buckets, maxBucket)
     val pin = nRows > BroadcastSafeCorpusRows
     def reScoreSide(n: String, shName: String, sName: String) = {
@@ -604,7 +608,7 @@ object Dedup {
       .localCheckpoint()
     buckets.unpersist()
     sh.unpersist()
-    result
+    withDropMetric(result, db, dr, mx)
   }
 
   /** Exact dedup with a SURVIVOR POLICY and rewrite map: one row per
@@ -689,4 +693,240 @@ object Dedup {
             struct(col("pos"), col("span"))))), s => s("span")),
           " ").as("clean_text"))
   }
+
+  // ───────────────────────── drop-accounting observation ──────────────
+
+  /** Name of the plan-riding observation under which banded candidate
+    * generators report capped-bucket drops: (dropped_buckets,
+    * dropped_rows, largest_bucket). Bench harvests it per query into
+    * bench/scale artifacts next to spill — the metric survives where a
+    * driver stderr line would not (VERDICT r13 #7). */
+  val NearDupDropObservation = "graft_neardup_drops"
+
+  /** One-row cap-drop accounting over a bucket-lists frame (an `ids`
+    * array column per bucket): (dropped buckets, dropped member rows,
+    * largest bucket). One aggregation over rows the pair generator
+    * reads anyway (callers persist the frame). An in-plan
+    * CollectMetrics on the BUCKET frame was tried first and rejected
+    * measured: the generators materialize through localCheckpoint,
+    * whose action does not deliver observed metrics (probed on Spark
+    * 4.1 — `observed=Map()` on the checkpoint execution), so the
+    * metric would silently never reach a listener. */
+  private def dropStats(lists: DataFrame, maxBucket: Int): (Long, Long, Int) = {
+    val r = lists.agg(
+      count(when(size(col("ids")) > maxBucket, 1)).as("db"),
+      coalesce(sum(when(size(col("ids")) > maxBucket, size(col("ids")))), lit(0L))
+        .as("dr"),
+      coalesce(max(size(col("ids"))), lit(0)).as("mx")).head()
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  /** Ride the already-computed drop stats on the RETURNED frame as a
+    * named observation: it survives every downstream transformation
+    * and fires on the CALLER's terminal action (bench noop sink,
+    * production table write), where QueryExecutionListeners harvest
+    * it into artifacts next to spill (VERDICT r13 #7). Probed
+    * limitation: a FULLY-capped (zero-row) result delivers no
+    * observation row — that case has already printed the loud stderr
+    * warning, and a capped-to-empty near-dup pass is a configuration
+    * error, not a telemetry case. */
+  private def withDropMetric(df: DataFrame, db: Long, dr: Long, mx: Int): DataFrame =
+    df.observe(NearDupDropObservation,
+      max(lit(db)).as("dropped_buckets"),
+      max(lit(dr)).as("dropped_rows"),
+      max(lit(mx)).as("largest_bucket"))
+
+  private def warnDrops(db: Long, dr: Long, mx: Int, maxBucket: Int,
+                        what: String): Unit =
+    if (db > 0) System.err.println(
+      s"[graft] $what: dropped $db bucket(s) past maxBucket=$maxBucket " +
+        s"(largest $mx docs, $dr member rows) — their in-bucket candidate " +
+        "pairs are LOST (recall loss beyond the banding probability); " +
+        "raise maxBucket or exact-dedup upstream")
+
+  // ─────────────────── incremental NEAR-dup (persisted index) ─────────
+
+  /** The PERSISTABLE near-dup signature index — [[exactIndex]]'s
+    * contract extended to near-duplicates (VERDICT r13 next-round #1):
+    * one row per history doc carrying everything a nightly batch needs
+    * to triage against it WITHOUT ever re-reading history text:
+    *
+    *   - `minhash`: the `numHashes`-long MinHash signature (the same
+    *     [[graft.functions.HashFunctions.minhashSig]] expression the
+    *     one-call [[minHashLsh]] rides, so banding is bit-compatible),
+    *   - `sh`:      the doc's distinct shingles as xxhash64 longs (the
+    *     [[verifyJaccard]] payload — 8-byte set elements for the exact
+    *     re-score; collisions shift Jaccard by O(1e-15)),
+    *   - `s`:       the distinct-shingle count.
+    *
+    * Written once as a parquet target ([[Targets]]) and read back by
+    * every subsequent ingest: only these ~(numHashes + s)·8 B/doc
+    * index rows ever move again. Refresh after an ingest with
+    * [[minhashIndexUpdated]]. */
+  def minhashIndex(history: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    signatures(history, idCol, textCol, shingleN, numHashes)
+      .select(col(idCol).cast("long").as("hist_id"), col("minhash"),
+        col("sh"), col("s"))
+
+  /** The shared signature pipeline: (id, minhash, sh, s). */
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__shs"))
+      .select(col(idCol),
+        minhashSig(col("__shs"), numHashes).as("minhash"),
+        array_distinct(transform(col("__shs"), s => xxhash64(s))).as("sh"))
+      .withColumn("s", size(col("sh")))
+
+  /** Post-ingest index refresh: the next night's index from the
+    * current index plus the batch — one narrow scan of each, no
+    * history text (the [[exactIndexUpdated]] discipline). Unlike the
+    * exact index there is no per-key reduction to re-run: near-dup
+    * signatures are per-doc facts, so the refresh is a pure append.
+    * Doc ids must be globally unique across history and batches (the
+    * caller's ingest contract — re-appending a batch would duplicate
+    * its rows). */
+  def minhashIndexUpdated(index: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    index.select(col("hist_id"), col("minhash"), col("sh"), col("s"))
+      .unionByName(minhashIndex(batch, idCol, textCol, shingleN, numHashes))
+
+  /** Incremental NEAR-dup triage of a nightly batch against a
+    * PREBUILT [[minhashIndex]] — the [[incrementalExactIndexed]]
+    * contract extended past exact content equality: without this, a
+    * nightly ingest would re-pair the whole corpus through the curate
+    * chain's generator (quadratic-prone work the index makes
+    * O(batch)). One row per batch doc:
+    *
+    *   - `status`: 'dup_history' (exact-Jaccard ≥ threshold against
+    *     some indexed doc) | 'dup_batch' (no history match, but
+    *     near-dups an earlier doc of THIS batch — its connected
+    *     component's min id is not itself) | 'new';
+    *   - `canonical_id`: the doc downstream references rewrite to —
+    *     the smallest qualifying history id, else the batch
+    *     component's min id, else itself. Status is decided from
+    *     DIRECT evidence per doc (a doc whose only link to history is
+    *     through a batch sibling stays 'dup_batch' with the sibling
+    *     as canonical; the rewrite chain reaches history in one more
+    *     hop) — a deterministic, engine-replayable rule;
+    *   - `batch_component`: the batch-internal near-dup component
+    *     ([[Components.connectedComponents]] min-label; itself when
+    *     unpaired);
+    *   - `n_hist_matches`: qualifying history matches (audit).
+    *
+    * Scale shape (the O(batch) claim, measured by IncrementalBench's
+    * neardup axis):
+    *  - batch signatures: one narrow pass over batch text, persisted
+    *    (feeds banding, both re-score sides, and the verdict spine);
+    *  - history candidates: the index is scanned ONCE, narrowly —
+    *    band keys are derived per index row and semi-joined against
+    *    the batch's band-key set (broadcast below
+    *    [[BroadcastSafeCorpusRows]] batch rows, merge past it), so
+    *    only index rows sharing a band bucket with the batch ever
+    *    reach a shuffle; the surviving bucket lists are capped at
+    *    `maxBucket` with the drop-accounting observation attached;
+    *  - exact re-score touches candidate pairs only; joins back to
+    *    the index and batch signatures are AQE-planned (candidate
+    *    sets are batch-bounded), pinned merge past the same row pin;
+    *  - batch-internal pairs ride the standard [[bandBuckets]] →
+    *    [[pairsFromBuckets]] path at batch size.
+    *
+    * Oracle-parity: at the 32-hash/16-band default and threshold 0.7,
+    * banding recall is effectively exact on the gate corpora (the
+    * q_dedup_minhash_verify configuration — P[miss] = (1−j²)¹⁶ ≤
+    * 1.4e-11 at j ≥ 0.889, the corpora's closest qualifying pairs;
+    * TextDedupSpec's sensitive-jaccard band guards the assumption),
+    * so DuckDB can replay the truth as brute-force exact Jaccard over
+    * history ∪ batch plus the same verdict rules. */
+  def incrementalNearDupIndexed(index: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleN: Int = 3, numHashes: Int = 32,
+                                bands: Int = 16, threshold: Double = 0.7,
+                                maxBucket: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bsig = signatures(batch, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = bsig.count() // materializes the cache, sizes the pins
+    val pinBig = nBatch > BroadcastSafeCorpusRows
+    def pin(df: DataFrame) = if (pinBig) df.hint("merge") else df
+
+    val bBands = bandBuckets(bsig, idCol, numHashes, bands)
+    // history band rows that share a bucket with ANY batch doc: the
+    // batch's distinct band keys gate the index scan — the index side
+    // is never shuffled on its own account (left_semi against a
+    // broadcast batch-key set at nightly batch sizes; a corpus-sized
+    // "batch" flips the gate join to merge by the same pin)
+    val bKeys = bBands.select(col("band"), col("bh")).distinct()
+    val iBands = bandBuckets(
+      index.select(col("hist_id").as("__hid"), col("minhash")),
+      "__hid", numHashes, bands)
+    val hHit = iBands.join(
+      if (pinBig) bKeys.hint("merge") else broadcast(bKeys),
+      Seq("band", "bh"), "left_semi")
+    // surviving history bucket lists, capped + drop-accounted (the
+    // minhashPrunedJaccard discipline — an over-cap bucket here is a
+    // spam cluster whose history matches would be lost; the numbers
+    // ride the returned frame as the named observation)
+    val hBuckets = hHit.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_set(col("__hid"))).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (db, dr, mx) = dropStats(hBuckets, maxBucket)
+    warnDrops(db, dr, mx, maxBucket, "incrementalNearDupIndexed")
+    val cand = bBands.join(pin(hBuckets.filter(size(col("ids")) <= maxBucket)),
+        Seq("band", "bh"))
+      .select(col(idCol), explode(col("ids")).as("__hid"))
+      .dropDuplicates(idCol, "__hid")
+    val rescored = cand
+      .join(pin(index.select(col("hist_id").as("__hid"), col("sh").as("sh_h"))),
+        "__hid")
+      .join(pin(bsig.select(col(idCol), col("sh").as("sh_b"))), idCol)
+      .filter(jaccard(col("sh_b"), col("sh_h")) >= threshold)
+    val histVerdict = rescored.groupBy(col(idCol))
+      .agg(min(col("__hid")).as("__hist_match"),
+        count(lit(1)).as("__n_hist"))
+
+    // batch-internal near-dup components (batch-sized work)
+    val bPairs = pairsFromBuckets(bBands, Seq("band", "bh"), idCol, maxBucket)
+    val bEdges = bPairs
+      .join(bsig.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(bsig.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = Components.connectedComponents(bEdges)
+      .withColumnRenamed("node", idCol)
+
+    val result = bsig.select(col(idCol))
+      .join(histVerdict, Seq(idCol), "left")
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__hist_match").isNotNull, lit("dup_history"))
+          .when(col("component").isNotNull && col("component") =!= col(idCol),
+            lit("dup_batch"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__hist_match"),
+          when(col("component") =!= col(idCol), col("component")),
+          col(idCol)).as("canonical_id"),
+        coalesce(col("component"), col(idCol)).as("batch_component"),
+        coalesce(col("__n_hist"), lit(0L)).as("n_hist_matches"))
+      .localCheckpoint()
+    hBuckets.unpersist()
+    bsig.unpersist()
+    withDropMetric(result, db, dr, mx)
+  }
+
+  /** [[incrementalNearDupIndexed]] with the index derived inline from
+    * history text (verdicts identical by construction — spec-proven
+    * against the parquet round trip). The deployment path builds the
+    * index ONCE as a parquet target and calls the indexed form. */
+  def incrementalNearDup(history: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 16, threshold: Double = 0.7,
+                         maxBucket: Int = 100000): DataFrame =
+    incrementalNearDupIndexed(
+      minhashIndex(history, idCol, textCol, shingleN, numHashes),
+      batch, idCol, textCol, shingleN, numHashes, bands, threshold, maxBucket)
 }

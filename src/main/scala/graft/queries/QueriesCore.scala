@@ -340,12 +340,17 @@ object QueriesCore {
       // HLL sketch, DRIVER-CERTIFIED (VERDICT r12 #5): the sketch
       // estimate itself is not SQL-reproducible, but its ERROR BOUND
       // is — the same aggregation computes the exact distinct count
-      // and emits a within_bounds boolean (|est − exact| ≤ 3·rsd·exact,
-      // floor 1); the oracle computes the identical exact counts and
-      // emits literal TRUE, so the hash match certifies the bound: an
-      // out-of-bound sketch flips the boolean and FAILS the compare.
-      // The exact twin exists for certification only — production runs
-      // the sketch alone (that is its whole point at 100 TB).
+      // and emits a within_bounds boolean (|est − exact| ≤ 4·rsd·exact,
+      // floor 1; 4σ not 3σ per ADVICE r13 — a fresh corpus rolls the
+      // bound once per group, and 4σ drops the spurious-failure odds
+      // from ~0.3% to ~6e-5 per group while still certifying a real
+      // accuracy contract); the oracle computes the identical exact
+      // counts and emits literal TRUE, so the hash match certifies the
+      // bound: an out-of-bound sketch flips the boolean and FAILS the
+      // compare. The exact twin exists for certification only — the
+      // production sketch-alone plan is q_approx_distinct_sketch
+      // (benched and scale-laddered; its absence from the certified
+      // plan's timing is the documented certification cost).
       Tables(s, d).events
         .groupBy("event_type")
         .agg(
@@ -355,9 +360,27 @@ object QueriesCore {
           approx_count_distinct(col("value"), 0.01).as("__av"))
         .select(col("event_type"), col("exact_users"), col("exact_values"),
           (abs(col("__au") - col("exact_users")).cast("double") <=
-            greatest(lit(1.0), col("exact_users") * 0.15)).as("users_within_bounds"),
+            greatest(lit(1.0), col("exact_users") * 0.20)).as("users_within_bounds"),
           (abs(col("__av") - col("exact_values")).cast("double") <=
-            greatest(lit(1.0), col("exact_values") * 0.03)).as("values_within_bounds"))
+            greatest(lit(1.0), col("exact_values") * 0.04)).as("values_within_bounds"))
+        .orderBy("event_type")
+    }),
+
+    "q_approx_distinct_sketch" -> ((s, d) => {
+      // the PRODUCTION plan of q_approx_distinct — sketch alone, no
+      // exact certification twin (r14, VERDICT r13 #5 / ADVICE r13):
+      // the twin's countDistinct is the very full-shuffle the HLL
+      // sketch exists to avoid at 100 TB, so the bench/scale story
+      // needs this plan measured, not argued. Rows-only by design
+      // (estimates are engine-specific — the ACCURACY contract is
+      // what the certified sibling hash-checks); spec-backed by
+      // CertifiedSketchSpec (estimates within the certified bounds of
+      // the exacts, schema and group coverage identical to the twin).
+      Tables(s, d).events
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("value"), 0.01).as("approx_values"))
         .orderBy("event_type")
     }),
 

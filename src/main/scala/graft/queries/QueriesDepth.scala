@@ -332,23 +332,61 @@ object QueriesDepth {
       // rank values (100× headroom). The emitted boolean rides the
       // hash compare; the oracle computes the identical exact
       // percentiles and literal TRUE.
-      // all six exact ranks come out of ONE percentile aggregate (the
-      // array form — a single sorted buffer per group); six separate
+      // SMALL-GROUP GUARD (r14, ADVICE r13): percentile_approx returns
+      // a nearest-rank ELEMENT, and below n ≈ 200 a ±0.01 interpolated
+      // rank window spans < 2 elements — the element the sketch
+      // legitimately returns can fall outside it (n=10: approx p50 =
+      // the 5th element < quantile_cont(0.49)). Groups under 200 rows
+      // therefore certify the weaker-but-always-sound element-range
+      // bound [min, max]; the tight ±0.01 window resumes where it is
+      // sound (0.01·n ≥ 2 ranks ≥ nearest-rank deviation + 1e-4·n
+      // sketch error). Current corpora never hit the fallback
+      // (l_returnflag groups are thousands of rows), so hashes are
+      // unchanged — the guard exists so a tiny fixture fails honestly
+      // never spuriously.
+      // all exact ranks come out of ONE percentile aggregate (the
+      // array form — a single sorted buffer per group); separate
       // percentile() calls each buffer the whole column and measured
       // 8.2 s vs ~1 s on this suite
       val v = col("l_extendedprice").cast("double")
       val pe = col("__pe")
+      val n = col("__n")
+      def band(lo: Int, hi: Int) = (
+        when(n >= 200, element_at(pe, lo)).otherwise(element_at(pe, 1)),
+        when(n >= 200, element_at(pe, hi)).otherwise(element_at(pe, 8)))
+      val (lo50, hi50) = band(2, 4)
+      val (lo95, hi95) = band(5, 7)
       Tables(s, d).lineitem
         .groupBy("l_returnflag")
         .agg(
+          count(v).as("__n"),
           percentile_approx(v, lit(0.5), lit(10000)).as("__p50a"),
           percentile_approx(v, lit(0.95), lit(10000)).as("__p95a"),
-          percentile(v, typedlit(Seq(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))).as("__pe"))
+          percentile(v, typedlit(Seq(0.0, 0.49, 0.5, 0.51, 0.94, 0.95, 0.96, 1.0))).as("__pe"))
         .select(col("l_returnflag"),
-          round(element_at(pe, 2), 6).as("p50_exact"),
-          round(element_at(pe, 5), 6).as("p95_exact"),
-          col("__p50a").between(element_at(pe, 1), element_at(pe, 3)).as("p50_within_bounds"),
-          col("__p95a").between(element_at(pe, 4), element_at(pe, 6)).as("p95_within_bounds"))
+          round(element_at(pe, 3), 6).as("p50_exact"),
+          round(element_at(pe, 6), 6).as("p95_exact"),
+          col("__p50a").between(lo50, hi50).as("p50_within_bounds"),
+          col("__p95a").between(lo95, hi95).as("p95_within_bounds"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_approx_percentile_sketch" -> ((s, d) => {
+      // the PRODUCTION plan of q_approx_percentile — the GK-style
+      // sketch alone (r14, VERDICT r13 #5): the certified sibling's
+      // exact percentile() twin buffers and sorts every group's
+      // column — per-group parallelism is bounded by the key count,
+      // exactly the cost profile the single-pass bounded-memory
+      // sketch exists to avoid at 100 TB. Rows-only by design (the
+      // estimate is partition-order dependent; the accuracy contract
+      // is what the certified sibling hash-checks); spec-backed by
+      // CertifiedSketchSpec.
+      val v = col("l_extendedprice").cast("double")
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(v, lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(v, lit(0.95), lit(10000)).as("p95_approx"))
         .orderBy("l_returnflag")
     }),
 

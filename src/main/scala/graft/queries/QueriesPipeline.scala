@@ -158,13 +158,14 @@ object QueriesPipeline {
     *      "pruned" — [[Dedup.minhashPrunedJaccard]], LSH-banded
     *      candidates exactly re-scored; both → [[Components]]
     *      min-label → keep each component's representative). The
-    *      default stays LOSSLESS on purpose: the whole chain is
-    *      hash-verifiable against one chained DuckDB oracle. "pruned"
-    *      is the 100 TB configuration — fixed-width signature shuffle
-    *      instead of corpus-text prefix shuffle; CurateStrategySpec
-    *      asserts both strategies produce the IDENTICAL manifest on
-    *      the test corpus, and the ×32 A/B row in SCALE_r{N} measures
-    *      the shuffle reduction.
+    *      default is "auto" since r14: the measured post-exact-dedup
+    *      doc count picks lossless below [[AutoPrunedMinDocs]] (the
+    *      whole chain stays hash-verifiable against one chained
+    *      DuckDB oracle at that scale) and pruned past it — the
+    *      100 TB configuration the ×32/×100 A/B measured (fixed-width
+    *      signature shuffle instead of corpus-text prefix shuffle;
+    *      identical manifest per CurateStrategySpec, which also pins
+    *      both sides of the auto rule).
     *   4. DSIR scoring       ([[LangModel.dsirWeight]], target = en)
     *   5. token-budget cut   ([[Select.tokenBudget]], best docs by
     *      mean lift until 12k tokens, auditable running total)
@@ -182,10 +183,35 @@ object QueriesPipeline {
     * production pipeline would materialize an intermediate table
     * (the q_corpus_e2e discipline). */
   private[graft] def curateManifest(docs0: DataFrame,
-                                    nearDupStrategy: String = "lossless",
+                                    nearDupStrategy: String = "auto",
                                     budget: Long = 12000L,
                                     keepPpm: Long = 35000000L): DataFrame =
     curateThrough(docs0, nearDupStrategy, "manifest", budget, keepPpm)
+
+  /** Measured crossover for the AUTO near-dup strategy (r14, VERDICT
+    * r13 #3): below this many post-exact-dedup docs the lossless
+    * prefix filter wins (its bucket shuffle is small and the chain
+    * stays verifiable end-to-end against one oracle); above it the
+    * minhash-pruned generator wins — the ×32/×100 A/B measured the
+    * prefix-shingle shuffle at 24.9 GB with 80.7 GB spill vs the
+    * banded signature path's 2.2 GB / 0 spill for an IDENTICAL
+    * manifest (SCALE_r13 curate_neardup_strategy_ab). The corpora pin
+    * the crossover loosely — lossless was still fine at ×10 (~50k
+    * docs) and clearly losing at ×32 (~160k) — so the threshold sits
+    * between, and deliberately ABOVE [[Dedup.BroadcastSafeCorpusRows]]
+    * (the two knobs gate different costs: join build sides vs pair-
+    * generation shuffle). Env SPARK_GRAFT_NEARDUP still overrides
+    * both ways; Verify fails fast if it is set. */
+  val AutoPrunedMinDocs: Long = 100000L
+
+  /** The pure auto rule, exposed for CurateStrategySpec to pin both
+    * sides of the threshold without benching a 100k-doc corpus. */
+  private[graft] def resolveNearDupStrategy(strategy: String, canonDocs: => Long,
+                                            autoMinDocs: Long = AutoPrunedMinDocs): String =
+    strategy match {
+      case "auto" => if (canonDocs > autoMinDocs) "pruned" else "lossless"
+      case s => s
+    }
 
   /** [[curateManifest]] cut off after a named stage — the measurement
     * surface CurateDecomp uses to ATTRIBUTE the chain's shuffle volume
@@ -213,14 +239,19 @@ object QueriesPipeline {
       .localCheckpoint(eager = false) // feeds pair-gen AND the reps filter
     // 3. near-dup components over the J>=0.5 pair set — strategy
     // selects the pair GENERATOR only; both emit the same schema and
-    // bit-exact jaccard, so everything downstream is shared
-    val pairs = nearDupStrategy match {
+    // bit-exact jaccard, so everything downstream is shared. "auto"
+    // (the default since r14) picks by MEASURED post-exact-dedup
+    // corpus size: the count() both resolves the strategy and
+    // materializes the canon checkpoint its consumers reuse — at
+    // verify/oracle scale auto always lands on lossless, so the
+    // chained DuckDB oracle keeps checking the default chain.
+    val pairs = resolveNearDupStrategy(nearDupStrategy, canon.count()) match {
       case "lossless" => Dedup.prefixFilterJaccard(canon, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
       case "pruned" => Dedup.minhashPrunedJaccard(canon, "doc_id", "text",
         shingleN = 3, threshold = 0.5, numHashes = 32, bands = 16)
       case other => throw new IllegalArgumentException(
-        s"nearDupStrategy must be 'lossless' or 'pruned', got '$other'")
+        s"nearDupStrategy must be 'auto', 'lossless' or 'pruned', got '$other'")
     }
     if (through == "pairs") return pairs
     val comp = Components.connectedComponents(pairs)
@@ -266,13 +297,16 @@ object QueriesPipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_curate_e2e" -> ((s, d) => {
-      // SPARK_GRAFT_NEARDUP selects the near-dup pair generator for
-      // the SCALE A/B only (bench sets "pruned" for the ×32/×100
-      // rows); Verify FAILS FAST if it is set (enforced, not a
-      // convention), so the oracle always checks the default lossless
-      // chain — and CurateStrategySpec proves the two strategies
-      // produce the identical manifest anyway
-      val strat = sys.env.getOrElse("SPARK_GRAFT_NEARDUP", "lossless")
+      // SPARK_GRAFT_NEARDUP pins the near-dup pair generator for the
+      // SCALE A/B rows (lossless/pruned controls); Verify FAILS FAST
+      // if it is set (enforced, not a convention). The default is
+      // "auto" since r14: the measured-size rule picks lossless at
+      // verify/oracle scale (so the chained DuckDB oracle still
+      // checks the lossless chain) and pruned past
+      // AutoPrunedMinDocs — the ×32/×100 crossover the r13 A/B
+      // measured; CurateStrategySpec proves the strategies produce
+      // the identical manifest and pins both sides of the rule
+      val strat = sys.env.getOrElse("SPARK_GRAFT_NEARDUP", "auto")
       // SPARK_GRAFT_CURATE_BUDGET scales the stage-5 token budget with
       // the corpus in the SCALE ladder only (a fixed 12k budget empties
       // the manifest past ~×32, so the ×100 tier would exercise stages
@@ -335,6 +369,46 @@ object QueriesPipeline {
           (sp, up) => Dedup.exactIndexUpdated(up("dedup_index"),
             batch(sp), "doc_id", "text"))))
       Targets.read(s, root, "ingest_verdicts").orderBy("doc_id")
+    }),
+
+    "q_ingest_neardup" -> ((s, d) => {
+      // q_ingest_night's persisted-index contract extended to
+      // NEAR-dups (VERDICT r13 next-round #1): the history minhash
+      // signature index (Dedup.minhashIndex — MinHash sig + hashed
+      // shingle sets, ~(32+s)·8 B/doc, never the text) is built ONCE
+      // as a parquet target; the nightly verdict stage READS IT BACK
+      // and triages the batch in O(batch) — band keys gate the index
+      // scan, exact Jaccard re-scores the candidates, batch-internal
+      // components resolve dup_batch; a third stage appends the
+      // batch's signatures for the next night. What this query pins:
+      // the index's parquet ROUND TRIP feeding verdicts that
+      // hash-match a DuckDB oracle brute-forcing exact Jaccard over
+      // history ∪ batch (banding recall is effectively exact at the
+      // 32/16 @ 0.7 config — the q_dedup_minhash_verify argument,
+      // TextDedupSpec-guarded). Same application-id-suffixed DAG-root
+      // discipline as q_ingest_night.
+      import graft.operators.Targets
+      import graft.operators.Targets.Stage
+      val root = sys.props("java.io.tmpdir") +
+        "/graft_ingest_nd_dag_" + new java.io.File(d).getName +
+        "_" + s.sparkContext.applicationId
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val history = (sp: SparkSession) =>
+        Tables(sp, d).documents.filter(col("doc_id") % 10 < 7)
+      val batch = (sp: SparkSession) =>
+        Tables(sp, d).documents.filter(col("doc_id") % 10 >= 7)
+      Targets.run(s, root, Seq(
+        Stage("neardup_index", Nil,
+          (sp, _) => Dedup.minhashIndex(history(sp), "doc_id", "text")),
+        Stage("neardup_verdicts", Seq("neardup_index"),
+          (sp, up) => Dedup.incrementalNearDupIndexed(up("neardup_index"),
+            batch(sp), "doc_id", "text")),
+        Stage("neardup_index_next", Seq("neardup_index"),
+          (sp, up) => Dedup.minhashIndexUpdated(up("neardup_index"),
+            batch(sp), "doc_id", "text"))))
+      Targets.read(s, root, "neardup_verdicts").orderBy("doc_id")
     }),
 
     "q_pipeline_e2e" -> ((s, d) => {
@@ -614,6 +688,49 @@ object QueriesPipeline {
          |      ELSE 'new' END AS status,
          | coalesce(h.hist_id, bm.batch_min) AS canonical_id
          |FROM b JOIN bm USING (fp) LEFT JOIN h USING (fp)
+         |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // brute-force truth for the indexed near-dup triage: 3-gram
+    // shingle sets (the q_curate_e2e cs CTE), exact Jaccard >= 0.7
+    // batch-vs-history (min qualifying hist id + match count) and
+    // batch-vs-batch (recursive min-label components), then the same
+    // direct-evidence verdict rules the operator states. Banding
+    // recall at 32/16 is effectively exact on this corpus (see the
+    // query's scaladoc), so the pruned candidate path must land on
+    // this full truth bit-for-bit.
+    "q_ingest_neardup" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      s"""WITH RECURSIVE
+         |cs AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+         |  THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(len(tk)-2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+         | FROM (SELECT doc_id, string_split($norm, ' ') AS tk FROM documents)),
+         |h AS (SELECT * FROM cs WHERE doc_id % 10 < 7),
+         |b AS (SELECT * FROM cs WHERE doc_id % 10 >= 7),
+         |hm AS (SELECT b.doc_id, min(h.doc_id) AS hist_match, count(*) AS n_hist
+         | FROM b, h
+         | WHERE len(list_intersect(b.sh, h.sh))::DOUBLE / len(list_distinct(b.sh || h.sh)) >= 0.7
+         | GROUP BY 1),
+         |bp AS (SELECT a.doc_id AS ia, b2.doc_id AS ib FROM b a, b b2
+         | WHERE a.doc_id < b2.doc_id
+         | AND len(list_intersect(a.sh, b2.sh))::DOUBLE / len(list_distinct(a.sh || b2.sh)) >= 0.7),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT ia AS node FROM bp UNION ALL SELECT ib FROM bp)),
+         |sym AS (SELECT ia AS src, ib AS dst FROM bp UNION ALL SELECT ib, ia FROM bp),
+         |reach AS (SELECT node, node AS lbl FROM nodes
+         | UNION SELECT s2.dst, r.lbl FROM reach r JOIN sym s2 ON s2.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1)
+         |SELECT b.doc_id,
+         | CASE WHEN hm.hist_match IS NOT NULL THEN 'dup_history'
+         |      WHEN c.component IS NOT NULL AND c.component <> b.doc_id THEN 'dup_batch'
+         |      ELSE 'new' END AS status,
+         | coalesce(hm.hist_match,
+         |   CASE WHEN c.component <> b.doc_id THEN c.component END,
+         |   b.doc_id) AS canonical_id,
+         | coalesce(c.component, b.doc_id) AS batch_component,
+         | cast(coalesce(hm.n_hist, 0) as bigint) AS n_hist_matches
+         |FROM b LEFT JOIN hm ON hm.doc_id = b.doc_id
+         |LEFT JOIN comp c ON c.node = b.doc_id
          |ORDER BY b.doc_id""".stripMargin
     },
 

@@ -112,11 +112,17 @@ object QueriesStats {
       // rollup without re-touching raw data. DRIVER-CERTIFIED
       // (VERDICT r12 #5): estimates have no DuckDB-reproducible form,
       // but the error bound does — each row emits within_bounds
-      // (|est − exact| ≤ 3·rsd·exact, rsd ≈ 1.04/√2¹² ≈ 1.6% at the
-      // default lgConfigK=12, so 5%; floor 1) next to the exact count;
-      // the oracle emits the same exacts and literal TRUE, so the hash
-      // match certifies the sketch AND the union (the rollup row's
-      // bound is checked against the true global distinct).
+      // (|est − exact| ≤ 4·rsd·exact, rsd ≈ 1.04/√2¹² ≈ 1.6% at the
+      // default lgConfigK=12, so 6.5%; floor 1) next to the exact
+      // count; the oracle emits the same exacts and literal TRUE, so
+      // the hash match certifies the sketch AND the union (the rollup
+      // row's bound is checked against the true global distinct).
+      // 4σ, not 3σ (ADVICE r13): the estimate is deterministic per
+      // corpus so a green gate stays green, but every NEWLY generated
+      // corpus/tier rolls the bound once per group — at 3σ that is
+      // ~0.3% per-group odds of a legitimate estimate spuriously
+      // failing Verify; 4σ puts it at ~6e-5 while still certifying a
+      // real accuracy contract.
       val ev = Tables(s, d).events
       val per = ev.groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
@@ -130,7 +136,27 @@ object QueriesStats {
         .unionByName(tot)
         .select(col("event_type"), col("exact_users"),
           (abs(col("__est") - col("exact_users")).cast("double") <=
-            greatest(lit(1.0), col("exact_users") * 0.05)).as("within_bounds"))
+            greatest(lit(1.0), col("exact_users") * 0.065)).as("within_bounds"))
+        .orderBy("event_type")
+    }),
+
+    "q_hll_union_sketch" -> ((s, d) => {
+      // the PRODUCTION plan of q_hll_union — per-type sketches and
+      // the sketch-UNION rollup with NO exact countDistinct twins
+      // (r14, VERDICT r13 #5): at 100 TB the mergeable sketches are
+      // the whole point (per-day/per-partition sketches roll up
+      // without re-touching raw data), and the certified sibling's
+      // exact twins re-shuffle the raw keys. Rows-only by design;
+      // spec-backed by CertifiedSketchSpec (union dominance + bound
+      // vs the exacts re-derived independently).
+      val ev = Tables(s, d).events
+      val per = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      per.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("approx_users"))
+        .unionByName(per.agg(hll_union_agg(col("sk")).as("sk"))
+          .select(lit("__total__").as("event_type"),
+            hll_sketch_estimate(col("sk")).as("approx_users")))
         .orderBy("event_type")
     }),
 

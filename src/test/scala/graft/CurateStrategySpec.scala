@@ -46,6 +46,33 @@ class CurateStrategySpec extends AnyFunSuite {
       s"manifests differ: lossless=${lossless.length} rows, pruned=${pruned.length}")
   }
 
+  test("auto strategy: both sides of the measured threshold (r14)") {
+    // the pure rule, pinned at and around the boundary
+    assert(QueriesPipeline.resolveNearDupStrategy("auto",
+      QueriesPipeline.AutoPrunedMinDocs) == "lossless")
+    assert(QueriesPipeline.resolveNearDupStrategy("auto",
+      QueriesPipeline.AutoPrunedMinDocs + 1) == "pruned")
+    // a custom threshold exercises the pruned side without a 100k corpus
+    assert(QueriesPipeline.resolveNearDupStrategy("auto", 10L, autoMinDocs = 1L)
+      == "pruned")
+    // explicit strategies pass through untouched regardless of size
+    assert(QueriesPipeline.resolveNearDupStrategy("lossless", 1000000L) == "lossless")
+    assert(QueriesPipeline.resolveNearDupStrategy("pruned", 1L) == "pruned")
+    // the lazy count is NOT evaluated for explicit strategies (the
+    // auto rule must not charge a count() to callers who chose)
+    var counted = false
+    QueriesPipeline.resolveNearDupStrategy("lossless", { counted = true; 0L })
+    assert(!counted)
+  }
+
+  test("auto strategy end-to-end equals the lossless manifest at test scale") {
+    val auto = QueriesPipeline.curateManifest(docs, "auto")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val lossless = QueriesPipeline.curateManifest(docs, "lossless")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(auto.nonEmpty && auto == lossless)
+  }
+
   test("unknown strategy is refused loudly") {
     val e = intercept[IllegalArgumentException] {
       QueriesPipeline.curateManifest(docs, "typo")

@@ -48,6 +48,54 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(updated == rebuilt)
   }
 
+  test("NEAR-dup verdicts via a parquet round-tripped minhash index " +
+    "match the one-call operator") {
+    val path = tmp("graft_nd_index")
+    Dedup.minhashIndex(hist, "doc_id", "text").write.mode("overwrite").parquet(path)
+    val indexed = Dedup.incrementalNearDupIndexed(spark.read.parquet(path),
+        batch, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val direct = Dedup.incrementalNearDup(hist, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(indexed.nonEmpty)
+    assert(indexed == direct)
+  }
+
+  test("minhashIndexUpdated equals the index rebuilt from history plus batch") {
+    val updated = Dedup.minhashIndexUpdated(
+        Dedup.minhashIndex(hist, "doc_id", "text"), batch, "doc_id", "text")
+      .orderBy("hist_id").collect().toSeq
+    val rebuilt = Dedup.minhashIndex(hist.unionByName(batch), "doc_id", "text")
+      .orderBy("hist_id").collect().toSeq
+    assert(updated.nonEmpty)
+    assert(updated == rebuilt)
+  }
+
+  test("near-dup triage verdicts on a hand-built fixture") {
+    // h10/h20 history; b17 ≈ h10 (one token changed in a long doc →
+    // J >= 0.7), b27 ≈ b37 (batch-internal twins, far from history),
+    // b47 unrelated. Statuses and canonicals follow the operator's
+    // direct-evidence rules.
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val hd = Seq((10L, base), (20L, (1 to 40).map(i => s"zzz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bd = Seq(
+      (17L, base.replace("tok5", "changed")),
+      (27L, (1 to 40).map(i => s"qqq$i").mkString(" ")),
+      (37L, (1 to 40).map(i => s"qqq$i").mkString(" ")),
+      (47L, (1 to 40).map(i => s"unrelated$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(hd, bd, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "status", "canonical_id", "batch_component", "n_hist_matches")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (17L, "dup_history", 10L, 17L, 1L),
+      (27L, "new", 27L, 27L, 0L),
+      (37L, "dup_batch", 27L, 27L, 0L),
+      (47L, "new", 47L, 47L, 0L)))
+  }
+
   test("ANN assignment via a parquet round-tripped index matches assignIncremental") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pred = col("vec_id") % 10 < 7

@@ -215,6 +215,24 @@ class StatsSpec extends AnyFunSuite {
     assert(te == exactTotal && tw)
     // the union row covers every per-type population
     assert(te >= exact.values.max)
+    // union-dominance of the SKETCH estimates themselves (ADVICE r13:
+    // the query stopped emitting the estimate, so the property must be
+    // asserted on hll_sketch_estimate directly): the union sketch's
+    // estimate must dominate every per-type sketch's estimate — HLL
+    // union takes the register-wise max, so each register of the union
+    // is >= the corresponding register of every input and the harmonic
+    // estimator is monotone in the registers
+    val perSketch = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Long)].collect().toMap
+    val unionEst = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .as[Long].head()
+    assert(perSketch.nonEmpty)
+    perSketch.foreach { case (t, e) =>
+      assert(unionEst >= e, s"union estimate $unionEst < per-type $t estimate $e")
+    }
   }
 
   test("degenerate groups surface null, never NaN/Inf") {

@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch
 
 # q_curate_e2e's stage-5 token budget scales with the corpus factor
 # (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
@@ -113,12 +113,16 @@ EOF
 # OOM'd q_stream_sessions at x100. Chunks merge hole-tolerantly (a
 # crashed chunk surfaces through the missing-query gate, never a
 # set -e abort).
+# r14: a FIFTH chunk carries the ingest-neardup ladder row and the
+# certified-vs-sketch-alone trio (VERDICT r13 #1/#5) so they never
+# share a JVM with the budget-scaled curate flagship
 CHUNK_C1=$(echo "$CORE" | cut -d, -f1-16)
 CHUNK_C2=$(echo "$CORE" | cut -d, -f17-32)
 CHUNK_C3=$(echo "$CORE" | cut -d, -f33-47)
-CHUNK_C4=$(echo "$CORE" | cut -d, -f48-)
+CHUNK_C4=$(echo "$CORE" | cut -d, -f48-51)
+CHUNK_C5=$(echo "$CORE" | cut -d, -f52-)
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5"; do
   bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
@@ -128,7 +132,7 @@ rm -f target/scale_x32.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4):
+for i in (1, 2, 3, 4, 5):
     try:
         qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -137,11 +141,17 @@ if qs:
     json.dump({"queries": qs, "sf": "target/scale/x32"},
               open('target/scale_x32.json', 'w'))
 EOF
-# near-dup strategy A/B at x32 (VERDICT r11 #3): q_curate_e2e rerun with
-# the minhash-pruned pair generator (output proven identical by
-# CurateStrategySpec); control row is scale_x32.json's q_curate_e2e
+# near-dup strategy A/B at x32 (VERDICT r11 #3; r14 adds the AUTO
+# default): scale_x32.json's q_curate_e2e row now runs the "auto"
+# strategy (160k docs > AutoPrunedMinDocs -> the rule must pick
+# pruned); these two pinned rows are the explicit controls either side
+# of it (output proven identical by CurateStrategySpec)
 bench curate_pruned_x32.json target/scale/x32 \
   SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
+bench curate_lossless_x32.json target/scale/x32 \
+  SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=lossless \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
   SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
 # per-stage shuffle attribution for the crossover note (VERDICT r11 #2);
@@ -157,16 +167,21 @@ fi
 # 19-query chunk OOM'd once the corpus-scaled curate budget shared a
 # JVM with the stateful stream queries — c4 isolates it).
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
   i=$((i+1))
 done
 # pruned-strategy x100 row (VERDICT r12 #4: the x32 A/B gets its x100
-# sibling, both strategies non-degenerate under the scaled budget)
+# sibling, both strategies non-degenerate under the scaled budget);
+# r14 adds the lossless control since the main row now runs "auto"
 bench curate_pruned_x100.json target/scale/x100 \
   SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=pruned \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
+bench curate_lossless_x100.json target/scale/x100 \
+  SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=lossless \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
   SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
 # rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
@@ -179,7 +194,7 @@ rm -f target/scale_x100.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4):
+for i in (1, 2, 3, 4, 5):
     try:
         qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
     except FileNotFoundError:

@@ -167,8 +167,12 @@ NOTES = {
         "Swapping the generator to nearDupStrategy=pruned (minhash "
         "banding, identical output per CurateStrategySpec) cuts the "
         "chain's shuffle 15x (5758 -> 381 MB) and wall 88 -> 71 s at "
-        "x32 — the measured 100 TB configuration; the x100 row confirms "
-        "the post-flip slope."),
+        "x32 — the measured 100 TB configuration. Since r14 the "
+        "UN-PINNED rows run nearDupStrategy=auto, which picks pruned "
+        "past AutoPrunedMinDocs (100k docs) — so the x32/x100 entries "
+        "in the queries dict are the PRUNED profile by rule, with the "
+        "explicit lossless/pruned controls and the auto adjudication "
+        "in curate_neardup_strategy_ab."),
     "q_ingest_night": (
         "the nightly-ingest DAG (persisted fingerprint index -> verdicts "
         "-> refreshed index) WRITES its three stages as parquet targets — "
@@ -177,6 +181,44 @@ NOTES = {
         "sublinear in wall (x10 at 0.22-of-linear). The history axis "
         "(incremental_dedup_history_axis) is the operator's real "
         "measurement: fixed batch, indexed wall exponent ~0."),
+    "q_approx_distinct": (
+        "the CERTIFIED plan: next to the HLL sketches it carries exact "
+        "countDistinct twins whose distinct-key partial-agg hash state "
+        "scales with the corpus (the q_file_provenance model — value is "
+        "near-unique per row), plus the in-plan bound compare. That exact "
+        "twin is the very cost the sketch exists to avoid at 100 TB; it "
+        "rides the benched plan for certification only (the driver hash "
+        "gate needs it). The PRODUCTION path is q_approx_distinct_sketch "
+        "in this same artifact — sketch-only, gate-covered with no note; "
+        "the delta between the two rows IS the measured certification "
+        "cost (VERDICT r13 #5)."),
+    "q_approx_percentile": (
+        "the CERTIFIED plan: the exact percentile() twin buffers and "
+        "sorts every group's values, and lineitem has only THREE "
+        "l_returnflag keys — parallelism is bounded by 3 regardless of "
+        "cluster size, so wall grows ~ (n/3) log n (the q_mannwhitney "
+        "model) on top of the sketch. Certification-only cost; the "
+        "production path is q_approx_percentile_sketch (gate-covered, "
+        "no note) and the row delta is the measured certification cost."),
+    "q_hll_union": (
+        "the CERTIFIED plan: exact countDistinct(user_id) twins ride "
+        "next to the HLL sketches (per type AND global) for the in-plan "
+        "bound compare — a full distinct shuffle the mergeable sketches "
+        "exist to avoid. Certification-only; the production path is "
+        "q_hll_union_sketch (gate-covered, no note); the row delta is "
+        "the measured certification cost."),
+    "q_ingest_neardup": (
+        "the nightly near-dup ingest DAG on a 70/30 split of the SCALED "
+        "corpus: unlike the IncrementalBench neardup axis (fixed batch, "
+        "growing history — the operator's O(batch) measurement), here "
+        "batch AND history both scale with the factor, and candidate "
+        "volume additionally tracks the corpus's near-dup pair density "
+        "(ScaleGen's per-bijection strata preserve the x1 pair structure "
+        "per stratum), so modestly super-linear wall at the top factor "
+        "is the expected model, not index drift. Wall also includes the "
+        "DAG's three real parquet target writes (the q_ingest_night "
+        "model). The O(batch) claim is certified by "
+        "incremental_dedup_history_axis's neardup_indexed_* rows."),
     "q_token_bpe_dist": (
         "each of the 30 merge rounds is one map-side-combined pair-count "
         "shuffle whose volume is the DISTINCT pair dictionary, not the "
@@ -235,7 +277,7 @@ def load(prefix, f):
 
 
 def entry_at(m):
-    return {
+    e = {
         "sec": round(m["sec"], 3),
         "shuffle_write": m.get("shuffle_write", 0),
         "peak_task_mem": m.get("peak_task_mem", 0),
@@ -245,6 +287,15 @@ def entry_at(m):
         "out_rows": m.get("out_rows", -1),
         "input": m.get("input", 0),
     }
+    # r14: capped-bucket drop accounting from the banded near-dup
+    # generators (Dedup.NearDupDropObservation riding the plan) —
+    # surfaced only where the observation fired, so non-near-dup rows
+    # stay unchanged
+    if m.get("neardup_largest_bucket", 0):
+        for k in ("neardup_dropped_buckets", "neardup_dropped_rows",
+                  "neardup_largest_bucket"):
+            e[k] = m.get(k, 0)
+    return e
 
 
 def oracle_rows_at(q, factor):
@@ -555,19 +606,47 @@ def main(out_path):
     # to stages via cumulative-prefix diffs (CurateDecomp).
     curate_ab = {}
     for factor in (32, 100):
+        # the main chunk row runs the r14 AUTO strategy (no env pin):
+        # past AutoPrunedMinDocs the rule must land on pruned — the
+        # explicit lossless/pruned control rows flank it
         if runs.get(factor) and "q_curate_e2e" in runs[factor]:
-            curate_ab[f"lossless_x{factor}"] = entry_at(runs[factor]["q_curate_e2e"])
-        pruned_path = f"target/curate_pruned_x{factor}.json"
-        if os.path.exists(pruned_path):
-            with open(pruned_path) as fh:
-                pq = json.load(fh)["queries"]
-            if "q_curate_e2e" in pq and pq["q_curate_e2e"]["sec"] >= 0:
-                curate_ab[f"pruned_x{factor}"] = entry_at(pq["q_curate_e2e"])
+            curate_ab[f"auto_x{factor}"] = entry_at(runs[factor]["q_curate_e2e"])
+        for strat in ("pruned", "lossless"):
+            path = f"target/curate_{strat}_x{factor}.json"
+            if os.path.exists(path):
+                with open(path) as fh:
+                    pq = json.load(fh)["queries"]
+                if "q_curate_e2e" in pq and pq["q_curate_e2e"]["sec"] >= 0:
+                    curate_ab[f"{strat}_x{factor}"] = entry_at(pq["q_curate_e2e"])
+        # mechanical adjudication of what auto picked: identical
+        # manifest row count on all rows, and auto's shuffle profile
+        # matching one control far better than the other
+        a = curate_ab.get(f"auto_x{factor}")
+        p = curate_ab.get(f"pruned_x{factor}")
+        l = curate_ab.get(f"lossless_x{factor}")
+        if a and p and l:
+            curate_ab[f"auto_adjudication_x{factor}"] = {
+                "out_rows_identical_across_strategies":
+                    a["out_rows"] == p["out_rows"] == l["out_rows"],
+                "auto_shuffle_ratio_vs_pruned": round(
+                    a["shuffle_write"] / max(1, p["shuffle_write"]), 3),
+                "auto_shuffle_ratio_vs_lossless": round(
+                    a["shuffle_write"] / max(1, l["shuffle_write"]), 3),
+                "auto_picked": ("pruned" if abs(a["shuffle_write"] - p["shuffle_write"])
+                                < abs(a["shuffle_write"] - l["shuffle_write"])
+                                else "lossless")}
     if os.path.exists("target/curate_decomp_x32.json"):
         with open("target/curate_decomp_x32.json") as fh:
             curate_ab["stage_decomposition"] = json.load(fh)
     if curate_ab:
         report["curate_neardup_strategy_ab"] = {
+            "r14_auto_note": (
+                "Since r14 the UN-PINNED q_curate_e2e rows (auto_x*) run "
+                "nearDupStrategy=auto: the measured post-exact-dedup doc "
+                "count picks lossless below AutoPrunedMinDocs (100k) and "
+                "pruned above it. auto_adjudication_x* verifies "
+                "mechanically that auto landed on the pruned profile at "
+                "x32/x100 with the identical manifest row count."),
             "note": (
                 "q_curate_e2e with nearDupStrategy=pruned (MinHash 32x16 "
                 "banding prunes candidates, exact raw-string Jaccard "
