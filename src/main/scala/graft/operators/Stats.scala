@@ -474,4 +474,131 @@ object Stats {
         least(lit(1.0), min(col(pCol) * col("__m") / col("__rank")).over(fromWorst)))
       .drop("__m", "__rank")
   }
+
+  // ─────────────────── driver-side eigen step (constant work) ─────────
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — the
+    * CONSTANT-work driver-side step that turns [[gramMatrix]]'s
+    * dim×dim output into a data-derived projection basis (VERDICT r13
+    * next-round #2; the corpus-scaling half is the distributed gram).
+    * Returns (eigenvalues desc, eigenvectors as rows, matched order).
+    *
+    * Deterministic by construction: a fixed (p,q) sweep order over
+    * pure IEEE double ops, descending-eigenvalue sort with the
+    * original diagonal index as tie-break, and a sign convention
+    * (the largest-|component| entry of each vector is made positive,
+    * first index on ties) — same matrix in, bit-same basis out, on
+    * any JVM. Classic algorithm (Golub & Van Loan §8.5; public). */
+  def jacobiEigen(m: Array[Array[Double]], maxSweeps: Int = 64,
+                  tol: Double = 1e-14): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    require(n > 0 && m.forall(_.length == n), "square matrix required")
+    val a = Array.tabulate(n, n)((i, j) => m(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off2(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val diag2 = math.max(1e-300,
+      (0 until n).map(i => a(i)(i) * a(i)(i)).sum)
+    var sweep = 0
+    while (sweep < maxSweeps && off2() > tol * diag2) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map { i =>
+      val u = Array.tabulate(n)(k => v(k)(i))
+      // sign convention: flip so the largest-|component| is positive
+      var best = 0
+      var k = 1
+      while (k < n) { if (math.abs(u(k)) > math.abs(u(best))) best = k; k += 1 }
+      if (u(best) < 0) u.map(-_) else u
+    }.toArray
+    (values, vectors)
+  }
+
+  /** Collect a [[gramMatrix]] result (dim(dim+1)/2 rows — config-
+    * bounded constant, the adjudicated-collect class) into a dense
+    * symmetric Long matrix. */
+  def collectGram(gram: DataFrame, dim: Int): Array[Array[Long]] = {
+    val g = Array.ofDim[Long](dim, dim)
+    gram.select(col("i"), col("j"), col("gram")).collect().foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      g(i)(j) = r.getLong(2); g(j)(i) = r.getLong(2)
+    }
+    g
+  }
+
+  /** Top-d eigenbasis of an integer gram matrix, fixed-point quantized
+    * for the literals-ride-the-plan projection (q_embed_eigen): each
+    * unit eigenvector is scaled by 2¹⁵ and rounded to Long. Also
+    * returns each quantized vector's EXACT quadratic form ũᵀGũ
+    * (BigInt — the corpus-independent driver-side twin of the in-plan
+    * projection energy Σ_v (ũ·q_v)², equal by algebra whatever ũ is:
+    * the in-plan/driver match certifies projection-apply against the
+    * independently oracle-verified gram). */
+  def eigenBasis(gramLong: Array[Array[Long]], topD: Int,
+                 scale: Long = 32768L): (IndexedSeq[Seq[Long]], IndexedSeq[BigInt]) = {
+    val dim = gramLong.length
+    require(topD <= dim, s"topD=$topD exceeds dim=$dim")
+    val (_, vecs) = jacobiEigen(gramLong.map(_.map(_.toDouble)))
+    val qvecs = (0 until topD).map { c =>
+      vecs(c).map(x => math.round(x * scale)).toSeq
+    }
+    val quadForms = qvecs.map { u =>
+      var s = BigInt(0)
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          s += BigInt(u(i)) * BigInt(u(j)) * BigInt(gramLong(i)(j))
+          j += 1
+        }
+        i += 1
+      }
+      s
+    }
+    (qvecs, quadForms)
+  }
 }
