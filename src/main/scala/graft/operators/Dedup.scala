@@ -764,10 +764,21 @@ object Dedup {
     * index rows ever move again. Refresh after an ingest with
     * [[minhashIndexUpdated]]. */
   def minhashIndex(history: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+                   shingleN: Int = 3, numHashes: Int = 32): DataFrame = {
+    // LOUD long-id contract (ADVICE r14): the index stores hist_id as
+    // long, and under non-ANSI casting a string id would become NULL
+    // silently — corrupting every verdict join downstream. Reject
+    // non-integral id columns here instead.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = history.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"minhashIndex requires an integral id column (the persisted " +
+        s"index stores hist_id as long); '$idCol' is $idType — map ids " +
+        "to longs upstream (Ids.surrogate)")
     signatures(history, idCol, textCol, shingleN, numHashes)
       .select(col(idCol).cast("long").as("hist_id"), col("minhash"),
         col("sh"), col("s"))
+  }
 
   /** The shared signature pipeline: (id, minhash, sh, s). */
   private def signatures(df: DataFrame, idCol: String, textCol: String,
@@ -888,8 +899,17 @@ object Dedup {
       .agg(min(col("__hid")).as("__hist_match"),
         count(lit(1)).as("__n_hist"))
 
-    // batch-internal near-dup components (batch-sized work)
-    val bPairs = pairsFromBuckets(bBands, Seq("band", "bh"), idCol, maxBucket)
+    // batch-internal near-dup components (batch-sized work). The
+    // bucket lists are built explicitly (not via pairsFromBuckets) so
+    // over-cap BATCH buckets get the same loud drop accounting the
+    // history path has — a silently-capped batch bucket would lose
+    // dup_batch pairs with no warning and no observation (ADVICE r14).
+    val bLists = bucketLists(bBands, Seq("band", "bh"), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bdb, bdr, bmx) = dropStats(bLists, maxBucket)
+    warnDrops(bdb, bdr, bmx, maxBucket,
+      "incrementalNearDupIndexed (batch-internal)")
+    val bPairs = pairsFromLists(bLists, maxBucket)
     val bEdges = bPairs
       .join(bsig.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(bsig.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -913,8 +933,11 @@ object Dedup {
         coalesce(col("__n_hist"), lit(0L)).as("n_hist_matches"))
       .localCheckpoint()
     hBuckets.unpersist()
+    bLists.unpersist()
     bsig.unpersist()
-    withDropMetric(result, db, dr, mx)
+    // ONE observation folding both candidate paths' drops (history
+    // band buckets + batch-internal buckets)
+    withDropMetric(result, db + bdb, dr + bdr, math.max(mx, bmx))
   }
 
   /** [[incrementalNearDupIndexed]] with the index derived inline from

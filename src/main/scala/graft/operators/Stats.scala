@@ -580,9 +580,22 @@ object Stats {
     * independently oracle-verified gram). */
   def eigenBasis(gramLong: Array[Array[Long]], topD: Int,
                  scale: Long = 32768L): (IndexedSeq[Seq[Long]], IndexedSeq[BigInt]) = {
+    val (qvecs, quadForms, _) = eigenBasisWithValues(gramLong, topD, scale)
+    (qvecs, quadForms)
+  }
+
+  /** [[eigenBasis]] plus the (double) eigenvalues in matched order —
+    * the q_embed_eigen monotone guard needs the adjacent-eigenvalue
+    * GAPS to decide whether the 2¹⁵ fixed-point quantization could
+    * legitimately reorder the quantized projection energies
+    * (ADVICE r14: on a near-degenerate pair the quantized energies can
+    * swap while the exact eigenvalues are ordered). */
+  def eigenBasisWithValues(gramLong: Array[Array[Long]], topD: Int,
+                           scale: Long = 32768L):
+      (IndexedSeq[Seq[Long]], IndexedSeq[BigInt], IndexedSeq[Double]) = {
     val dim = gramLong.length
     require(topD <= dim, s"topD=$topD exceeds dim=$dim")
-    val (_, vecs) = jacobiEigen(gramLong.map(_.map(_.toDouble)))
+    val (vals, vecs) = jacobiEigen(gramLong.map(_.map(_.toDouble)))
     val qvecs = (0 until topD).map { c =>
       vecs(c).map(x => math.round(x * scale)).toSeq
     }
@@ -599,6 +612,6 @@ object Stats {
       }
       s
     }
-    (qvecs, quadForms)
+    (qvecs, quadForms, (0 until topD).map(vals(_)))
   }
 }

@@ -603,17 +603,28 @@ object QueriesText {
         Tables(s, d).embeddings, "vec_id", "embedding")
       val gram = graft.operators.Stats.collectGram(
         graft.operators.Stats.gramMatrix(q, "q"), 64)
-      val (basis, quad) = graft.operators.Stats.eigenBasis(gram, topD = 8)
+      val (basis, quad, evals) =
+        graft.operators.Stats.eigenBasisWithValues(gram, topD = 8)
       val energies = (0 until 8).map { c =>
         val p = vecDotLong(col("q"), typedlit(basis(c)))
         sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"e_$c")
       }
       val agg = q.agg(energies.head, energies.tail: _*)
+      // monotone guard (ADVICE r14, the small-group percentile-guard
+      // pattern): the 2^15 fixed-point quantization perturbs each
+      // energy by O(sqrt(dim)/scale) relative to λ_max, so on a
+      // near-degenerate adjacent pair the QUANTIZED energies can
+      // legitimately swap while the exact eigenvalues are ordered —
+      // below the gap threshold the assertion falls back to the
+      // oracle's literal TRUE (the ordering claim is vacuous inside
+      // the quantization noise band)
+      val gapTol = 4.0 * math.sqrt(64.0) / 32768.0 // ~9.8e-4 of λ_max
+      val lamMax = math.max(math.abs(evals(0)), 1e-300)
       val rows = (0 until 8).map { c =>
         struct(lit(c).as("component"),
           (col(s"e_$c") === lit(new java.math.BigDecimal(quad(c).toString)))
             .as("energy_matches_quadform"),
-          (if (c == 7) lit(true)
+          (if (c == 7 || (evals(c) - evals(c + 1)) <= gapTol * lamMax) lit(true)
            else col(s"e_$c") >= col(s"e_${c + 1}")).as("energy_monotone"))
       }
       agg.select(explode(array(rows: _*)).as("r"))
@@ -666,7 +677,14 @@ object QueriesText {
         lit("</head><body><!-- nav boilerplate --><p id=\"main\">"),
         col("text"),
         lit("</p><br><a href=\"https://example.com/"), id,
-        lit("\">&lt;more&gt; &amp; info</a></body></html>"))
+        lit("\">&lt;more&gt; &amp; info</a>"),
+        // NCR fixtures (r15, ADVICE r14): decimal + hex ASCII refs
+        // decode (&#72; &#x77;), the &-producing form decodes LAST so
+        // &#38;#60; yields the literal text &#60; (never re-decoded),
+        // out-of-range &#9999; and the amp-escaped &amp;#35; pass
+        // through as literal refs
+        lit("<p>NCR &#72;ello &#x77;orld &#38;#60; &#9999; &amp;#35;</p>"),
+        lit("</body></html>"))
       Tables(s, d).documents
         .select(col("doc_id"), Cleaning.extractHtml(html).as("main_text"),
           length(html).as("n_chars_html"))
@@ -1099,6 +1117,16 @@ object QueriesText {
     * feeds both the Spark plan (typedlit per component) and the
     * DuckDB oracle (inline list literals), so the two sides cannot
     * desynchronize. */
+  /** Generate a DuckDB `replace(replace(...))` nest from the SAME
+    * (from, to) tables the Spark plans fold over (Cleaning
+    * .BaseEntities/NcrDecodes/AmpEntities) — one Scala constant feeds
+    * both sides, the hadamardProj discipline. */
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+  private[queries] def replChainSql(inner: String,
+                                    pairs: Seq[(String, String)]): String =
+    pairs.foldLeft(inner) { case (acc, (f, t)) =>
+      s"replace($acc, '${sqlEsc(f)}', '${sqlEsc(t)}')" }
+
   private val hadamardProj: IndexedSeq[Seq[Long]] =
     (0 until 8).map(c => (0 until 64).map(k =>
       if (java.lang.Integer.bitCount(c & k) % 2 == 0) 1L else -1L))
@@ -2185,33 +2213,57 @@ object QueriesText {
 
     // replays the in-plan markup wrap, then the identical extraction
     // chain: script/style elements (with content) -> comments -> tags
-    // -> entity decode (&amp; LAST) -> whitespace collapse. Regex
-    // constructs restricted to the dialect intersection (inline (?is),
-    // non-greedy .*?, \b, \s) so Java and RE2 agree byte-for-byte.
+    // -> entity decode (base entities, then the NCR chain gated on a
+    // '&#' containment probe, then the &-producing forms LAST — the
+    // replace sequences are GENERATED from the same Cleaning constants
+    // the Spark plan folds over, so the two sides cannot
+    // desynchronize) -> whitespace collapse. Regex constructs
+    // restricted to the dialect intersection (inline (?is), non-greedy
+    // .*?, \b, the explicit whitespace class) so Java and RE2 agree
+    // byte-for-byte.
     "q_html_extract" ->
-      """WITH h AS (
+      s"""WITH h AS (
         | SELECT doc_id,
         |  '<html><head><title>Doc ' || cast(doc_id as varchar) || '</title>' ||
         |  '<style type="text/css">p{margin:0} .nav{color:#888}</style>' ||
         |  '<script>var t = 1; if (t < 2) { track("&amp;"); }</script>' ||
         |  '</head><body><!-- nav boilerplate --><p id="main">' || text ||
         |  '</p><br><a href="https://example.com/' || cast(doc_id as varchar) ||
-        |  '">&lt;more&gt; &amp; info</a></body></html>' AS html
+        |  '">&lt;more&gt; &amp; info</a>' ||
+        |  '<p>NCR &#72;ello &#x77;orld &#38;#60; &#9999; &amp;#35;</p>' ||
+        |  '</body></html>' AS html
         | FROM documents),
-        |e AS (
+        |e0 AS (
         | SELECT doc_id, html,
-        |  trim(regexp_replace(
-        |   replace(replace(replace(replace(replace(replace(
-        |    regexp_replace(
+        |  ${replChainSql("""regexp_replace(
         |     regexp_replace(
         |      regexp_replace(
         |       regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
         |       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
-        |     '(?s)<[^>]*>', ' ', 'g'),
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |   '\s+', ' ', 'g')) AS main_text
-        | FROM h)
+        |     '(?s)<[^>]*>', ' ', 'g')""",
+          graft.operators.Cleaning.BaseEntities)} AS t0
+        | FROM h),
+${ // the 188-step NCR chain exceeds DuckDB's 128-deep binder limit as
+   // one nest — split into chunked CTE stages, each gated on the SAME
+   // '&#' probe over the pre-NCR text (one gate, like the Spark side)
+        val chunks = graft.operators.Cleaning.NcrDecodes.grouped(47).toSeq
+        chunks.zipWithIndex.map { case (ch, i) =>
+          val prev = if (i == 0) "t0" else s"n$i"
+          s"""|n${i + 1} AS (
+              | SELECT doc_id, html, t0, CASE WHEN strpos(t0, '&#') > 0
+              |  THEN ${replChainSql(prev, ch)} ELSE $prev END AS n${i + 1}
+              | FROM n$i),""".stripMargin
+        }.mkString("\n")
+          .replaceFirst("FROM n0\\)", "FROM e0)") + s"""
+        |e1 AS (
+        | SELECT doc_id, html, n${chunks.size} AS t1 FROM n${chunks.size}),"""}
+        |e AS (
+        | SELECT doc_id, html,
+        |  trim(regexp_replace(
+        |   ${replChainSql("t1", graft.operators.Cleaning.AmpEntities)},
+        |   '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) AS main_text
+        | FROM e1)
         |SELECT doc_id, main_text,
         | cast(length(html) as int) AS n_chars_html,
         | cast(length(main_text) as int) AS n_chars_main

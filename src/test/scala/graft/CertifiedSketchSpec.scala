@@ -57,8 +57,12 @@ class CertifiedSketchSpec extends AnyFunSuite {
     assert(hll.keySet == exactUsers.keySet + "__total__")
     val exactTotal = ev.select(countDistinct(col("user_id"))).as[Long].head()
     assert(math.abs(hll("__total__") - exactTotal) <= math.max(1.0, exactTotal * 0.065))
-    // union dominance on the emitted estimates
-    (hll - "__total__").values.foreach(e => assert(hll("__total__") >= e))
+    // union dominance on the emitted estimates, up to the 4σ relative
+    // width at lgK=12 (ADVICE r14: the post-union composite estimator
+    // can land slightly below a dominant input's HIP estimate)
+    val domSlack = 4.0 * 1.04 / math.sqrt(4096.0)
+    (hll - "__total__").values.foreach(e =>
+      assert(hll("__total__") >= e * (1.0 - domSlack)))
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val pe = li.groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice").cast("double"),

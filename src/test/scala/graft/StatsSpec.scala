@@ -215,13 +215,14 @@ class StatsSpec extends AnyFunSuite {
     assert(te == exactTotal && tw)
     // the union row covers every per-type population
     assert(te >= exact.values.max)
-    // union-dominance of the SKETCH estimates themselves (ADVICE r13:
-    // the query stopped emitting the estimate, so the property must be
-    // asserted on hll_sketch_estimate directly): the union sketch's
-    // estimate must dominate every per-type sketch's estimate — HLL
-    // union takes the register-wise max, so each register of the union
-    // is >= the corresponding register of every input and the harmonic
-    // estimator is monotone in the registers
+    // union-dominance of the SKETCH estimates themselves (ADVICE r13;
+    // slack per ADVICE r14): the union takes register-wise max, but
+    // the ESTIMATORS differ — single sketches read the HIP estimator
+    // while post-union sketches fall back to the composite estimator,
+    // so the union estimate can land slightly BELOW a dominant input's
+    // estimate. Assert dominance up to the 4σ relative width at the
+    // default lgK=12 (rsd ≈ 1.04/√4096 ≈ 1.63%; the gate's own bound
+    // convention, QueriesStats.scala)
     val perSketch = ev.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .as[(String, Long)].collect().toMap
@@ -230,8 +231,10 @@ class StatsSpec extends AnyFunSuite {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       .as[Long].head()
     assert(perSketch.nonEmpty)
+    val slack = 4.0 * 1.04 / math.sqrt(4096.0) // 4σ at lgK=12
     perSketch.foreach { case (t, e) =>
-      assert(unionEst >= e, s"union estimate $unionEst < per-type $t estimate $e")
+      assert(unionEst >= e * (1.0 - slack),
+        s"union estimate $unionEst < per-type $t estimate $e beyond 4σ slack")
     }
   }
 
