@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Hashed-feature linear model inference — the fastText /
@@ -49,5 +49,90 @@ object Infer {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         (coalesce(col("__sw"), lit(0L)) + bias).as("score"))
       .withColumn("keep", col("score") > 0)
+  }
+
+  /** Distributed TRAINING for the [[linearScore]] model — the half of
+    * the quality-classifier story inference alone left open (VERDICT
+    * r14 next-round #1): full-batch gradient descent on logistic loss
+    * over the SAME md5-hashed unigram feature space (same salt, same
+    * hex3 % B bucketing), so the learned weights feed [[linearScore]]
+    * directly as the literal array it already consumes. The fastText /
+    * CCNet pattern (a linear model over hashed features) with every
+    * arithmetic step EXACT FIXED-POINT, so a DuckDB oracle replays the
+    * whole training trajectory by unrolling the gradient steps as
+    * chained CTEs (the q_kmeans Lloyd-round discipline):
+    *
+    *  - weights/bias live in ppm longs, initialized to 0;
+    *  - score  z_d = bias + Σ_b w_b · x_db   (x = bucket token counts);
+    *  - probability is the HARD sigmoid in ppm (the piecewise-linear
+    *    σ̂(z) = clamp(½ + z/4, 0, 1) used by quantized trainers —
+    *    transcendental exp would break engine parity):
+    *    p_d = least(10⁶, greatest(0, 500000 + z_d div 4));
+    *  - error e_d = p_d − 10⁶·y_d; gradients g_b = Σ_d e_d · x_db
+    *    (g_{-1} = Σ_d e_d for the bias, as a pseudo-feature);
+    *  - update w_b ← w_b − g_b div (N · lrDiv) — truncating division,
+    *    identical on JVM longs and DuckDB `//`.
+    *
+    * Scale shape (the Lloyd-round idiom): the per-doc bucket-count
+    * MAP is built once (one doc-keyed shuffle, ≤ B+1 entries per doc)
+    * and persisted; each step is then a NARROW map (z, p, e from
+    * literal weights riding the plan) plus ONE map-side-combined
+    * aggregate whose reduced size is B+1 cells per partition
+    * REGARDLESS of corpus rows, and a (B+1)-row collect (the
+    * config-bounded k×dim class). Docs with no tokens carry no
+    * gradient signal under hashed-unigram features and are excluded
+    * (documented contract; [[linearScore]] still scores them by bias).
+    *
+    * @return (weights per bucket 0..B-1, bias) in ppm — plug straight
+    *         into [[linearScore]](weights, bias). */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    label: Column, buckets: Int = 64, iters: Int = 3,
+                    lrDiv: Long = 8L, salt: String = "fh"): (IndexedSeq[Long], Long) = {
+    require(buckets > 0 && 4096 % buckets == 0,
+      s"buckets must divide 4096 (3 hex digits); got $buckets")
+    require(iters >= 1 && lrDiv >= 1, "iters and lrDiv must be positive")
+    val bucket = (conv(substring(md5(concat(lit(salt), col("__tok"))), 1, 3), 16, 10)
+      .cast("long") % buckets).cast("int")
+    // one doc-keyed shuffle builds the persisted per-doc feature map;
+    // the bias pseudo-feature (bucket -1, x 1) rides inside it so each
+    // step's gradient explode covers bias and weights in one pass
+    val docFeats = docs
+      .select(col(idCol), label.cast("boolean").as("__y"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(map_concat(
+        map_from_entries(collect_list(struct(col("__b"), col("__x")))),
+        map(lit(-1), lit(1L))).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docFeats.count() // materializes the cache, sizes updates
+    require(nDocs > 0, "trainLogistic: no docs with >= 1 token")
+    var bias = 0L
+    var w = IndexedSeq.fill(buckets)(0L)
+    for (_ <- 1 to iters) {
+      // literal lookup array: index 1 = bias (key -1), 2.. = buckets
+      val wArr = (bias +: w).toArray
+      val z = aggregate(map_entries(col("__m")), lit(0L),
+        (acc, e) => acc + element_at(lit(wArr), e("key") + lit(2)) * e("value"))
+      val e = (least(lit(1000000L), greatest(lit(0L), lit(500000L) + expr("__z div 4")))
+        - when(col("__y"), lit(1000000L)).otherwise(lit(0L)))
+      val grads = docFeats
+        .withColumn("__z", z)
+        .withColumn("__e", e)
+        .select(col("__e"), explode(map_entries(col("__m"))).as("__kv"))
+        .groupBy(col("__kv.key").as("b"))
+        .agg(sum(col("__e") * col("__kv.value")).as("g"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      val denom = nDocs * lrDiv
+      bias -= grads(-1) / denom
+      w = w.indices.map(b => w(b) - grads(b) / denom)
+    }
+    docFeats.unpersist()
+    (w, bias)
   }
 }
