@@ -692,6 +692,43 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_main_content" -> ((s, d) => {
+      // MAIN-CONTENT extraction beyond tag stripping (Cleaning
+      // .extractMainContent — VERDICT r14 next-round #2): extractHtml
+      // keeps nav/menu/footer TEXT; the trafilatura/jusText-class
+      // block classifier drops them by link density and text length.
+      // The corpus ships clean, so a full PAGE is synthesized in-plan
+      // around each doc with the boilerplate classes a crawl carries:
+      // a pure-link nav, a short site header, the content div (one
+      // low-density anchor + NCR entities inside — content links must
+      // NOT kill a real paragraph), a link-farm "related" box, and a
+      // link+copyright footer. Still a narrow zero-shuffle codegen'd
+      // chain; the oracle replays wrap, block split, per-block
+      // scoring, and the decode tail bit-for-bit.
+      import graft.operators.Cleaning
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>.nav{display:flex}</style>"),
+        lit("<script>menu(\"<div class='x'>\");</script></head><body>"),
+        lit("<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">About us</a></li>"
+          + "<li><a href=\"/contact\">Contact</a></li></ul></nav>"),
+        lit("<header><h1>Site "), id, lit("</h1></header>"),
+        lit("<!-- ad slot --><div class=\"content\"><p>"), col("text"), lit("</p>"),
+        lit("<p>Appendix "), id,
+        lit(": methods &#38; &#109;aterials &#8212; see <a href=\"/fig\">figure one</a>"
+          + " for the full layout, procedures and calibration details.</p></div>"),
+        lit("<div class=\"related\">Related: <a href=\"/a\">first related article</a>"
+          + " <a href=\"/b\">second related article</a></div>"),
+        lit("<footer><a href=\"/privacy\">Privacy</a> | <a href=\"/terms\">Terms</a>"
+          + " | copyright 2026</footer></body></html>"))
+      Tables(s, d).documents
+        .select(col("doc_id"), Cleaning.extractMainContent(html).as("mc"))
+        .select(col("doc_id"), col("mc.main_text").as("main_text"),
+          col("mc.n_blocks").as("n_blocks"), col("mc.n_kept").as("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     "q_corpus_filter" -> ((s, d) => {
       // composed curation pipeline: language-consistency + quality
       // + exact-dedup canonical flags -> per-language keep/drop counts
@@ -1126,6 +1163,36 @@ object QueriesText {
                                     pairs: Seq[(String, String)]): String =
     pairs.foldLeft(inner) { case (acc, (f, t)) =>
       s"replace($acc, '${sqlEsc(f)}', '${sqlEsc(t)}')" }
+
+  /** The full DuckDB mirror of [[graft.operators.Cleaning.decodeEntities]]
+    * as chained CTEs: base entities, the 188-step NCR chain split into
+    * <=47-replace chunks (DuckDB's binder caps expression nesting at
+    * 128) each gated on the SAME '&#' probe over the pre-NCR text,
+    * then the &-producing forms. Emits CTE text ending in `{p}d`
+    * holding `__dec` (plus `doc_id` and `carry` columns); append after
+    * an existing WITH list. */
+  private[queries] def decodeCtesSql(p: String, fromCte: String,
+                                     inCol: String, carry: Seq[String]): String = {
+    import graft.operators.Cleaning.{AmpEntities, BaseEntities, NcrDecodes}
+    val cols = ("doc_id" +: carry).mkString(", ")
+    val chunks = NcrDecodes.grouped(47).toSeq
+    val base =
+      s"""|${p}b AS (
+          | SELECT $cols, ${replChainSql(inCol, BaseEntities)} AS __t0
+          | FROM $fromCte),""".stripMargin
+    val ncr = chunks.zipWithIndex.map { case (ch, i) =>
+      val prev = if (i == 0) s"${p}b" else s"${p}n$i"
+      s"""|${p}n${i + 1} AS (
+          | SELECT $cols, __t0, CASE WHEN strpos(__t0, '&#') > 0
+          |  THEN ${replChainSql(s"__t$i", ch)} ELSE __t$i END AS __t${i + 1}
+          | FROM $prev),""".stripMargin
+    }.mkString("\n")
+    val amp =
+      s"""|${p}d AS (
+          | SELECT $cols, ${replChainSql(s"__t${chunks.size}", AmpEntities)} AS __dec
+          | FROM ${p}n${chunks.size})""".stripMargin
+    s"$base\n$ncr\n$amp"
+  }
 
   private val hadamardProj: IndexedSeq[Seq[Long]] =
     (0 until 8).map(c => (0 until 64).map(k =>
@@ -2235,39 +2302,80 @@ object QueriesText {
         | FROM documents),
         |e0 AS (
         | SELECT doc_id, html,
-        |  ${replChainSql("""regexp_replace(
+        |  regexp_replace(
         |     regexp_replace(
         |      regexp_replace(
-        |       regexp_replace(html, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |       regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+        |       '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
-        |     '(?s)<[^>]*>', ' ', 'g')""",
-          graft.operators.Cleaning.BaseEntities)} AS t0
+        |     '(?s)<[^>]*>', ' ', 'g') AS stripped
         | FROM h),
-${ // the 188-step NCR chain exceeds DuckDB's 128-deep binder limit as
-   // one nest — split into chunked CTE stages, each gated on the SAME
-   // '&#' probe over the pre-NCR text (one gate, like the Spark side)
-        val chunks = graft.operators.Cleaning.NcrDecodes.grouped(47).toSeq
-        chunks.zipWithIndex.map { case (ch, i) =>
-          val prev = if (i == 0) "t0" else s"n$i"
-          s"""|n${i + 1} AS (
-              | SELECT doc_id, html, t0, CASE WHEN strpos(t0, '&#') > 0
-              |  THEN ${replChainSql(prev, ch)} ELSE $prev END AS n${i + 1}
-              | FROM n$i),""".stripMargin
-        }.mkString("\n")
-          .replaceFirst("FROM n0\\)", "FROM e0)") + s"""
-        |e1 AS (
-        | SELECT doc_id, html, n${chunks.size} AS t1 FROM n${chunks.size}),"""}
+${decodeCtesSql("x", "e0", "stripped", Seq("html"))},
         |e AS (
         | SELECT doc_id, html,
-        |  trim(regexp_replace(
-        |   ${replChainSql("t1", graft.operators.Cleaning.AmpEntities)},
+        |  trim(regexp_replace(__dec,
         |   '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) AS main_text
-        | FROM e1)
+        | FROM xd)
         |SELECT doc_id, main_text,
         | cast(length(html) as int) AS n_chars_html,
         | cast(length(main_text) as int) AS n_chars_main
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // replays the q_main_content wrap, then the identical block
+    // classifier: strip script/style/comments, split on the SAME
+    // block-tag pattern (regexp_split_to_array keeps interior empty
+    // fragments exactly like Java's split with limit -1; the trailing
+    // fragment is non-empty by construction), score each block's
+    // cleaned text length and anchor-text share with the identical
+    // integer cross-multiplied rule, join survivors, then the shared
+    // decode CTEs + whitespace collapse. n_blocks/n_kept pin the
+    // classification itself, not just the surviving text.
+    "q_main_content" -> {
+      val ws = "'[ \\t\\n\\f\\r\\x0B]+'"
+      def clean(in: String) =
+        s"trim(regexp_replace(regexp_replace($in, '(?s)<[^>]*>', ' ', 'g'), $ws, ' ', 'g'))"
+      val noA = "regexp_replace(b, '(?is)<a\\b[^>]*>.*?</a>', ' ', 'g')"
+      s"""WITH h AS (
+         | SELECT doc_id,
+         |  '<html><head><title>Doc ' || cast(doc_id as varchar) || '</title>' ||
+         |  '<style>.nav{display:flex}</style>' ||
+         |  '<script>menu("<div class=''x''>");</script></head><body>' ||
+         |  '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About us</a></li><li><a href="/contact">Contact</a></li></ul></nav>' ||
+         |  '<header><h1>Site ' || cast(doc_id as varchar) || '</h1></header>' ||
+         |  '<!-- ad slot --><div class="content"><p>' || text || '</p>' ||
+         |  '<p>Appendix ' || cast(doc_id as varchar) ||
+         |  ': methods &#38; &#109;aterials &#8212; see <a href="/fig">figure one</a> for the full layout, procedures and calibration details.</p></div>' ||
+         |  '<div class="related">Related: <a href="/a">first related article</a> <a href="/b">second related article</a></div>' ||
+         |  '<footer><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a> | copyright 2026</footer></body></html>' AS html
+         | FROM documents),
+         |st AS (
+         | SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+         |   '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |   '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |   '(?s)<!--.*?-->', ' ', 'g') AS nc
+         | FROM h),
+         |bl AS (
+         | SELECT doc_id, regexp_split_to_array(nc,
+         |   '${graft.operators.Cleaning.BlockTagSplit}') AS blocks
+         | FROM st),
+         |sc AS (
+         | SELECT doc_id, cast(len(blocks) as int) AS n_blocks,
+         |  list_filter(list_transform(blocks, b -> struct_pack(
+         |    t := ${clean("b")},
+         |    u := ${clean(noA)})),
+         |   s -> length(s.t) >= 30
+         |    AND (length(s.t) - length(s.u)) * 100 <= length(s.t) * 33) AS kept
+         | FROM bl),
+         |j AS (
+         | SELECT doc_id, n_blocks, cast(len(kept) as int) AS n_kept,
+         |  array_to_string(list_transform(kept, s -> s.t), ' ') AS joined
+         | FROM sc),
+${decodeCtesSql("mc", "j", "joined", Seq("n_blocks", "n_kept"))}
+         |SELECT doc_id,
+         | trim(regexp_replace(__dec, $ws, ' ', 'g')) AS main_text,
+         | n_blocks, n_kept
+         |FROM mcd ORDER BY doc_id""".stripMargin
+    },
 
     "q_corpus_filter" ->
       s"""WITH base AS (
