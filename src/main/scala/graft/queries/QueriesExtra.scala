@@ -448,9 +448,63 @@ object QueriesExtra {
         .join(broadcast(dim), Seq("user_id"), "left_outer")
         .join(quality, Seq("user_id"), "left_outer")
         .orderBy("user_id")
+    }),
+
+    "q_pagerank" -> ((s, d) => {
+      // PageRank-class centrality (operators/Graph.pagerankPpm —
+      // VERDICT r14 next-round #4): the link-graph quality prior a
+      // crawl curation weights documents by, here over the
+      // customer↔supplier interaction graph (distinct partners from
+      // orders⋈lineitem, both directions, parity-tagged node ids so
+      // the two key spaces cannot collide). Exact ppm fixed-point at
+      // 4 iterations; the oracle unrolls them as chained CTEs and
+      // must land on the identical rank trajectory. Per iteration:
+      // ONE edge-keyed shuffle (contribution join + per-dst sum).
+      val t = Tables(s, d)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_suppkey")), "o_orderkey")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pagerankPpm(edges, "src", "dst", iters = 4)
+        .orderBy("node")
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // replays Graph.pagerankPpm's full 4-iteration trajectory: the
+    // same deduped symmetric edge list, out-degrees, and per step the
+    // per-edge truncating contribution r // deg, the per-dst sum, and
+    // the damped ppm update — all integer, so the ranks land
+    // bit-identical or the operator drifted.
+    "q_pagerank" -> {
+      val steps = (1 to 4).map { t =>
+        s"""r$t AS (
+           | SELECT n.node,
+           |  cast(150000 + (850000 * coalesce(s.s, 0)) // 1000000 as bigint) AS r
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+           |  FROM e JOIN r${t - 1} r ON r.node = e.src
+           |   JOIN deg d ON d.node = e.src
+           |  GROUP BY 1) s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         | SELECT DISTINCT cast(o_custkey * 2 as bigint) AS src,
+         |  cast(l_suppkey * 2 + 1 as bigint) AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS MATERIALIZED (
+         | SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |deg AS (SELECT src AS node, cast(count(*) as bigint) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
+         |$steps
+         |SELECT n.node, coalesce(d.deg, 0) AS out_degree, r.r AS rank_ppm
+         |FROM nodes n JOIN r4 r USING (node) LEFT JOIN deg d USING (node)
+         |ORDER BY n.node""".stripMargin
+    },
 
     "q_omero_manifest" ->
       """WITH inv AS (

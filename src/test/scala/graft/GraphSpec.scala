@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph.pagerankPpm semantics on hand-computed fixtures: the exact
+  * fixed-point trajectory, dangling-leak semantics, duplicate-edge
+  * collapse, and partition-layout independence. Corpus-level parity is
+  * the q_pagerank unrolled-CTE oracle's job.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.pagerankPpm(edges.toDF("src", "dst"), "src", "dst", iters = iters)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("symmetric 2-cycle is the exact fixed point") {
+    // A<->B, deg 1 each: contrib = 1e6, r' = 150000 + 850000 = 1e6
+    val got = ranks(Seq((1L, 2L), (2L, 1L)), iters = 3)
+    assert(got == Map(1L -> ((1L, 1000000L)), 2L -> ((1L, 1000000L))))
+  }
+
+  test("symmetric 3-star: hand-unrolled exact trajectory") {
+    // center 0 <-> leaves 1,2,3. deg(0)=3, deg(leaf)=1.
+    // iter1: r(0) = 150000 + 850000*3e6 div 1e6             = 2700000
+    //        r(L) = 150000 + 850000*(1e6 div 3) div 1e6     =  433333
+    // iter2: r(0) = 150000 + 850000*(3*433333) div 1e6      = 1254999
+    //        r(L) = 150000 + 850000*(2700000 div 3) div 1e6 =  915000
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+    val r1 = ranks(star, iters = 1)
+    assert(r1(0L) == ((3L, 2700000L)))
+    Seq(1L, 2L, 3L).foreach(l => assert(r1(l) == ((1L, 433333L))))
+    val r2 = ranks(star, iters = 2)
+    assert(r2(0L) == ((3L, 1254999L)))
+    Seq(1L, 2L, 3L).foreach(l => assert(r2(l) == ((1L, 915000L))))
+    // total mass stays ~N*1e6 (truncation leaks only ppm crumbs)
+    val total = r2.values.map(_._2).sum
+    assert(total <= 4000000L && total > 3999000L)
+  }
+
+  test("dangling sink absorbs rank and emits none; sources settle at base") {
+    // 1 -> 2 -> 3 (3 dangling). deg: 1->1, 2->1, 3->none.
+    val got = ranks(Seq(1L -> 2L, 2L -> 3L), iters = 4)
+    assert(got(3L)._1 == 0L, "sink has out-degree 0")
+    // node 1 has no in-edges: settles at base after iter 1
+    assert(got(1L)._2 == 150000L)
+    // rank flows 1->2->3 but never back out of 3 (leak semantics)
+    assert(got(2L)._2 > 150000L && got(3L)._2 > got(2L)._2)
+  }
+
+  test("duplicate edges collapse; layout does not change ranks") {
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+    val dup = star ++ star ++ star
+    assert(ranks(dup, iters = 2) == ranks(star, iters = 2))
+    val a = Graph.pagerankPpm(star.toDF("src", "dst").repartition(7, col("dst")),
+      "src", "dst", iters = 2).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.pagerankPpm(star.toDF("src", "dst").coalesce(1),
+      "src", "dst", iters = 2).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
