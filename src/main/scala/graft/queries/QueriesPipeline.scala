@@ -185,8 +185,10 @@ object QueriesPipeline {
   private[graft] def curateManifest(docs0: DataFrame,
                                     nearDupStrategy: String = "auto",
                                     budget: Long = 12000L,
-                                    keepPpm: Long = 35000000L): DataFrame =
-    curateThrough(docs0, nearDupStrategy, "manifest", budget, keepPpm)
+                                    keepPpm: Long = 35000000L,
+                                    corpusSizeHint: Option[Long] = None): DataFrame =
+    curateThrough(docs0, nearDupStrategy, "manifest", budget, keepPpm,
+      corpusSizeHint)
 
   /** Measured crossover for the AUTO near-dup strategy (r14, VERDICT
     * r13 #3): below this many post-exact-dedup docs the lossless
@@ -220,10 +222,22 @@ object QueriesPipeline {
     * DSIR + token budget), `spl` (…shingle-edge leak-free split),
     * `manifest` (the full chain). The "manifest" path is exactly the
     * former curateManifest body — same frames, same checkpoints. */
+  /** `corpusSizeHint` (r15, VERDICT r14 next-round #6): a production
+    * Targets run that already KNOWS its post-exact-dedup corpus size
+    * (from the previous night's manifest, or an upstream count) can
+    * pass it to skip the auto-strategy's resolving count() action —
+    * the rule then reads the hint instead of measuring (Option
+    * .getOrElse is lazy: no hint → the count runs exactly as before,
+    * which also eagerly materializes the canon checkpoint; with a
+    * hint the checkpoint materializes at its first consumer instead).
+    * The hint changes WHICH pair generator runs, never the manifest —
+    * CurateStrategySpec pins both resolutions against the explicit
+    * strategies. */
   private[graft] def curateThrough(docs0: DataFrame, nearDupStrategy: String,
                                    through: String,
                                    budget: Long = 12000L,
-                                   keepPpm: Long = 35000000L): DataFrame = {
+                                   keepPpm: Long = 35000000L,
+                                   corpusSizeHint: Option[Long] = None): DataFrame = {
     require(Set("pairs", "sel", "spl", "manifest")(through),
       s"unknown stage '$through'")
     import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
@@ -245,7 +259,8 @@ object QueriesPipeline {
     // materializes the canon checkpoint its consumers reuse — at
     // verify/oracle scale auto always lands on lossless, so the
     // chained DuckDB oracle keeps checking the default chain.
-    val pairs = resolveNearDupStrategy(nearDupStrategy, canon.count()) match {
+    val pairs = resolveNearDupStrategy(nearDupStrategy,
+        corpusSizeHint.getOrElse(canon.count())) match {
       case "lossless" => Dedup.prefixFilterJaccard(canon, "doc_id", "text",
         shingleN = 3, threshold = 0.5)
       case "pruned" => Dedup.minhashPrunedJaccard(canon, "doc_id", "text",

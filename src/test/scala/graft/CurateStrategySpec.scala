@@ -73,6 +73,31 @@ class CurateStrategySpec extends AnyFunSuite {
     assert(auto.nonEmpty && auto == lossless)
   }
 
+  test("corpus-size hint resolves the auto strategy without the measuring " +
+    "count and never changes the manifest (r15)") {
+    // a BIG hint must route auto to the pruned generator, a SMALL one
+    // to lossless — both land on the identical manifest (the r13 A/B
+    // equivalence this spec already pins), so the hint is purely a
+    // plan-selection shortcut
+    val autoDefault = QueriesPipeline.curateManifest(docs, "auto")
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val hintedSmall = QueriesPipeline.curateManifest(docs, "auto",
+        corpusSizeHint = Some(1L))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val hintedBig = QueriesPipeline.curateManifest(docs, "auto",
+        corpusSizeHint = Some(QueriesPipeline.AutoPrunedMinDocs + 1))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(autoDefault.nonEmpty)
+    assert(hintedSmall == autoDefault)
+    assert(hintedBig == autoDefault)
+    // the hint short-circuits the by-name measured count (Option
+    // .getOrElse never evaluates its default when the hint is present)
+    var counted = false
+    QueriesPipeline.resolveNearDupStrategy("auto",
+      Some(5L).getOrElse[Long] { counted = true; 0L })
+    assert(!counted)
+  }
+
   test("unknown strategy is refused loudly") {
     val e = intercept[IllegalArgumentException] {
       QueriesPipeline.curateManifest(docs, "typo")
