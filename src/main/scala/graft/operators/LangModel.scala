@@ -87,6 +87,116 @@ object LangModel {
     result
   }
 
+  // ──────────── frozen-model train/apply split (r15) ────────────
+  // The incremental curation DAG (VERDICT r14 next-round #3) persists
+  // its quality models as parquet targets at the EPOCH build and
+  // applies them to nightly batches — production model-versioning
+  // semantics (fastText/CCNet models are trained occasionally, applied
+  // nightly; retraining is a new epoch = a full recompute). The apply
+  // functions reproduce the train-and-score functions EXACTLY on
+  // in-model inputs (CurateIncrementalSpec locks the formulas) and
+  // extend them with the add-one-smoothed out-of-model forms.
+
+  /** The TRAIN half of [[bigramSurprisal]] as a persistable model:
+    * corpus bigram counts (w1, w2, c12). c1 (prefix totals) and V
+    * (successor vocabulary) derive from it at apply time — one table
+    * round-trips instead of three. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .groupBy(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+
+  /** The APPLY half of [[bigramSurprisal]]: score `df` against a
+    * PREBUILT [[bigramCounts]] model. Seen bigrams cost exactly the
+    * train-and-score formula `(c1 + V) div (c12 + 1)`; bigrams outside
+    * the model take the same formula's add-one-smoothed limits
+    * (unseen successor: `(c1 + V) div 1`; unseen prefix: `V div 1`) —
+    * so apply(model(d), d) == bigramSurprisal(d) bit-for-bit, and
+    * out-of-model text degrades continuously instead of erroring.
+    * Same dataflow discipline as the trainer: ONE persisted bigram
+    * pass, model-sized join sides broadcast below / merge past the
+    * measured [[Dedup.BroadcastSafeCorpusRows]] pin. */
+  def surprisalApplyCounts(model: DataFrame, df: DataFrame, idCol: String,
+                           textCol: String, keepPpm: Long): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val bi = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = model.select(col("w1").as("__w1"), col("w2").as("__w2"),
+      col("c12").as("__c12"))
+    val nVocab = c12.count()
+    val pinMerge = nVocab > Dedup.BroadcastSafeCorpusRows
+    def pinModel(d: DataFrame) = if (pinMerge) d.hint("merge") else broadcast(d)
+    val c1 = c12.groupBy("__w1").agg(sum(col("__c12")).as("__c1"))
+    val vocab = c12.agg(countDistinct(col("__w2")).as("__v"))
+    val result = bi
+      .join(pinModel(c12), Seq("__w1", "__w2"), "left")
+      .join(pinModel(c1), Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        expr("(coalesce(__c1, cast(0 as bigint)) + __v) div (coalesce(__c12, cast(0 as bigint)) + 1)")
+          .as("__cost"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__cost")).as("total_cost"))
+      .withColumn("mean_cost_ppm",
+        expr("cast(total_cost as decimal(30,0)) * 1000000 div n_bigrams"))
+      .withColumn("keep", col("mean_cost_ppm") <= keepPpm)
+      .localCheckpoint()
+    bi.unpersist()
+    result
+  }
+
+  /** The TRAIN half of [[dsirWeight]] as a persistable model: per-token
+    * raw and target occurrence counts (tok, cr, ct). */
+  def tokenCounts(df: DataFrame, textCol: String,
+                  targetFilter: org.apache.spark.sql.Column): DataFrame =
+    df.select(targetFilter.as("__tgt"), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+
+  /** The APPLY half of [[dsirWeight]] against a PREBUILT
+    * [[tokenCounts]] model — the identical smoothed-lift formula with
+    * coalesced zero counts for out-of-model tokens (their lift is the
+    * unseen-token limit `scale · N_raw div (N_tgt + 1)`), so
+    * apply(model(d), d) == dsirWeight(d) bit-for-bit. */
+  def dsirApplyCounts(model: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, keepPpm: Long = 1000000L,
+                      scale: Long = 1000000L): DataFrame = {
+    val counts = model.select(col("tok"), col("cr").as("__cr"), col("ct").as("__ct"))
+    val nVocab = counts.count()
+    val totals = counts.agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val countSide = if (nVocab > Dedup.BroadcastSafeCorpusRows)
+      counts.hint("merge") else broadcast(counts)
+    val result = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .join(countSide, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        expr(s"((coalesce(__ct, cast(0 as bigint)) + 1) * $scale div " +
+          s"(coalesce(__cr, cast(0 as bigint)) + 1)) * __nr div (__nt + 1)")
+          .as("__lift"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lift")).as("__total"))
+      .withColumn("mean_lift_ppm", expr("__total div n_tokens"))
+      .withColumn("keep", col("mean_lift_ppm") >= keepPpm)
+      .select(col(idCol), col("n_tokens"), col("mean_lift_ppm"), col("keep"))
+      .localCheckpoint()
+    result
+  }
+
   /** DSIR-style importance weighting (Xie et al.'s data selection via
     * importance resampling, reduced to its count-LM core): score every
     * document by how much more its tokens look drawn from the TARGET

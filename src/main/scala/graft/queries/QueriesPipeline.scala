@@ -259,15 +259,7 @@ object QueriesPipeline {
     // materializes the canon checkpoint its consumers reuse — at
     // verify/oracle scale auto always lands on lossless, so the
     // chained DuckDB oracle keeps checking the default chain.
-    val pairs = resolveNearDupStrategy(nearDupStrategy,
-        corpusSizeHint.getOrElse(canon.count())) match {
-      case "lossless" => Dedup.prefixFilterJaccard(canon, "doc_id", "text",
-        shingleN = 3, threshold = 0.5)
-      case "pruned" => Dedup.minhashPrunedJaccard(canon, "doc_id", "text",
-        shingleN = 3, threshold = 0.5, numHashes = 32, bands = 16)
-      case other => throw new IllegalArgumentException(
-        s"nearDupStrategy must be 'auto', 'lossless' or 'pruned', got '$other'")
-    }
+    val pairs = nearDupPairs(canon, nearDupStrategy, corpusSizeHint)
     if (through == "pairs") return pairs
     val comp = Components.connectedComponents(pairs)
       .withColumnRenamed("node", "doc_id")
@@ -278,6 +270,37 @@ object QueriesPipeline {
     val scored = LangModel.dsirWeight(reps, "doc_id", "text",
         targetFilter = col("lang") === "en", keepPpm = 1000000L)
       .select("doc_id", "n_tokens", "mean_lift_ppm")
+    // 5.–7. the config-bounded tail, shared with the incremental DAG
+    manifestTail(docs, scored, through, budget)
+  }
+
+  /** The ONE near-dup pair-generator selection (curate stage 3),
+    * shared by [[curateThrough]], [[epochReps]] and
+    * [[curatePinnedBatch]] so the strategy rule and the generator
+    * configs can never diverge between the batch and incremental
+    * chains. Both generators emit the same schema and bit-exact
+    * jaccard (CurateStrategySpec). */
+  private[graft] def nearDupPairs(canon: DataFrame, strategy: String,
+                                  sizeHint: Option[Long] = None): DataFrame =
+    resolveNearDupStrategy(strategy, sizeHint.getOrElse(canon.count())) match {
+      case "lossless" => Dedup.prefixFilterJaccard(canon, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      case "pruned" => Dedup.minhashPrunedJaccard(canon, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, numHashes = 32, bands = 16)
+      case other => throw new IllegalArgumentException(
+        s"nearDupStrategy must be 'auto', 'lossless' or 'pruned', got '$other'")
+    }
+
+  /** Stages 5–7 of [[curateThrough]] — token budget, leak-free split,
+    * packing, manifest assembly — parameterized by the SCORED set so
+    * the batch chain and the incremental DAG (r15) ride the identical
+    * code (DAG output == batch output by construction wherever their
+    * scored sets agree). `docs` must carry (doc_id, text, lang) for
+    * the selection's shingle edges and the manifest's lang column;
+    * everything here is CONFIG-BOUNDED past the budget cut. */
+  private[graft] def manifestTail(docs: DataFrame, scored: DataFrame,
+                                  through: String, budget: Long): DataFrame = {
+    import graft.functions.TextFunctions.{shinglesOfTokens, tokens}
     // 5. global token budget; output is CONFIG-BOUNDED from here on
     val sel = Select.tokenBudget(scored, "doc_id", "n_tokens",
         "mean_lift_ppm", budget = budget)
@@ -307,6 +330,122 @@ object QueriesPipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("mean_lift_ppm"), col("cum_tokens"), col("component"),
         col("split"), col("bin_id"))
+  }
+
+  // ─────────────── incremental curation (r15) ───────────────
+  // VERDICT r14 next-round #3: the curation flagship as a nightly
+  // O(batch) ingest. Epoch semantics (production model versioning):
+  // the LM gate's bigram counts and the DSIR token counts are TRAINED
+  // on the history epoch and persisted as parquet targets; nightly
+  // batches are gated/scored with those FROZEN models (add-one-smoothed
+  // outside the model — LangModel.surprisalApplyCounts /
+  // dsirApplyCounts), and dedup rides the persisted exact + minhash
+  // signature indexes, so no nightly stage ever re-reads history TEXT.
+  // The config-bounded tail (budget cut → split → pack) re-runs over
+  // the cumulative NARROW scored set ((doc_id, n_tokens, lift) — no
+  // text) plus the selection's own text, so it stays cheap at any
+  // history size. Retraining the models = a new epoch = the batch
+  // recompute. Ingest contract: batch ids EXCEED history ids (min-id
+  // survivor semantics then agree with the batch recompute; the
+  // q_ingest id-monotonicity contract). Known divergence vs a full
+  // recompute, inherited from the incremental verdict rules and
+  // documented there (Dedup.incrementalNearDupIndexed): a batch doc
+  // BRIDGING two history components merges them in a recompute but
+  // not incrementally; near-dup FAMILIES (cliques) agree exactly —
+  // CurateIncrementalSpec proves manifest equality with the
+  // pinned-model batch recompute on corpus and fixture.
+
+  /** Exact-survivor reps of the history epoch: canon docs (the exact
+    * index's survivors) → lossless prefix-filter pairs at the curate
+    * threshold → connected components → min-id representatives. The
+    * [[curateThrough]] stage-3 shape over the epoch corpus. */
+  private[graft] def epochReps(exactIndex: DataFrame, hist: DataFrame,
+                               strategy: String = "auto"): DataFrame = {
+    val canon = hist.join(
+        exactIndex.select(col("hist_id").as("doc_id")).distinct(), "doc_id")
+      .localCheckpoint(eager = false)
+    val pairs = nearDupPairs(canon, strategy)
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    canon.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .drop("component")
+  }
+
+  /** One combined nightly verdict per batch doc — the audit artifact
+    * an ingest run writes: `lm_drop` (failed the frozen LM gate, or
+    * had < 2 tokens), `dup_exact_history`/`dup_exact_batch` (content
+    * fingerprint), `dup_near_history`/`dup_near_batch` (J ≥ 0.5
+    * against the signature index / within the batch), else `new`;
+    * `canonical_id` is the doc downstream rewrites to (itself for
+    * `lm_drop`/`new`). Each stage only sees the previous stage's
+    * survivors, so the triage narrows as it proceeds (the
+    * [[curateThrough]] stage order). */
+  private[graft] def nightVerdicts(lmModel: DataFrame, exactIndex: DataFrame,
+                                   ndIndex: DataFrame, batch: DataFrame,
+                                   keepPpm: Long = 35000000L): DataFrame = {
+    val gate = LangModel.surprisalApplyCounts(lmModel, batch, "doc_id", "text",
+        keepPpm)
+      .select(col("doc_id"), col("keep").as("__lm_keep"))
+    val keptDocs = batch.join(
+      gate.filter(col("__lm_keep")).select("doc_id"), "doc_id")
+    val ex = Dedup.incrementalExactIndexed(exactIndex, keptDocs, "doc_id", "text")
+      .select(col("doc_id"), col("status").as("__ex_status"),
+        col("canonical_id").as("__ex_canon"))
+    val exNewDocs = batch.join(
+      ex.filter(col("__ex_status") === "new").select("doc_id"), "doc_id")
+    val nd = Dedup.incrementalNearDupIndexed(ndIndex, exNewDocs, "doc_id", "text",
+        threshold = 0.5)
+      .select(col("doc_id"), col("status").as("__nd_status"),
+        col("canonical_id").as("__nd_canon"))
+    batch.select("doc_id")
+      .join(gate, Seq("doc_id"), "left")
+      .join(ex, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!coalesce(col("__lm_keep"), lit(false)), lit("lm_drop"))
+          .when(col("__ex_status") === "dup_history", lit("dup_exact_history"))
+          .when(col("__ex_status") === "dup_batch", lit("dup_exact_batch"))
+          .when(col("__nd_status") === "dup_history", lit("dup_near_history"))
+          .when(col("__nd_status") === "dup_batch", lit("dup_near_batch"))
+          .otherwise(lit("new")).as("status"),
+        when(col("__ex_status").isin("dup_history", "dup_batch"), col("__ex_canon"))
+          .when(col("__nd_status").isin("dup_history", "dup_batch"), col("__nd_canon"))
+          .otherwise(col("doc_id")).as("canonical_id"))
+  }
+
+  /** The pinned-model BATCH RECOMPUTE the incremental DAG must equal
+    * (CurateIncrementalSpec): the [[curateThrough]] chain over
+    * history ∪ batch with the LM and DSIR models trained on the
+    * `histPred` epoch only — i.e. exactly what re-running the whole
+    * corpus through the deployed (frozen) models computes. With
+    * histPred = lit(true) this IS curateThrough's lossless chain
+    * (apply(model(d), d) == train-and-score — the spec locks it). */
+  private[graft] def curatePinnedBatch(docsAll0: DataFrame,
+                                       histPred: org.apache.spark.sql.Column,
+                                       budget: Long = 12000L,
+                                       keepPpm: Long = 35000000L): DataFrame = {
+    val docsAll = docsAll0.select(col("doc_id"), col("text"), col("lang"))
+    val hist = docsAll.filter(histPred)
+    val lm = LangModel.bigramCounts(hist, "text")
+    val kept = docsAll.join(
+      LangModel.surprisalApplyCounts(lm, docsAll, "doc_id", "text", keepPpm)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+    val canon = docsAll
+      .join(Dedup.exact(kept, "doc_id", "text").select("doc_id"), "doc_id")
+      .localCheckpoint(eager = false)
+    val pairs = nearDupPairs(canon, "auto")
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val reps = canon.join(comp, Seq("doc_id"), "left")
+      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .drop("component")
+      .localCheckpoint(eager = false)
+    val dsir = LangModel.tokenCounts(reps.filter(histPred), "text",
+      col("lang") === "en")
+    val scored = LangModel.dsirApplyCounts(dsir, reps, "doc_id", "text")
+      .select("doc_id", "n_tokens", "mean_lift_ppm")
+    manifestTail(docsAll, scored, "manifest", budget)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -424,6 +563,78 @@ object QueriesPipeline {
           (sp, up) => Dedup.minhashIndexUpdated(up("neardup_index"),
             batch(sp), "doc_id", "text"))))
       Targets.read(s, root, "neardup_verdicts").orderBy("doc_id")
+    }),
+
+    "q_curate_incremental" -> ((s, d) => {
+      // the INCREMENTAL CURATE MANIFEST (VERDICT r14 next-round #3) as
+      // a Targets DAG: the epoch stages persist the frozen models
+      // (bigram LM counts, DSIR token counts), the dedup indexes
+      // (exact fingerprints, minhash signatures over the epoch canon),
+      // and the epoch's narrow scored set; the nightly stages gate +
+      // triage the batch against those parquet targets in O(batch) —
+      // no stage re-reads history text — and the manifest stage
+      // re-cuts the cumulative scored set through the shared
+      // config-bounded tail (manifestTail — the SAME code
+      // q_curate_e2e's batch chain runs). History/batch split by id
+      // threshold (max_id·7 div 10) per the ingest id-monotonicity
+      // contract. The oracle replays the WHOLE incremental chain —
+      // frozen-model smoothed gating, min-id exact survivors,
+      // history-component reps + the incremental batch verdict rules,
+      // frozen-lift scoring, budget/split/pack — and the manifest must
+      // hash-match it. CurateIncrementalSpec proves equality with the
+      // pinned-model batch recompute (curatePinnedBatch).
+      import graft.operators.Targets
+      import graft.operators.Targets.Stage
+      val root = sys.props("java.io.tmpdir") +
+        "/graft_curate_inc_dag_" + new java.io.File(d).getName +
+        "_" + s.sparkContext.applicationId
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      def docsAll(sp: SparkSession) =
+        Tables(sp, d).documents.select(col("doc_id"), col("text"), col("lang"))
+      def thresh(sp: SparkSession): Long =
+        docsAll(sp).agg(max(col("doc_id"))).head.getLong(0) * 7 / 10
+      def hist(sp: SparkSession) = docsAll(sp).filter(col("doc_id") <= thresh(sp))
+      def batch(sp: SparkSession) = docsAll(sp).filter(col("doc_id") > thresh(sp))
+      Targets.run(s, root, Seq(
+        Stage("lm_model", Nil,
+          (sp, _) => LangModel.bigramCounts(hist(sp), "text")),
+        Stage("exact_index", Seq("lm_model"), (sp, up) => {
+          val kept = hist(sp).join(
+            LangModel.surprisalApplyCounts(up("lm_model"), hist(sp),
+              "doc_id", "text", 35000000L)
+              .filter(col("keep")).select("doc_id"), "doc_id")
+          Dedup.exactIndex(kept, "doc_id", "text")
+        }),
+        Stage("nd_index", Seq("exact_index"), (sp, up) =>
+          Dedup.minhashIndex(hist(sp).join(
+            up("exact_index").select(col("hist_id").as("doc_id")).distinct(),
+            "doc_id"), "doc_id", "text")),
+        Stage("hist_reps", Seq("exact_index"), (sp, up) =>
+          epochReps(up("exact_index"), hist(sp)).select("doc_id")),
+        Stage("dsir_model", Seq("hist_reps"), (sp, up) =>
+          LangModel.tokenCounts(hist(sp).join(up("hist_reps"), "doc_id"),
+            "text", col("lang") === "en")),
+        Stage("hist_scored", Seq("hist_reps", "dsir_model"), (sp, up) =>
+          LangModel.dsirApplyCounts(up("dsir_model"),
+            hist(sp).join(up("hist_reps"), "doc_id"), "doc_id", "text")
+            .select("doc_id", "n_tokens", "mean_lift_ppm")),
+        Stage("night_verdicts", Seq("lm_model", "exact_index", "nd_index"),
+          (sp, up) => nightVerdicts(up("lm_model"), up("exact_index"),
+            up("nd_index"), batch(sp))),
+        Stage("manifest", Seq("night_verdicts", "hist_scored", "dsir_model"),
+          (sp, up) => {
+            val newDocs = docsAll(sp).join(
+              up("night_verdicts").filter(col("status") === "new")
+                .select("doc_id"), "doc_id")
+            val scoredB = LangModel.dsirApplyCounts(up("dsir_model"), newDocs,
+                "doc_id", "text")
+              .select("doc_id", "n_tokens", "mean_lift_ppm")
+            manifestTail(docsAll(sp),
+              up("hist_scored").unionByName(scoredB), "manifest", 12000L)
+          })))
+      Targets.read(s, root, "manifest").orderBy("doc_id")
     }),
 
     "q_pipeline_e2e" -> ((s, d) => {
@@ -747,6 +958,135 @@ object QueriesPipeline {
          |FROM b LEFT JOIN hm ON hm.doc_id = b.doc_id
          |LEFT JOIN comp c ON c.node = b.doc_id
          |ORDER BY b.doc_id""".stripMargin
+    },
+
+    // replays the INCREMENTAL curation chain end-to-end under the
+    // frozen-epoch semantics the DAG ships: bigram/DSIR models from
+    // the history split only, add-one-smoothed application to
+    // everything, min-id exact survivors (identical to the
+    // incremental verdicts under the id-monotone ingest contract),
+    // history near-dup components + the INCREMENTAL batch verdict
+    // rules (direct hist match at J>=0.5 kills; else batch-component
+    // min survives), frozen-lift scoring of all reps, then the exact
+    // q_curate_e2e tail (budget cut, 5-shingle leak-free split,
+    // maxOpenBins=1 packing).
+    "q_curate_incremental" -> {
+      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+      val jac = (a: String, b: String) =>
+        s"len(list_intersect($a.sh, $b.sh))::DOUBLE / len(list_distinct($a.sh || $b.sh)) >= 0.5"
+      s"""WITH RECURSIVE
+         |th AS (SELECT max(doc_id) * 7 // 10 AS t FROM documents),
+         |dth AS (SELECT doc_id, string_split($norm, ' ') AS t FROM documents, th
+         |  WHERE doc_id <= th.t AND len(string_split($norm, ' ')) >= 2),
+         |bih AS (SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+         |   CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END), b -> b IS NOT NULL)) AS bg FROM dth),
+         |c12 AS MATERIALIZED (SELECT bg, count(*) AS c12 FROM bih GROUP BY 1),
+         |c1 AS MATERIALIZED (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM c12),
+         |dta AS (SELECT doc_id, string_split($norm, ' ') AS t FROM documents
+         |  WHERE len(string_split($norm, ' ')) >= 2),
+         |bia AS (SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+         |   CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END), b -> b IS NOT NULL)) AS bg FROM dta),
+         |costs AS (SELECT b.doc_id,
+         |  (coalesce(c1.c1, 0) + v.v) // (coalesce(c12.c12, 0) + 1) AS cost
+         | FROM bia b LEFT JOIN c12 ON b.bg = c12.bg
+         |  LEFT JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1, v),
+         |lmkeep AS MATERIALIZED (SELECT doc_id FROM costs GROUP BY doc_id
+         |  HAVING cast(sum(cost) as bigint) * 1000000 // count(*) <= 35000000),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM documents JOIN lmkeep USING (doc_id)
+         |  GROUP BY md5($norm)),
+         |canon AS MATERIALIZED (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+         |cs AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 3
+         |  THEN [array_to_string(tk, ' ')]
+         |  ELSE list_transform(range(len(tk)-2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]) END) AS sh
+         | FROM (SELECT doc_id, string_split($norm, ' ') AS tk FROM canon)),
+         |csh AS MATERIALIZED (SELECT cs.* FROM cs, th WHERE cs.doc_id <= th.t),
+         |csb AS MATERIALIZED (SELECT cs.* FROM cs, th WHERE cs.doc_id > th.t),
+         |ndh AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM csh a, csh b
+         | WHERE a.doc_id < b.doc_id AND ${jac("a", "b")}),
+         |hnodes AS (SELECT DISTINCT node FROM (SELECT ia AS node FROM ndh UNION ALL SELECT ib FROM ndh)),
+         |hsym AS (SELECT ia AS src, ib AS dst FROM ndh UNION ALL SELECT ib, ia FROM ndh),
+         |hreach AS (SELECT node, node AS lbl FROM hnodes
+         | UNION SELECT s2.dst, r.lbl FROM hreach r JOIN hsym s2 ON s2.src = r.node),
+         |hcomp AS (SELECT node, min(lbl) AS component FROM hreach GROUP BY 1),
+         |repsh AS MATERIALIZED (SELECT c.doc_id FROM csh c LEFT JOIN hcomp ON hcomp.node = c.doc_id
+         |  WHERE coalesce(hcomp.component, c.doc_id) = c.doc_id),
+         |bh AS MATERIALIZED (SELECT DISTINCT b.doc_id FROM csb b, csh h WHERE ${jac("b", "h")}),
+         |ndb AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM csb a, csb b
+         | WHERE a.doc_id < b.doc_id AND ${jac("a", "b")}),
+         |bnodes AS (SELECT DISTINCT node FROM (SELECT ia AS node FROM ndb UNION ALL SELECT ib FROM ndb)),
+         |bsym AS (SELECT ia AS src, ib AS dst FROM ndb UNION ALL SELECT ib, ia FROM ndb),
+         |breach AS (SELECT node, node AS lbl FROM bnodes
+         | UNION SELECT s2.dst, r.lbl FROM breach r JOIN bsym s2 ON s2.src = r.node),
+         |bcomp AS (SELECT node, min(lbl) AS component FROM breach GROUP BY 1),
+         |repsb AS MATERIALIZED (SELECT c.doc_id FROM csb c LEFT JOIN bcomp ON bcomp.node = c.doc_id
+         |  WHERE c.doc_id NOT IN (SELECT doc_id FROM bh)
+         |   AND coalesce(bcomp.component, c.doc_id) = c.doc_id),
+         |reps AS MATERIALIZED (SELECT doc_id FROM repsh UNION ALL SELECT doc_id FROM repsb),
+         |tfh AS (SELECT doc_id, lang, tok FROM
+         |  (SELECT d.doc_id, d.lang, unnest(string_split($norm, ' ')) AS tok
+         |   FROM documents d JOIN repsh USING (doc_id)) WHERE length(tok) > 0),
+         |cnt AS MATERIALIZED (SELECT tok, count(*) AS cr,
+         |  count(*) FILTER (WHERE lang = 'en') AS ct FROM tfh GROUP BY 1),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+         |tfa AS (SELECT doc_id, tok FROM
+         |  (SELECT d.doc_id, unnest(string_split($norm, ' ')) AS tok
+         |   FROM documents d JOIN reps USING (doc_id)) WHERE length(tok) > 0),
+         |scored AS MATERIALIZED (SELECT f.doc_id, count(*) AS n_tokens,
+         |  cast(sum(((coalesce(cnt.ct, 0) + 1) * 1000000 // (coalesce(cnt.cr, 0) + 1))
+         |    * tot.nr // (tot.nt + 1)) // count(*) as bigint) AS mean_lift_ppm
+         | FROM tfa f LEFT JOIN cnt ON f.tok = cnt.tok, tot GROUP BY f.doc_id),
+         |sel AS MATERIALIZED (SELECT doc_id, n_tokens, mean_lift_ppm, cum_tokens FROM
+         |  (SELECT doc_id, n_tokens, mean_lift_ppm,
+         |    cast(sum(n_tokens) OVER (ORDER BY mean_lift_ppm DESC, doc_id ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+         |   FROM scored) WHERE cum_tokens <= 12000),
+         |s5 AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+         |   ELSE list_filter(list_transform(t, (x, i) ->
+         |     CASE WHEN i <= len(t) - 4 THEN array_to_string(t[i:i+4], ' ') END), g -> g IS NOT NULL) END) AS sh
+         |  FROM (SELECT s.doc_id, string_split($norm, ' ') AS t FROM sel s JOIN documents USING (doc_id)))),
+         |bk AS (SELECT sh FROM s5 GROUP BY sh HAVING count(*) BETWEEN 2 AND 20),
+         |bounded AS (SELECT s.doc_id, s.sh FROM s5 s JOIN bk USING (sh)),
+         |edges AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         | FROM bounded a JOIN bounded b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |enodes AS (SELECT DISTINCT node FROM (SELECT ia AS node FROM edges UNION ALL SELECT ib FROM edges)),
+         |esym AS (SELECT ia AS src, ib AS dst FROM edges UNION ALL SELECT ib, ia FROM edges),
+         |ereach AS (SELECT node, node AS lbl FROM enodes
+         | UNION SELECT s.dst AS node, r.lbl FROM ereach r JOIN esym s ON s.src = r.node),
+         |ecomp AS (SELECT node, min(lbl) AS component FROM ereach GROUP BY 1),
+         |spl AS MATERIALIZED (SELECT doc_id, component,
+         |  CASE WHEN uval < 13421772 THEN 'train' WHEN uval < 15099494 THEN 'val' ELSE 'test' END AS split
+         | FROM (SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+         |   ((((cast(strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 1, 1)) - 1 as bigint) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 2, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 3, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 4, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 5, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5('spl' || cast(coalesce(c.component, s.doc_id) as varchar)), 6, 1)) - 1 AS uval
+         |  FROM sel s LEFT JOIN ecomp c ON c.node = s.doc_id)),
+         |pq AS (SELECT *, cast(row_number() OVER (PARTITION BY shard ORDER BY ord) as int) AS rn FROM
+         |  (SELECT s.doc_id AS id, s.n_tokens AS n_tok, md5(cast(s.doc_id as varchar)) AS ord,
+         |    cast(((strpos('0123456789abcdef', substr(md5(cast(s.doc_id as varchar)), 1, 1)) - 1) * 16
+         |        + strpos('0123456789abcdef', substr(md5(cast(s.doc_id as varchar)), 2, 1)) - 1) % 16 as int) AS shard
+         |   FROM sel s JOIN spl p USING (doc_id) WHERE p.split = 'train')),
+         |step AS (
+         | SELECT shard, 0 AS rn, cast(NULL as bigint) AS id, 0 AS n_tok,
+         |        false AS oversize, -1 AS bin_seq, -1 AS cur_seq, 0 AS next_seq, 0 AS used
+         | FROM (SELECT DISTINCT shard FROM pq)
+         | UNION ALL
+         | SELECT d.shard, d.rn, d.id, d.n_tok, d.n_tok > 512,
+         |  CASE WHEN d.n_tok > 512 THEN s.next_seq
+         |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq ELSE s.next_seq END,
+         |  CASE WHEN d.n_tok > 512 THEN s.cur_seq
+         |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.cur_seq ELSE s.next_seq END,
+         |  CASE WHEN d.n_tok > 512 THEN s.next_seq + 1
+         |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.next_seq ELSE s.next_seq + 1 END,
+         |  CASE WHEN d.n_tok > 512 THEN s.used
+         |       WHEN s.cur_seq >= 0 AND s.used + d.n_tok <= 512 THEN s.used + d.n_tok ELSE d.n_tok END
+         | FROM step s JOIN pq d ON d.shard = s.shard AND d.rn = s.rn + 1),
+         |packed AS (SELECT id AS doc_id, cast(shard as bigint) * 4294967296 + bin_seq AS bin_id
+         | FROM step WHERE rn > 0)
+         |SELECT s.doc_id, d.lang, s.n_tokens, s.mean_lift_ppm, s.cum_tokens,
+         | sp.component, sp.split, pb.bin_id
+         |FROM sel s JOIN documents d USING (doc_id)
+         |JOIN spl sp USING (doc_id) LEFT JOIN packed pb USING (doc_id)
+         |ORDER BY s.doc_id
+         |""".stripMargin
     },
 
     // the chained replay of curateManifest, stage for stage (each
