@@ -585,6 +585,15 @@ object QueriesPipeline {
       // pinned-model batch recompute (curatePinnedBatch).
       import graft.operators.Targets
       import graft.operators.Targets.Stage
+      // same bench-ladder knobs as q_curate_e2e (budget scales with
+      // the corpus factor, keepPpm re-calibrates the LM gate per
+      // corpus — the x1-calibrated 35M gate keeps ZERO ScaleGen x100
+      // docs); Verify FAILS FAST if either is set, so the oracle
+      // always checks the default chain
+      val incBudget = sys.env.get("SPARK_GRAFT_CURATE_BUDGET")
+        .map(_.toLong).getOrElse(12000L)
+      val incKeepPpm = sys.env.get("SPARK_GRAFT_CURATE_KEEPPPM")
+        .map(_.toLong).getOrElse(35000000L)
       val root = sys.props("java.io.tmpdir") +
         "/graft_curate_inc_dag_" + new java.io.File(d).getName +
         "_" + s.sparkContext.applicationId
@@ -603,7 +612,7 @@ object QueriesPipeline {
         Stage("exact_index", Seq("lm_model"), (sp, up) => {
           val kept = hist(sp).join(
             LangModel.surprisalApplyCounts(up("lm_model"), hist(sp),
-              "doc_id", "text", 35000000L)
+              "doc_id", "text", incKeepPpm)
               .filter(col("keep")).select("doc_id"), "doc_id")
           Dedup.exactIndex(kept, "doc_id", "text")
         }),
@@ -622,7 +631,7 @@ object QueriesPipeline {
             .select("doc_id", "n_tokens", "mean_lift_ppm")),
         Stage("night_verdicts", Seq("lm_model", "exact_index", "nd_index"),
           (sp, up) => nightVerdicts(up("lm_model"), up("exact_index"),
-            up("nd_index"), batch(sp))),
+            up("nd_index"), batch(sp), keepPpm = incKeepPpm)),
         Stage("manifest", Seq("night_verdicts", "hist_scored", "dsir_model"),
           (sp, up) => {
             val newDocs = docsAll(sp).join(
@@ -632,7 +641,7 @@ object QueriesPipeline {
                 "doc_id", "text")
               .select("doc_id", "n_tokens", "mean_lift_ppm")
             manifestTail(docsAll(sp),
-              up("hist_scored").unionByName(scoredB), "manifest", 12000L)
+              up("hist_scored").unionByName(scoredB), "manifest", incBudget)
           })))
       Targets.read(s, root, "manifest").orderBy("doc_id")
     }),
