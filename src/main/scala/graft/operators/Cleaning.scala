@@ -221,6 +221,36 @@ object Cleaning {
   private[graft] val AmpEntities: Seq[(String, String)] = Seq(
     "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
 
+  /** Unicode punctuation → ASCII normalizations (the text-cleanup
+    * pass a crawl corpus runs before tokenization: curly quotes,
+    * dashes, ellipsis, NBSP, zero-width characters). LITERAL
+    * replacements in a fixed order — no regex classes, so any engine
+    * (and the DuckDB oracle) replays the chain byte-for-byte with
+    * plain `replace`. */
+  private[graft] val PunctNormalizations: Seq[(String, String)] = Seq(
+    "\u201C" -> "\"", "\u201D" -> "\"", "\u201E" -> "\"",
+    "\u2018" -> "'", "\u2019" -> "'", "\u201A" -> "'",
+    "\u2013" -> "-", "\u2014" -> "-", "\u2212" -> "-",
+    "\u2026" -> "...",
+    "\u00A0" -> " ",
+    "\u200B" -> "", "\u200C" -> "", "\u200D" -> "", "\uFEFF" -> "")
+
+  /** Text normalization for corpus curation: decode the unicode
+    * punctuation variants to ASCII ([[PunctNormalizations]] — curly
+    * quotes, en/em dashes, ellipsis, NBSP, zero-widths), then collapse
+    * whitespace through the Java∩RE2 class and trim. A narrow
+    * zero-shuffle codegen'd chain like [[extractHtml]]; composes ahead
+    * of [[graft.functions.TextFunctions.normText]] (which strips ALL
+    * non-alphanumerics — this pass preserves readable punctuation for
+    * the emitted text while killing the unicode variance that splits
+    * otherwise-identical dedup fingerprints). */
+  def normalizeText(c: Column): Column = {
+    val replaced = PunctNormalizations.foldLeft(c) {
+      case (x, (from, to)) => replace(x, lit(from), lit(to))
+    }
+    trim(regexp_replace(replaced, WsClass, " "))
+  }
+
   /** Block-level MAIN-CONTENT extraction over the same constrained
     * HTML subset as [[extractHtml]] (r15, VERDICT r14 "what's
     * missing" #2): tag-stripping keeps nav/menu/footer TEXT; the

@@ -536,6 +536,110 @@ object Dedup {
     result
   }
 
+  /** EXACT set-CONTAINMENT join — the asymmetric sibling of
+    * [[prefixFilterJaccard]] that Jaccard structurally misses: a short
+    * document quoted inside a much longer one has tiny Jaccard (the
+    * union is the long doc) but containment |A∩B| / |A| ≈ 1. This is
+    * the quote/subset detector a pretraining corpus runs next to
+    * near-dup (a doc wholly contained in another is redundant even
+    * when the big doc survives).
+    *
+    * Returns (id_a < id_b, containment) where containment =
+    * |∩| / min(|Sa|,|Sb|) ≥ τ — the smaller side's coverage by the
+    * larger. Lossless candidate rule (the ssjoin containment variant
+    * of the PPJoin prefix filter): if C(min→max) ≥ τ then at most
+    * s − ceil(τ·s) of the SMALLER doc's s shingles miss the other
+    * set, so at least one of its s − ceil(τ·s) + 1 rarest shingles
+    * (global df-asc order, the prefixFilterJaccard order) is shared —
+    * and since the candidate bucket carries the FULL shingle list of
+    * every doc, that bucket surfaces the pair. Candidates therefore
+    * form in (prefix(smaller) × full(other)) bucket pairs; all bounds
+    * run in the same exact ppm integers as prefixFilterJaccard (τ
+    * snapped FLOOR to ppm; ceil via (s·τppm + 999999) div 1e6).
+    *
+    * Scale shape & cost honesty: unlike the Jaccard prefix filter
+    * (both sides shuffle only prefixes), containment needs the full
+    * inverted index on one side — that is inherent to the asymmetric
+    * predicate (no length filter exists: a 10-shingle doc CAN be
+    * contained in a 10k-shingle one). Bucket size = shingle document
+    * frequency; the same LOUD gate as prefixFilterJaccard throws if
+    * the largest bucket exceeds `maxBucket` rather than silently
+    * breaking the exactness contract (remedy: drop stop-shingles past
+    * a df ceiling first, or raise the cap). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.floor(threshold * 1e6).toLong
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = sh.count()
+    val ex = sh.select(col(idCol), size(col("__sh")).as("__s"),
+      explode(col("__sh")).as("__g"))
+    val dfreq = ex.groupBy("__g").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__df"), col("__g"))
+    // every occurrence rides the bucket (the full inverted index);
+    // the prefix FLAG, not a prefix filter, marks the rarest
+    // s − ceil(τ·s) + 1 entries per doc
+    val flagged = ex.join(dfreq.hint("merge"), "__g")
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__p",
+        expr(s"__rk <= __s - ((__s * ${tPpm}L + 999999) div 1000000) + 1"))
+    val buckets = flagged.groupBy("__g")
+      .agg(sort_array(collect_set(struct(col(idCol).as("id"),
+        col("__s").as("s"), col("__p").as("p")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val biggest = buckets.agg(coalesce(max(size(col("ids"))), lit(0))).head().getInt(0)
+    if (biggest > maxBucket) {
+      buckets.unpersist(); sh.unpersist()
+      throw new IllegalStateException(
+        s"containmentPairs: largest shingle bucket has $biggest docs > maxBucket=$maxBucket; " +
+          "dropping it would break the exact-result contract. Strip stop-shingles past a df " +
+          "ceiling first, or raise maxBucket.")
+    }
+    val pairStructs = flatten(
+      transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(sequence(i + 1, size(col("ids")) - 1), j =>
+          struct(element_at(col("ids"), i + 1).getField("id").as("id_a"),
+                 element_at(col("ids"), j + 1).getField("id").as("id_b"),
+                 element_at(col("ids"), i + 1).getField("s").as("sa"),
+                 element_at(col("ids"), j + 1).getField("s").as("sb"),
+                 element_at(col("ids"), i + 1).getField("p").as("pa"),
+                 element_at(col("ids"), j + 1).getField("p").as("pb")))))
+    val pairs = buckets.select(explode(pairStructs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sa"), col("p.sb"),
+        col("p.pa"), col("p.pb"))
+      // lossless keep rule: the smaller side's entry must be one of
+      // its prefix shingles (ties: either side qualifies)
+      .filter((col("sa") <= col("sb") && col("pa")) ||
+        (col("sb") <= col("sa") && col("pb")))
+      .dropDuplicates("id_a", "id_b")
+    val pin = nRows > BroadcastSafeCorpusRows
+    def side(n: String, v: String) = {
+      val s = sh.select(col(idCol).as(n), col("__sh").as(v))
+      if (pin) s.hint("merge") else s
+    }
+    // final filter on the exact rational (i / min is one IEEE division
+    // of two integers — engine-reproducible), the prefixFilterJaccard
+    // discipline: the ppm constant gates only the lossless candidate
+    // bounds, where FLOOR keeps them a superset
+    val result = pairs.join(side("id_a", "sh_a"), "id_a").join(side("id_b", "sh_b"), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("__i").cast("double") /
+        least(col("sa"), col("sb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .localCheckpoint()
+    buckets.unpersist()
+    sh.unpersist()
+    result
+  }
+
   /** The 100 TB configuration of the near-dup slot: MinHash/LSH
     * banding PRUNES the candidate space, the prefix filter's exact
     * raw-string Jaccard re-scores the survivors — same output schema

@@ -135,4 +135,127 @@ object Infer {
     docFeats.unpersist()
     (w, bias)
   }
+
+  /** MULTICLASS classifier training — one-vs-rest logistic regression
+    * over the same hashed-feature space as [[trainLogistic]], the
+    * in-engine langid trainer (fastText's supervised shape: K linear
+    * heads over shared hashed unigrams). Every arithmetic step is the
+    * binary trainer's exact fixed-point (hard-sigmoid ppm, truncating
+    * division), applied per class against the one-hot label y_c =
+    * (class == c), so a DuckDB oracle replays the whole K-class
+    * trajectory with a `cls` dimension on the weight table.
+    *
+    * Scale shape: the per-doc feature map is built ONCE (one doc-keyed
+    * shuffle) and shared by all classes; each step computes all K
+    * scores from literal weight arrays riding the plan (narrow), then
+    * ONE map-side-combined aggregate whose reduced size is K·(B+1)
+    * cells regardless of corpus rows, and a K·(B+1)-row collect. The
+    * class vocabulary is collected once (bounded: a label vocabulary,
+    * not data-scaled) and ordered, so class indexing is deterministic.
+    *
+    * @return per class (sorted): (class, weights 0..B-1, bias) in ppm —
+    *         each plugs into [[linearScore]]; argmax over the K scores
+    *         is the predicted class. */
+  def trainOvr(docs: DataFrame, idCol: String, textCol: String,
+               classCol: Column, buckets: Int = 64, iters: Int = 3,
+               lrDiv: Long = 8L, salt: String = "fh"): Seq[(String, IndexedSeq[Long], Long)] = {
+    require(buckets > 0 && 4096 % buckets == 0,
+      s"buckets must divide 4096 (3 hex digits); got $buckets")
+    require(iters >= 1 && lrDiv >= 1, "iters and lrDiv must be positive")
+    val bucket = (conv(substring(md5(concat(lit(salt), col("__tok"))), 1, 3), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val docFeats = docs
+      .select(col(idCol), classCol.cast("string").as("__y"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__x"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(map_concat(
+        map_from_entries(collect_list(struct(col("__b"), col("__x")))),
+        map(lit(-1), lit(1L))).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docFeats.count()
+    require(nDocs > 0, "trainOvr: no docs with >= 1 token")
+    val classes = docFeats.select("__y").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    var model: Map[String, (Long, IndexedSeq[Long])] =
+      classes.map(c => c -> (0L, IndexedSeq.fill(buckets)(0L))).toMap
+    for (_ <- 1 to iters) {
+      var frame = docFeats
+      classes.zipWithIndex.foreach { case (c, i) =>
+        val (b0, w0) = model(c)
+        val wArr = (b0 +: w0).toArray
+        frame = frame.withColumn(s"__z$i",
+          aggregate(map_entries(col("__m")), lit(0L),
+            (acc, e) => acc + element_at(lit(wArr), e("key") + lit(2)) * e("value")))
+      }
+      val eArr = array(classes.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"),
+          (least(lit(1000000L), greatest(lit(0L), lit(500000L) + expr(s"__z$i div 4")))
+            - when(col("__y") === c, lit(1000000L)).otherwise(lit(0L))).as("e"))
+      }: _*)
+      val grads = frame
+        .select(explode(eArr).as("__ce"), col("__m"))
+        .select(col("__ce.ci").as("ci"), col("__ce.e").as("e"),
+          explode(map_entries(col("__m"))).as("__kv"))
+        .groupBy(col("ci"), col("__kv.key").as("b"))
+        .agg(sum(col("e") * col("__kv.value")).as("g"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      val denom = nDocs * lrDiv
+      model = classes.zipWithIndex.map { case (c, i) =>
+        val (b0, w0) = model(c)
+        c -> (b0 - grads((i, -1)) / denom,
+          w0.indices.map(b => w0(b) - grads((i, b)) / denom))
+      }.toMap
+    }
+    docFeats.unpersist()
+    classes.map(c => (c, model(c)._2, model(c)._1))
+  }
+
+  /** Binary-classifier evaluation over a scored frame — confusion
+    * counts at the `score > 0` operating point plus EXACT ppm metrics
+    * including rank-based AUC, all integer (the scores are exact longs
+    * from [[linearScore]], so midranks are exact and the AUC is a
+    * ratio of integers — no float sums anywhere, hash-reproducible
+    * across engines). AUC via the Mann–Whitney identity: Σ over
+    * positives of 2·midrank, computed per DISTINCT score group
+    * (2·midrank = 2·cum_before + n + 1), then
+    * AUC = (2U) / (2·n_pos·n_neg) with 2U = Σ2R⁺ − 2·U_offset.
+    *
+    * Scale: one groupBy(score) shuffle, then a window over DISTINCT
+    * scores — score-cardinality-bounded, not row-bounded (an eval set
+    * is sampled at corpus scale anyway). Returns ONE row:
+    * n_eval/n_pos/n_neg/tp/fp/tn/fn/accuracy_ppm/precision_ppm/
+    * recall_ppm/auc_ppm (nullable where undefined). */
+  def evalBinary(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val y = col(labelCol)
+    val sc = col(scoreCol)
+    val perScore = scored.groupBy(sc.as("__s"))
+      .agg(count(lit(1)).as("n"), sum(when(y, 1L).otherwise(0L)).as("np"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val r2 = perScore
+      .withColumn("cum", coalesce(sum(col("n")).over(wOrd), lit(0L)))
+      .agg(sum(col("np") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("r2pos"))
+    scored.agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(y, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!y, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(y && sc > 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(!y && sc > 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!y && sc <= 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(y && sc <= 0, 1L).otherwise(0L)).as("fn"))
+      .crossJoin(broadcast(r2))
+      .select(col("n_eval"), col("n_pos"), col("n_neg"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        expr("(tp + tn) * 1000000 div n_eval").as("accuracy_ppm"),
+        expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN n_pos > 0 THEN tp * 1000000 div n_pos END").as("recall_ppm"),
+        expr("CASE WHEN n_pos * n_neg > 0 THEN (r2pos - n_pos * (n_pos + 1)) * 1000000" +
+          " div (2 * n_pos * n_neg) END").as("auc_ppm"))
+  }
 }

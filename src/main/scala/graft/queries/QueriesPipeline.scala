@@ -602,10 +602,13 @@ object QueriesPipeline {
         .delete(rootPath, true)
       def docsAll(sp: SparkSession) =
         Tables(sp, d).documents.select(col("doc_id"), col("text"), col("lang"))
-      def thresh(sp: SparkSession): Long =
-        docsAll(sp).agg(max(col("doc_id"))).head.getLong(0) * 7 / 10
-      def hist(sp: SparkSession) = docsAll(sp).filter(col("doc_id") <= thresh(sp))
-      def batch(sp: SparkSession) = docsAll(sp).filter(col("doc_id") > thresh(sp))
+      // resolved ONCE (deterministic per corpus): stages reference
+      // hist/batch ~10 times and each lambda re-deriving the split
+      // point would re-run the max(doc_id) job per reference
+      val thresh: Long =
+        docsAll(s).agg(max(col("doc_id"))).head.getLong(0) * 7 / 10
+      def hist(sp: SparkSession) = docsAll(sp).filter(col("doc_id") <= thresh)
+      def batch(sp: SparkSession) = docsAll(sp).filter(col("doc_id") > thresh)
       Targets.run(s, root, Seq(
         Stage("lm_model", Nil,
           (sp, _) => LangModel.bigramCounts(hist(sp), "text")),

@@ -254,6 +254,82 @@ object QueriesStats {
         label = col("lang") === "en", buckets = 64, iters = 3, lrDiv = 8L)
       ((-1, bias) +: w.zipWithIndex.map { case (wt, b) => (b, wt) })
         .toDF("bucket", "weight_ppm").orderBy("bucket")
+    }),
+
+    "q_classifier_eval" -> ((s, d) => {
+      // the EVALUATION half of the classifier loop: train on the
+      // held-in split (doc_id % 5 != 0), score the held-out fifth with
+      // the learned literal weights (Infer.linearScore — the exact
+      // production inference path), and emit the confusion counts plus
+      // EXACT ppm metrics including rank-based AUC. Scores are exact
+      // integer sums, so the AUC is computed from integer midranks
+      // (the q_mannwhitney 2·rank + ties − 1 trick) with no floats
+      // anywhere — the oracle re-trains via the unrolled CTE chain and
+      // must land on the identical single metrics row. Scale: training
+      // per the trainer contract (feature-space-sized shuffles); eval
+      // is one groupBy(score) shuffle plus a window over DISTINCT
+      // scores (score-cardinality-bounded, not row-bounded).
+      val docs = Tables(s, d).documents
+      val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 5 === 0)
+      val (w, bias) = graft.operators.Infer.trainLogistic(
+        trainDocs, "doc_id", "text",
+        label = col("lang") === "en", buckets = 64, iters = 10, lrDiv = 1L)
+      val scored = graft.operators.Infer
+        .linearScore(evalDocs, "doc_id", "text", w, bias)
+        .join(evalDocs.select(col("doc_id"), (col("lang") === "en").as("__yy")), "doc_id")
+      graft.operators.Infer.evalBinary(scored, "score", "__yy")
+    }),
+
+    "q_calibration" -> ((s, d) => {
+      // CALIBRATION of the trained classifier (the reliability table a
+      // production quality gate ships next to its AUC): same split and
+      // trained literals as q_classifier_eval, held-out scores cut
+      // into score deciles under the deterministic (score, doc_id)
+      // total order, each bin reporting its exact score range, SUMMED
+      // score (an exact long — a mean would reintroduce floats) and
+      // the empirical positive rate in ppm. A well-calibrated model's
+      // pos_ppm rises with the bin — the judgement is the reader's;
+      // the hash match certifies the numbers. Scale: one global ntile
+      // window over the (sampled) eval set, then one bin-keyed
+      // aggregate.
+      val docs = Tables(s, d).documents
+      val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 5 === 0)
+      val (w, bias) = graft.operators.Infer.trainLogistic(
+        trainDocs, "doc_id", "text",
+        label = col("lang") === "en", buckets = 64, iters = 10, lrDiv = 1L)
+      val scored = graft.operators.Infer
+        .linearScore(evalDocs, "doc_id", "text", w, bias)
+        .join(evalDocs.select(col("doc_id"), (col("lang") === "en").as("__yy")), "doc_id")
+      val wb = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score"), col("doc_id"))
+      scored.withColumn("bin", ntile(10).over(wb).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(col("score")).as("lo_score"), max(col("score")).as("hi_score"),
+          sum(col("score")).as("sum_score"),
+          sum(when(col("__yy"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_ppm", expr("n_pos * 1000000 div n"))
+        .orderBy("bin")
+    }),
+
+    "q_train_langid" -> ((s, d) => {
+      // MULTICLASS in-engine training (Infer.trainOvr): one-vs-rest
+      // logistic heads over the shared hashed-feature space — the
+      // langid trainer (fastText supervised shape), every step the
+      // binary trainer's exact fixed-point applied per class, so the
+      // oracle unrolls the same 3-step trajectory with a cls dimension
+      // and the K·65 weight rows land bit-identical. Argmax over the K
+      // linearScore heads is the predicted language (InferSpec proves
+      // prediction on a separable fixture).
+      import s.implicits._
+      val models = graft.operators.Infer.trainOvr(
+        Tables(s, d).documents, "doc_id", "text",
+        classCol = col("lang"), buckets = 64, iters = 3, lrDiv = 8L)
+      models.flatMap { case (cls, w, bias) =>
+        (cls, -1, bias) +: w.zipWithIndex.map { case (wt, b) => (cls, b, wt) }
+      }.toDF("lang", "bucket", "weight_ppm").orderBy("lang", "bucket")
     }))
 
   /** q_corr_matrix oracle generator: the same moment dag and closed
@@ -283,46 +359,163 @@ object QueriesStats {
        |ORDER BY dim_i, dim_j""".stripMargin
   }
 
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def hex3Sql(i: Int) =
+    s"(strpos('0123456789abcdef', substr(md5('fh' || tok), $i, 1)) - 1)"
+
+  /** CTE chain replaying [[graft.operators.Infer.trainLogistic]] over
+    * documents rows matching `docFilter`: the md5-hex3 % 64 feature
+    * hash (the q_quality_model idiom), the bias as pseudo-feature
+    * b = -1, then per unrolled step the per-doc score join, the
+    * hard-sigmoid ppm error, the bucket-summed gradients, and the
+    * truncating-division update (DuckDB `//` and JVM long division
+    * both truncate toward zero — probed). Yields w{iters} keyed by b
+    * (-1 = bias). Shared by the q_train_classifier and
+    * q_classifier_eval oracles. */
+  private def trainLogisticCtes(iters: Int, docFilter: String,
+                                lrDiv: Long = 8L): String = {
+    val steps = (1 to iters).map { t =>
+      s"""z$t AS (SELECT f.doc_id, f.y, sum(w.w * f.x) AS z
+         | FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
+         |e$t AS (SELECT doc_id,
+         |  least(1000000, greatest(0, 500000 + z // 4))
+         |   - CASE WHEN y THEN 1000000 ELSE 0 END AS e FROM z$t),
+         |g$t AS (SELECT f.b, sum(e.e * f.x) AS g
+         | FROM fb f JOIN e$t e USING (doc_id) GROUP BY 1),
+         |w$t AS MATERIALIZED (
+         | SELECT w.b, cast(w.w - coalesce(g.g, 0) // (n.n * $lrDiv) as bigint) AS w
+         | FROM w${t - 1} w LEFT JOIN g$t g USING (b), n)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       | SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
+       | FROM documents WHERE $docFilter),
+       |f0 AS (
+       | SELECT doc_id, (lang = 'en') AS y,
+       |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
+       |  count(*) AS x
+       | FROM toks WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+       |spine AS (SELECT DISTINCT doc_id, y FROM f0),
+       |fb AS MATERIALIZED (
+       | SELECT doc_id, y, b, x FROM f0
+       | UNION ALL SELECT doc_id, y, cast(-1 as int), cast(1 as bigint) FROM spine),
+       |n AS (SELECT count(*) AS n FROM spine),
+       |w0 AS (SELECT cast(unnest(range(-1, 64)) as int) AS b, cast(0 as bigint) AS w),
+       |$steps""".stripMargin
+  }
+
+  /** Held-out-split scoring CTEs over the w10 weight table (the
+    * linearScore replay: per-doc bucket sums + bias, token-less docs
+    * at bias) — shared by the q_classifier_eval and q_calibration
+    * oracles. Yields esc(doc_id, y, score). */
+  private def evalScoreCtes: String =
+    s"""ev AS (SELECT doc_id, (lang = 'en') AS y,
+       |  unnest(string_split($normSql, ' ')) AS tok
+       | FROM documents WHERE doc_id % 5 = 0),
+       |ef AS (SELECT doc_id,
+       |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
+       |  count(*) AS x
+       | FROM ev WHERE length(tok) > 0 GROUP BY 1, 2),
+       |espine AS (SELECT doc_id, (lang = 'en') AS y FROM documents WHERE doc_id % 5 = 0),
+       |esum AS (SELECT f.doc_id, sum(w.w * f.x) AS sw
+       | FROM ef f JOIN w10 w USING (b) GROUP BY 1),
+       |esc AS (SELECT s.doc_id, s.y,
+       |  coalesce(e.sw, 0) + (SELECT w FROM w10 WHERE b = -1) AS score
+       | FROM espine s LEFT JOIN esum e USING (doc_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
-    // replays Infer.trainLogistic's whole 3-step trajectory: the same
-    // md5-hex3 % 64 feature hash (the q_quality_model idiom), the bias
-    // as pseudo-feature b = -1, then per unrolled step the per-doc
-    // score join, the hard-sigmoid ppm error, the bucket-summed
-    // gradients, and the truncating-division update (DuckDB `//` and
-    // JVM long division both truncate toward zero — probed). Weights
-    // land bit-identical or the trainer drifted.
-    "q_train_classifier" -> {
-      val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-      def hex3(i: Int) =
-        s"(strpos('0123456789abcdef', substr(md5('fh' || tok), $i, 1)) - 1)"
+    // the same trained scores cut into ntile(10) deciles under the
+    // (score, doc_id) total order — both engines implement standard
+    // SQL ntile (earlier buckets one larger on non-divisible counts)
+    "q_calibration" ->
+      s"""WITH ${trainLogisticCtes(10, "doc_id % 5 <> 0", lrDiv = 1L)},
+         |$evalScoreCtes,
+         |binned AS (SELECT y, score,
+         |  cast(ntile(10) OVER (ORDER BY score, doc_id) as bigint) AS bin
+         | FROM esc)
+         |SELECT bin, count(*) AS n,
+         | cast(min(score) as bigint) AS lo_score,
+         | cast(max(score) as bigint) AS hi_score,
+         | cast(sum(score) as bigint) AS sum_score,
+         | count(CASE WHEN y THEN 1 END) AS n_pos,
+         | count(CASE WHEN y THEN 1 END) * 1000000 // count(*) AS pos_ppm
+         |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // weights land bit-identical or the trainer drifted — see
+    // trainLogisticCtes for the replayed arithmetic
+    "q_train_classifier" ->
+      s"""WITH ${trainLogisticCtes(3, "TRUE")}
+         |SELECT b AS bucket, w AS weight_ppm FROM w3 ORDER BY bucket""".stripMargin,
+
+    // re-trains on the held-in split via the same unrolled CTEs, then
+    // replays linearScore on the held-out fifth (bias for token-less
+    // docs), the >0 keep rule, and the integer-midrank AUC (2·rank +
+    // ties − 1, the q_mannwhitney trick) — one exact metrics row
+    "q_classifier_eval" ->
+      s"""WITH ${trainLogisticCtes(10, "doc_id % 5 <> 0", lrDiv = 1L)},
+         |$evalScoreCtes,
+         |ps AS (SELECT score, count(*) AS n, count(CASE WHEN y THEN 1 END) AS np
+         | FROM esc GROUP BY 1),
+         |pc AS (SELECT np, n, coalesce(sum(n) OVER (ORDER BY score
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         | FROM ps),
+         |r2 AS (SELECT sum(np * (2 * cum + n + 1)) AS r2pos FROM pc),
+         |conf AS (SELECT count(*) AS n_eval,
+         |  count(CASE WHEN y THEN 1 END) AS n_pos,
+         |  count(CASE WHEN NOT y THEN 1 END) AS n_neg,
+         |  count(CASE WHEN y AND score > 0 THEN 1 END) AS tp,
+         |  count(CASE WHEN NOT y AND score > 0 THEN 1 END) AS fp,
+         |  count(CASE WHEN NOT y AND score <= 0 THEN 1 END) AS tn,
+         |  count(CASE WHEN y AND score <= 0 THEN 1 END) AS fn
+         | FROM esc)
+         |SELECT n_eval, n_pos, n_neg, tp, fp, tn, fn,
+         | (tp + tn) * 1000000 // n_eval AS accuracy_ppm,
+         | CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END AS precision_ppm,
+         | CASE WHEN n_pos > 0 THEN tp * 1000000 // n_pos END AS recall_ppm,
+         | CASE WHEN n_pos * n_neg > 0 THEN cast((r2pos - n_pos * (n_pos + 1)) * 1000000
+         |  // (2 * n_pos * n_neg) as bigint) END AS auc_ppm
+         |FROM conf, r2""".stripMargin,
+
+    // replays Infer.trainOvr's K-class trajectory: the binary chain
+    // with a cls dimension on the weight table — per step all K
+    // scores, per-class one-hot errors, (cls, b)-summed gradients,
+    // and the same truncating-division update
+    "q_train_langid" -> {
       val steps = (1 to 3).map { t =>
-        s"""z$t AS (SELECT f.doc_id, f.y, sum(w.w * f.x) AS z
+        s"""z$t AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS z
            | FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
-           |e$t AS (SELECT doc_id,
-           |  least(1000000, greatest(0, 500000 + z // 4))
-           |   - CASE WHEN y THEN 1000000 ELSE 0 END AS e FROM z$t),
-           |g$t AS (SELECT f.b, sum(e.e * f.x) AS g
-           | FROM fb f JOIN e$t e USING (doc_id) GROUP BY 1),
-           |w$t AS (SELECT w.b, cast(w.w - coalesce(g.g, 0) // (n.n * 8) as bigint) AS w
-           | FROM w${t - 1} w LEFT JOIN g$t g USING (b), n)""".stripMargin
+           |e$t AS (SELECT z.doc_id, z.cls,
+           |  least(1000000, greatest(0, 500000 + z.z // 4))
+           |   - CASE WHEN s.lang = z.cls THEN 1000000 ELSE 0 END AS e
+           | FROM z$t z JOIN spine s USING (doc_id)),
+           |g$t AS (SELECT e.cls, f.b, sum(e.e * f.x) AS g
+           | FROM fb f JOIN e$t e USING (doc_id) GROUP BY 1, 2),
+           |w$t AS MATERIALIZED (
+           | SELECT w.cls, w.b,
+           |  cast(w.w - coalesce(g.g, 0) // (n.n * 8) as bigint) AS w
+           | FROM w${t - 1} w LEFT JOIN g$t g ON g.cls = w.cls AND g.b = w.b, n)""".stripMargin
       }.mkString(",\n")
       s"""WITH toks AS (
-         | SELECT doc_id, lang, unnest(string_split($norm, ' ')) AS tok
+         | SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
          | FROM documents),
          |f0 AS (
-         | SELECT doc_id, (lang = 'en') AS y,
-         |  cast((${hex3(1)} * 256 + ${hex3(2)} * 16 + ${hex3(3)}) % 64 as int) AS b,
+         | SELECT doc_id, lang,
+         |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
          |  count(*) AS x
          | FROM toks WHERE length(tok) > 0 GROUP BY 1, 2, 3),
-         |spine AS (SELECT DISTINCT doc_id, y FROM f0),
+         |spine AS (SELECT DISTINCT doc_id, lang FROM f0),
          |fb AS MATERIALIZED (
-         | SELECT doc_id, y, b, x FROM f0
-         | UNION ALL SELECT doc_id, y, cast(-1 as int), cast(1 as bigint) FROM spine),
+         | SELECT doc_id, b, x FROM f0
+         | UNION ALL SELECT doc_id, cast(-1 as int), cast(1 as bigint) FROM spine),
          |n AS (SELECT count(*) AS n FROM spine),
-         |w0 AS (SELECT cast(unnest(range(-1, 64)) as int) AS b, cast(0 as bigint) AS w),
+         |cls AS (SELECT DISTINCT lang AS cls FROM spine),
+         |w0 AS (SELECT cls, cast(unnest(range(-1, 64)) as int) AS b,
+         |  cast(0 as bigint) AS w FROM cls),
          |$steps
-         |SELECT b AS bucket, w AS weight_ppm FROM w3 ORDER BY bucket""".stripMargin
+         |SELECT cls AS lang, b AS bucket, w AS weight_ppm FROM w3
+         |ORDER BY lang, bucket""".stripMargin
     },
 
     // per-type exacts + the true global distinct for the union row;

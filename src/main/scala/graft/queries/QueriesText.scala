@@ -933,6 +933,69 @@ object QueriesText {
         .orderBy("doc_id", "rk")
     }),
 
+    "q_bm25" -> ((s, d) => {
+      // BM25 retrieval scoring against a literal query-term set — the
+      // ranking function a corpus-curation stack uses to mine
+      // topic-relevant documents (the DSIR/importance-sampling cousin
+      // with an IR pedigree). EXACT INTEGER fixed-point throughout
+      // (the q_tfidf_terms discipline — log-free): idf is the
+      // Robertson ratio (N − df + ½)/(df + ½) scaled ×2 to integers,
+      // the tf saturation uses k1 = 1.2, b = 0.75 cleared of fractions
+      // by ×10·A (A = total corpus tokens, so dl/avgdl = dl·N/A stays
+      // integral): tfn_ppm = 22·tf·A·10⁶ div (10·A·tf + 3·A + 9·dl·N).
+      // Every per-term contribution and the doc score are exact longs,
+      // so the top-k is engine-reproducible bit-for-bit (ties broken
+      // by doc_id). Scale: one token shuffle for dl, a term-filtered
+      // (doc,term) shuffle for tf (the 4-term filter prunes the scan),
+      // df and totals broadcast (term-count- and 1-row-sized); the
+      // final top-20 is TakeOrderedAndProject, no global sort.
+      // Long-overflow bound: 22·tf·A·10⁶ needs A·tf < 4·10¹¹ — fine
+      // through every test tier; a 100 TB corpus runs the same ratio
+      // at reduced ppm scale (documented, not auto-switched).
+      graft.operators.Rank.bm25(Tables(s, d).documents, "doc_id", "text",
+          terms = Seq("merge", "vector", "stream", "window"))
+        .orderBy(col("score_ppm").desc, col("doc_id")).limit(20)
+    }),
+
+    "q_dedup_containment" -> ((s, d) => {
+      // asymmetric CONTAINMENT dedup (Dedup.containmentPairs): the
+      // quote/subset detector — |∩| / min(|Sa|,|Sb|) ≥ τ catches a
+      // short doc swallowed by a long one, which Jaccard structurally
+      // misses (the union is the long doc). Lossless prefix×full
+      // candidate rule with the LOUD bucket gate; doc_id < 500 bounds
+      // the oracle's brute-force universe at every SF (the
+      // q_dedup_ngram_verify discipline), the operator itself is the
+      // production path.
+      Dedup.containmentPairs(
+          Tables(s, d).documents.filter(col("doc_id") < 500),
+          "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_text_normalize" -> ((s, d) => {
+      // unicode punctuation normalization (Cleaning.normalizeText):
+      // curly quotes/dashes/ellipsis/NBSP/zero-widths → ASCII, then
+      // the Java∩RE2 whitespace collapse — the cleanup pass ahead of
+      // tokenization that stops unicode variance from splitting dedup
+      // fingerprints. The messy fixture is synthesized IN-PLAN from
+      // table columns (the q_html_extract discipline: documents carry
+      // no unicode punctuation in the test data, the operator chain is
+      // the thing under test); the oracle replays the same literal
+      // replace chain and must land byte-identical. Narrow zero-
+      // shuffle codegen'd map.
+      val messy = concat(
+        lit("\u201C"), col("source"), lit("\u201D \u2014 doc\u00A0"),
+        col("doc_id").cast("string"),
+        lit(" \u2018"), col("lang"), lit("\u2019\u2026 \u200Bz\uFEFF \t"),
+        substring(col("text"), 1, 40), lit(" \u2013 end"))
+      Tables(s, d).documents
+        .select(col("doc_id"), messy.as("raw"))
+        .select(col("doc_id"), length(col("raw")).as("raw_len"),
+          graft.operators.Cleaning.normalizeText(col("raw")).as("clean"))
+        .withColumn("clean_len", length(col("clean")))
+        .orderBy("doc_id")
+    }),
+
     "q_oov_rate" -> ((s, d) => {
       // unigram-vocabulary coverage scoring (the integer-exact core of
       // a KenLM-style quality filter): vocab = top-500 corpus tokens
@@ -1638,6 +1701,70 @@ object QueriesText {
          | FROM s a, s b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
          |WHERE j >= 0.7 ORDER BY 1, 2""".stripMargin,
+
+    // brute-forced containment truth over the same bounded universe:
+    // hash-matching it proves containmentPairs' prefix×full candidate
+    // rule lossless here (same argument as q_simjoin_prefix)
+    "q_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 500),
+         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |  THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(len(toks)-2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+         | FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(len(list_intersect(a.sh, b.sh)) as double)
+         |    / least(len(a.sh), len(b.sh)) AS c
+         | FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(c, 6) AS containment FROM p
+         |WHERE c >= 0.7 ORDER BY 1, 2""".stripMargin,
+
+    // the same exact-integer BM25 dag: dl/totals, term-filtered tf,
+    // df, then the ×2-scaled Robertson idf and the ×10·A-cleared tf
+    // saturation — every contribution an exact long, so the top-20
+    // (score desc, doc_id) is the identical row set
+    "q_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |t2 AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |tot AS (SELECT cast(sum(dl) as bigint) AS a, count(*) AS nd FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+         |  WHERE term IN ('merge', 'vector', 'stream', 'window') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |  ((2 * tot.nd - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)) *
+         |  (22 * t.tf * tot.a * 1000000
+         |    // (10 * tot.a * t.tf + 3 * tot.a + 9 * dl.dl * tot.nd)) // 1000000 AS contrib
+         | FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), tot)
+         |SELECT doc_id, count(*) AS n_terms, cast(sum(contrib) as bigint) AS score_ppm
+         |FROM sc GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    // replays the in-plan messy wrap via chr() codepoints, then the
+    // identical literal replace chain — GENERATED from the same
+    // Cleaning.PunctNormalizations constants the Spark plan folds
+    // over, so the two sides cannot desynchronize — then the shared
+    // Java∩RE2 whitespace collapse
+    "q_text_normalize" -> {
+      val messy = Seq(
+        "chr(8220)", "source",
+        "chr(8221) || ' ' || chr(8212) || ' doc' || chr(160)",
+        "cast(doc_id as varchar)",
+        "' ' || chr(8216)", "lang",
+        "chr(8217) || chr(8230) || ' ' || chr(8203) || 'z' || chr(65279) || ' ' || chr(9)",
+        "substr(text, 1, 40)", "' ' || chr(8211) || ' end'").mkString(" || ")
+      val chain = graft.operators.Cleaning.PunctNormalizations.foldLeft("raw") {
+        case (acc, (from, to)) =>
+          val f = from.map(c => s"chr(${c.toInt})").mkString(" || ")
+          s"replace($acc, $f, '${to.replace("'", "''")}')"
+      }
+      s"""WITH m AS (SELECT doc_id, $messy AS raw FROM documents)
+         |SELECT doc_id, cast(length(raw) as int) AS raw_len,
+         | trim(regexp_replace($chain, '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g')) AS clean,
+         | cast(length(trim(regexp_replace($chain,
+         |   '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g'))) as int) AS clean_len
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_ngram_verify" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents

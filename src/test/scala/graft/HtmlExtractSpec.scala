@@ -69,4 +69,31 @@ class HtmlExtractSpec extends AnyFunSuite {
     val (t2, _, k2) = main("")
     assert(k2 == 0 && t2 == "")
   }
+
+  // ───────────────── normalizeText (r15) ─────────────────
+
+  private def norm(s: String): String =
+    Seq(s).toDF("t").select(Cleaning.normalizeText(col("t")).as("n"))
+      .as[String].head()
+
+  test("normalizeText maps unicode punctuation to ASCII and collapses whitespace") {
+    assert(norm("\u201Cquoted\u201D and \u2018single\u2019") ==
+      "\"quoted\" and 'single'")
+    assert(norm("a \u2013 b \u2014 c \u2212 d") == "a - b - c - d")
+    assert(norm("wait\u2026 done") == "wait... done")
+    // NBSP becomes a plain space and collapses with neighbours;
+    // zero-widths vanish entirely (joining their neighbours)
+    assert(norm("a\u00A0 b") == "a b")
+    assert(norm("zero\u200Bwidth\uFEFFchars\u200C\u200Dgone") ==
+      "zerowidthcharsgone")
+    assert(norm("  tabs\tand\nnewlines collapse  ") ==
+      "tabs and newlines collapse")
+  }
+
+  test("normalizeText is idempotent and leaves clean ASCII untouched") {
+    val clean = "plain ascii text, with punctuation: all kept!"
+    assert(norm(clean) == clean)
+    val messy = "\u201Cx\u201D \u2014 y\u2026\u200B"
+    assert(norm(norm(messy)) == norm(messy))
+  }
 }

@@ -120,4 +120,69 @@ class InferSpec extends AnyFunSuite {
         "doc_id", "text", col("text") === "x")
     }
   }
+
+  // ───────────────── trainOvr / evalBinary (r15) ─────────────────
+
+  /** Three disjoint vocabularies — a hashed-unigram OvR model must
+    * reach argmax accuracy 1. */
+  private def separable3 = {
+    val a = (0L until 6L).map(i => (i, s"alpha bravo alpha charlie word$i", "aa"))
+    val b = (6L until 12L).map(i => (i, s"zulu yankee zulu xray word$i", "bb"))
+    val c = (12L until 18L).map(i => (i, s"mike november mike oscar word$i", "cc"))
+    (a ++ b ++ c).toDF("doc_id", "text", "cls")
+  }
+
+  test("trainOvr separates 3 classes; argmax over the linearScore heads predicts every doc") {
+    import org.apache.spark.sql.functions.col
+    val docs = separable3
+    val models = Infer.trainOvr(docs, "doc_id", "text", col("cls"),
+      buckets = 64, iters = 6, lrDiv = 4L)
+    assert(models.map(_._1) == Seq("aa", "bb", "cc"), "classes sorted")
+    // argmax over the K heads, scored through the production inference
+    val scores = models.map { case (cls, w, bias) =>
+      cls -> Infer.linearScore(docs, "doc_id", "text", w, bias)
+        .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    }
+    val truth = docs.select("doc_id", "cls").as[(Long, String)].collect().toMap
+    val correct = truth.count { case (id, cls) => scores.maxBy(_._2(id))._1 == cls }
+    assert(correct == truth.size, s"argmax accuracy $correct/${truth.size}")
+  }
+
+  test("trainOvr's head equals trainLogistic on the matching binary label") {
+    import org.apache.spark.sql.functions.col
+    val docs = separable.withColumn("cls",
+      org.apache.spark.sql.functions.when(col("y"), "pos").otherwise("neg"))
+    val ovr = Infer.trainOvr(docs, "doc_id", "text", col("cls"),
+      buckets = 64, iters = 3, lrDiv = 8L).map(m => m._1 -> (m._2, m._3)).toMap
+    val bin = Infer.trainLogistic(docs, "doc_id", "text", col("y"),
+      buckets = 64, iters = 3, lrDiv = 8L)
+    assert(ovr("pos") == bin,
+      "the one-vs-rest 'pos' head must replay the binary trajectory exactly")
+  }
+
+  test("evalBinary computes exact confusion and tie-aware AUC on a hand fixture") {
+    // scores 3,2,2,1,0 / labels T,T,F,F,T. At the >0 operating point:
+    // tp=2 fp=2 tn=0 fn=1. AUC over (pos, neg) pairs with the tie at
+    // score 2: (3,2)=1 (3,1)=1 (2,2)=.5 (2,1)=1 (0,2)=0 (0,1)=0
+    // -> 3.5/6 = 583333 ppm
+    val scored = Seq((3L, true), (2L, true), (2L, false), (1L, false), (0L, true))
+      .toDF("score", "y")
+    val r = Infer.evalBinary(scored, "score", "y").collect()(0)
+    assert(r.getAs[Long]("n_eval") == 5 && r.getAs[Long]("n_pos") == 3
+      && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 2
+      && r.getAs[Long]("tn") == 0 && r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Long]("accuracy_ppm") == 400000L)
+    assert(r.getAs[Long]("precision_ppm") == 500000L)
+    assert(r.getAs[Long]("recall_ppm") == 666666L)
+    assert(r.getAs[Long]("auc_ppm") == 3500000L / 6L, "AUC = 3.5/6 in ppm (floor)")
+  }
+
+  test("evalBinary leaves ratio metrics null where undefined") {
+    val allNeg = Seq((-1L, false), (-2L, false)).toDF("score", "y")
+    val r = Infer.evalBinary(allNeg, "score", "y").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("precision_ppm")), "no predicted positives")
+    assert(r.isNullAt(r.fieldIndex("auc_ppm")), "no positive class")
+    assert(r.getAs[Long]("accuracy_ppm") == 1000000L)
+  }
 }

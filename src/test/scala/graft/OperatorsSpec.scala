@@ -510,13 +510,15 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(labels.count() == 5)
     val perCall = persisted - before
     assert(perCall <= 12, s"checkpoint footprint too large: $before -> $persisted")
-    // a second call must not footprint more than the first did (no
-    // cross-call accumulation beyond the GC lag)
-    // generous slack: the ContextCleaner reaps asynchronously, so the
-    // instantaneous count wobbles with GC timing
+    // a second call gets the SAME absolute per-call budget — not a
+    // bound relative to the first call's footprint: the ContextCleaner
+    // reaps asynchronously, so the instantaneous count wobbles with GC
+    // timing and a lucky-small first call (e.g. 1 after an eager reap)
+    // would make a relative slack tighter than the budget the first
+    // assertion itself grants (observed flake: first call 1, second 8)
     val mid = persisted
     graft.operators.Components.connectedComponents(edges).count()
-    assert(persisted - mid <= perCall + 6,
+    assert(persisted - mid <= 12,
       s"cross-call accumulation: $mid -> $persisted (first call: $perCall)")
   }
 

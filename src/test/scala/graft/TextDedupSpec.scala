@@ -281,6 +281,78 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.embedCosine(mild, "vec_id", "embedding", "label",
       threshold = 0.0, maxBlock = 10).count() >= 24)
   }
+
+  // ───────────────── containmentPairs (r15) ─────────────────
+
+  /** Spec-local brute-force containment truth (independent Scala set
+    * arithmetic, not the operator's join dag). */
+  private def bruteContainment(rows: Seq[(Long, String)], n: Int,
+                               thr: Double): Set[(Long, Long, Double)] = {
+    def sh(text: String): Set[String] = {
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.size < n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> sh(t) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      if c >= thr
+    } yield (ia, ib, math.rint(c * 1e6) / 1e6)).toSet
+  }
+
+  test("containment detects a quoted subset that Jaccard structurally misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (1L, quote),
+      (2L, s"intro words before the passage $quote and then a very long tail " +
+        "of unrelated filler content that keeps going with many extra tokens " +
+        "so the union is dominated by this host document entirely"),
+      (3L, "completely disjoint vocabulary about engines and shuffles"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 1.0)), s"quote pair at containment 1.0: $got")
+    // the same pair is INVISIBLE to symmetric Jaccard at its own
+    // near-dup threshold — the reason the asymmetric operator exists
+    val j = Dedup.bruteForceJaccard(fixture, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+    assert(j.count() == 0, "Jaccard must miss the contained quote")
+  }
+
+  test("containmentPairs EQUALS brute-force truth (lossless prefix x full rule)") {
+    val rows = docs.as[(Long, String)].collect().toSeq
+    for (thr <- Seq(0.5, 0.8)) {
+      val truth = bruteContainment(rows, 3, thr)
+      val got = Dedup.containmentPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(got == truth, s"thr=$thr: missing=${truth -- got} extra=${got -- truth}")
+    }
+    val dir = SparkTestSession.sfDir
+    if (new java.io.File(s"$dir/documents.parquet").exists) {
+      val full = spark.read.parquet(s"$dir/documents.parquet")
+      val truth = bruteContainment(
+        full.select("doc_id", "text").as[(Long, String)].collect().toSeq, 3, 0.7)
+      val got = Dedup.containmentPairs(full, "doc_id", "text",
+          shingleN = 3, threshold = 0.7)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(got == truth, s"$dir: missing=${truth -- got} extra=${got -- truth}")
+    }
+  }
+
+  test("containmentPairs refuses to drop an oversized bucket (exactness gate)") {
+    val e = intercept[IllegalStateException] {
+      Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxBucket = 1)
+    }
+    assert(e.getMessage.contains("shingle bucket"))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
