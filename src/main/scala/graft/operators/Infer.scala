@@ -216,6 +216,52 @@ object Infer {
     classes.map(c => (c, model(c)._2, model(c)._1))
   }
 
+  /** Argmax PREDICTION over [[trainOvr]]'s K heads in ONE pass — the
+    * inference half of the multiclass loop. All K scores come from
+    * literal weight arrays riding the plan (no joins, no broadcast
+    * tables); the winner is the max (score, class-order) struct, ties
+    * broken toward the FIRST class in the sorted vocabulary (the same
+    * deterministic rule an oracle replays with
+    * row_number(ORDER BY score DESC, cls)). Token-less docs score
+    * bias-only, like [[linearScore]].
+    *
+    * Scale: one narrow token explode + ONE map-side-combined per-doc
+    * aggregate carrying K running sums, then a doc-spine left join —
+    * the linearScore shape, K columns wide instead of one.
+    *
+    * @return (idCol, pred_<i.e. predicted class>, score of winner). */
+  def predictOvr(docs: DataFrame, idCol: String, textCol: String,
+                 models: Seq[(String, IndexedSeq[Long], Long)],
+                 salt: String = "fh"): DataFrame = {
+    require(models.nonEmpty, "predictOvr needs at least one class head")
+    val b = models.head._2.length
+    require(models.forall(_._2.length == b), "heads must share bucket count")
+    val bucket =
+      conv(substring(md5(concat(lit(salt), col("__tok"))), 1, 3), 16, 10)
+        .cast("long") % b
+    val sums = models.zipWithIndex.map { case ((cls, w, _), i) =>
+      sum(element_at(lit(w.toArray), (col("__b") + 1).cast("int"))).as(s"__sw$i")
+    }
+    val perDoc = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .withColumn("__b", bucket)
+      .groupBy(idCol)
+      .agg(sums.head, sums.tail: _*)
+    // winner = max (score, classRank, cls) struct; classRank = K − i
+    // so a score tie resolves toward the FIRST sorted class
+    val k = models.size
+    val candidates = array(models.zipWithIndex.map { case ((cls, _, bias), i) =>
+      struct((coalesce(col(s"__sw$i"), lit(0L)) + bias).as("score"),
+        lit(k - i).as("rk"), lit(cls).as("cls"))
+    }: _*)
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("__best", array_max(candidates))
+      .select(col(idCol), col("__best.cls").as("pred"),
+        col("__best.score").as("pred_score"))
+  }
+
   /** Binary-classifier evaluation over a scored frame — confusion
     * counts at the `score > 0` operating point plus EXACT ppm metrics
     * including rank-based AUC, all integer (the scores are exact longs

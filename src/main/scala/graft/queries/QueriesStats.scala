@@ -330,6 +330,31 @@ object QueriesStats {
       models.flatMap { case (cls, w, bias) =>
         (cls, -1, bias) +: w.zipWithIndex.map { case (wt, b) => (cls, b, wt) }
       }.toDF("lang", "bucket", "weight_ppm").orderBy("lang", "bucket")
+    }),
+
+    "q_langid_eval" -> ((s, d) => {
+      // the PREDICTION half of the multiclass loop (Infer.predictOvr):
+      // train the K one-vs-rest heads on the held-in split, argmax-
+      // predict the held-out fifth in ONE pass (all K scores from
+      // literal arrays, ties toward the first sorted class), and emit
+      // the CONFUSION MATRIX. The synthetic corpus carries weak
+      // language signal (shared word-salad vocabulary), so the matrix
+      // honestly shows a near-majority classifier — the capability
+      // under test is the exact replayable train→predict loop;
+      // InferSpec proves argmax accuracy 1.0 on separable classes.
+      // Scale: one token explode + ONE K-column map-side-combined
+      // per-doc aggregate + a K²-row confusion aggregate.
+      val docs = Tables(s, d).documents
+      val trainDocs = docs.filter(col("doc_id") % 5 =!= 0)
+      val evalDocs = docs.filter(col("doc_id") % 5 === 0)
+      val models = graft.operators.Infer.trainOvr(
+        trainDocs, "doc_id", "text",
+        classCol = col("lang"), buckets = 64, iters = 10, lrDiv = 1L)
+      graft.operators.Infer.predictOvr(evalDocs, "doc_id", "text", models)
+        .join(evalDocs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .groupBy(col("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
     }))
 
   /** q_corr_matrix oracle generator: the same moment dag and closed
@@ -402,6 +427,47 @@ object QueriesStats {
        | UNION ALL SELECT doc_id, y, cast(-1 as int), cast(1 as bigint) FROM spine),
        |n AS (SELECT count(*) AS n FROM spine),
        |w0 AS (SELECT cast(unnest(range(-1, 64)) as int) AS b, cast(0 as bigint) AS w),
+       |$steps""".stripMargin
+  }
+
+  /** CTE chain replaying [[graft.operators.Infer.trainOvr]] over
+    * documents rows matching `docFilter` — the binary chain with a cls
+    * dimension on the weight table (per-step weight CTEs MATERIALIZED
+    * for the same anti-exponential-inlining reason). Yields w{iters}
+    * keyed by (cls, b). Shared by the q_train_langid and q_langid_eval
+    * oracles. */
+  private def trainOvrCtes(iters: Int, docFilter: String,
+                           lrDiv: Long = 8L): String = {
+    val steps = (1 to iters).map { t =>
+      s"""z$t AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS z
+         | FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
+         |e$t AS (SELECT z.doc_id, z.cls,
+         |  least(1000000, greatest(0, 500000 + z.z // 4))
+         |   - CASE WHEN s.lang = z.cls THEN 1000000 ELSE 0 END AS e
+         | FROM z$t z JOIN spine s USING (doc_id)),
+         |g$t AS (SELECT e.cls, f.b, sum(e.e * f.x) AS g
+         | FROM fb f JOIN e$t e USING (doc_id) GROUP BY 1, 2),
+         |w$t AS MATERIALIZED (
+         | SELECT w.cls, w.b,
+         |  cast(w.w - coalesce(g.g, 0) // (n.n * $lrDiv) as bigint) AS w
+         | FROM w${t - 1} w LEFT JOIN g$t g ON g.cls = w.cls AND g.b = w.b, n)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (
+       | SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
+       | FROM documents WHERE $docFilter),
+       |f0 AS (
+       | SELECT doc_id, lang,
+       |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
+       |  count(*) AS x
+       | FROM toks WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+       |spine AS (SELECT DISTINCT doc_id, lang FROM f0),
+       |fb AS MATERIALIZED (
+       | SELECT doc_id, b, x FROM f0
+       | UNION ALL SELECT doc_id, cast(-1 as int), cast(1 as bigint) FROM spine),
+       |n AS (SELECT count(*) AS n FROM spine),
+       |cls AS (SELECT DISTINCT lang AS cls FROM spine),
+       |w0 AS (SELECT cls, cast(unnest(range(-1, 64)) as int) AS b,
+       |  cast(0 as bigint) AS w FROM cls),
        |$steps""".stripMargin
   }
 
@@ -482,41 +548,42 @@ object QueriesStats {
     // with a cls dimension on the weight table — per step all K
     // scores, per-class one-hot errors, (cls, b)-summed gradients,
     // and the same truncating-division update
-    "q_train_langid" -> {
-      val steps = (1 to 3).map { t =>
-        s"""z$t AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS z
-           | FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
-           |e$t AS (SELECT z.doc_id, z.cls,
-           |  least(1000000, greatest(0, 500000 + z.z // 4))
-           |   - CASE WHEN s.lang = z.cls THEN 1000000 ELSE 0 END AS e
-           | FROM z$t z JOIN spine s USING (doc_id)),
-           |g$t AS (SELECT e.cls, f.b, sum(e.e * f.x) AS g
-           | FROM fb f JOIN e$t e USING (doc_id) GROUP BY 1, 2),
-           |w$t AS MATERIALIZED (
-           | SELECT w.cls, w.b,
-           |  cast(w.w - coalesce(g.g, 0) // (n.n * 8) as bigint) AS w
-           | FROM w${t - 1} w LEFT JOIN g$t g ON g.cls = w.cls AND g.b = w.b, n)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS (
-         | SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
-         | FROM documents),
-         |f0 AS (
-         | SELECT doc_id, lang,
+    "q_train_langid" ->
+      s"""WITH ${trainOvrCtes(3, "TRUE")}
+         |SELECT cls AS lang, b AS bucket, w AS weight_ppm FROM w3
+         |ORDER BY lang, bucket""".stripMargin,
+
+    // re-trains the K heads on the held-in split via the shared
+    // generator, replays predictOvr's argmax (score desc, cls asc —
+    // the K−i rank key's tie rule) on the held-out fifth, and
+    // emits the confusion matrix. The synthetic corpus carries weak
+    // language signal (word salad from one vocabulary), so the
+    // matrix is honest about a near-majority classifier — the
+    // capability under test is the exact replayable loop, and
+    // InferSpec proves accuracy 1.0 where classes are separable.
+    "q_langid_eval" ->
+      s"""WITH ${trainOvrCtes(10, "doc_id % 5 <> 0", lrDiv = 1L)},
+         |ev AS (SELECT doc_id, lang,
+         |  unnest(string_split($normSql, ' ')) AS tok
+         | FROM documents WHERE doc_id % 5 = 0),
+         |ef AS (SELECT doc_id,
          |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
          |  count(*) AS x
-         | FROM toks WHERE length(tok) > 0 GROUP BY 1, 2, 3),
-         |spine AS (SELECT DISTINCT doc_id, lang FROM f0),
-         |fb AS MATERIALIZED (
-         | SELECT doc_id, b, x FROM f0
-         | UNION ALL SELECT doc_id, cast(-1 as int), cast(1 as bigint) FROM spine),
-         |n AS (SELECT count(*) AS n FROM spine),
-         |cls AS (SELECT DISTINCT lang AS cls FROM spine),
-         |w0 AS (SELECT cls, cast(unnest(range(-1, 64)) as int) AS b,
-         |  cast(0 as bigint) AS w FROM cls),
-         |$steps
-         |SELECT cls AS lang, b AS bucket, w AS weight_ppm FROM w3
-         |ORDER BY lang, bucket""".stripMargin
-    },
+         | FROM ev WHERE length(tok) > 0 GROUP BY 1, 2),
+         |espine AS (SELECT doc_id, lang AS true_lang FROM documents WHERE doc_id % 5 = 0),
+         |esum AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS sw
+         | FROM ef f JOIN w10 w ON w.b = f.b GROUP BY 1, 2),
+         |esc AS (SELECT s.doc_id, s.true_lang, c.cls,
+         |  coalesce(e.sw, 0) + bias.w AS score
+         | FROM espine s
+         |  CROSS JOIN (SELECT DISTINCT cls FROM w10) c
+         |  LEFT JOIN esum e ON e.doc_id = s.doc_id AND e.cls = c.cls
+         |  JOIN (SELECT cls, w FROM w10 WHERE b = -1) bias ON bias.cls = c.cls),
+         |win AS (SELECT doc_id, true_lang, cls AS pred_lang,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+         | FROM esc)
+         |SELECT true_lang, pred_lang, count(*) AS n_docs
+         |FROM win WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // per-type exacts + the true global distinct for the union row;
     // within_bounds is literal TRUE — the hash match certifies both

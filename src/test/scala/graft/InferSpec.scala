@@ -160,6 +160,27 @@ class InferSpec extends AnyFunSuite {
       "the one-vs-rest 'pos' head must replay the binary trajectory exactly")
   }
 
+  test("predictOvr argmaxes the trained heads in one pass; ties go to the first class") {
+    import org.apache.spark.sql.functions.col
+    val docs = separable3
+    val models = Infer.trainOvr(docs, "doc_id", "text", col("cls"),
+      buckets = 64, iters = 6, lrDiv = 4L)
+    val pred = Infer.predictOvr(docs, "doc_id", "text", models)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    val truth = docs.select("doc_id", "cls").as[(Long, String)].collect().toMap
+    assert(truth.forall { case (id, cls) => pred(id) == cls },
+      s"one-pass argmax must equal the per-head maximum: $pred")
+    // hand-built heads: a token-less doc scores bias-only everywhere;
+    // equal biases tie -> the FIRST class in order wins
+    val handModels = Seq(
+      ("aa", IndexedSeq.fill(64)(0L), 5L),
+      ("bb", IndexedSeq.fill(64)(0L), 5L))
+    val p2 = Infer.predictOvr(Seq((1L, "...")).toDF("doc_id", "text"),
+        "doc_id", "text", handModels)
+      .select("doc_id", "pred", "pred_score").as[(Long, String, Long)].head()
+    assert(p2 == ((1L, "aa", 5L)), s"bias-only tie-break: $p2")
+  }
+
   test("evalBinary computes exact confusion and tie-aware AUC on a hand fixture") {
     // scores 3,2,2,1,0 / labels T,T,F,F,T. At the >0 operating point:
     // tp=2 fp=2 tn=0 fn=1. AUC over (pos, neg) pairs with the tie at

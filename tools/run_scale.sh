@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval
 
 # q_curate_e2e's stage-5 token budget scales with the corpus factor
 # (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
