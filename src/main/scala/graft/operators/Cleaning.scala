@@ -180,11 +180,27 @@ object Cleaning {
   }
 
   /** Steps 4 of [[extractHtml]]: named entities, then ASCII numeric
-    * character references (gated on a cheap `&#` containment probe so
-    * the 188-step NCR chain prices only docs that carry one —
-    * ADVICE r14: `&#NNN;`/`&#xHH;` previously passed through
-    * undecoded), then the `&`-producing forms LAST. */
-  private[graft] def decodeEntities(c: Column): Column = {
+    * character references, then the `&`-producing forms LAST. Since
+    * r16 this is ONE native codegen'd scan
+    * ([[graft.functions.EntityDecode.decode]]) instead of the
+    * 196-step literal `replace` chain — the chain priced 196
+    * full-string scans + allocations per row and drove q_main_content
+    * to 1.46-of-linear at ×32 (VERDICT r15 #2). The DuckDB oracle
+    * keeps replaying the generated chain; CleaningExprSpec pins the
+    * scanner to [[decodeEntitiesChain]] on adversarial + fuzz
+    * corpora. */
+  private[graft] def decodeEntities(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DecodeEntitiesExpr(
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** The original Column-level replace chain (gated on a cheap `&#`
+    * containment probe so the 188-step NCR segment prices only docs
+    * that carry one — the gate is semantics-free: the NCR chain is
+    * the identity without `&#`). Kept as the spec reference for the
+    * native scanner and as the shape the SQL oracle generator
+    * mirrors. */
+  private[graft] def decodeEntitiesChain(c: Column): Column = {
     def chain(in: Column, pairs: Seq[(String, String)]): Column =
       pairs.foldLeft(in) { case (x, (from, to)) => replace(x, lit(from), lit(to)) }
     val base = chain(c, BaseEntities)
@@ -195,31 +211,15 @@ object Cleaning {
   /** The Java∩RE2 whitespace class (see [[extractHtml]] step 5). */
   private[graft] val WsClass = "[ \\t\\n\\f\\r\\x0B]+"
 
-  /** Named entities decoded first (`&#39;` kept here for the historic
-    * chain order — its duplicate in [[NcrDecodes]] is then a no-op). */
-  private[graft] val BaseEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ")
-
-  /** ASCII-printable numeric character references (32..126, decimal
-    * and lowercase-hex forms), DESCENDING code point, `&`-producers
-    * (38/x26) deferred to [[AmpEntities]]. Sequential replace is not
-    * a one-pass scanner: a decode can in principle forge a later
-    * pattern (e.g. `&&#35;60;` → `&#60;` AFTER the 60 step has
-    * passed — the forged ref stays literal, which matches one-pass
-    * semantics; the ascending order would double-decode it). Both
-    * engines replay the identical sequence, so parity is exact
-    * regardless. Out-of-range refs (`&#9999;`) pass through. */
+  /** The decode chain tables (single source of truth lives beside the
+    * native scanner in [[graft.functions.EntityDecode]]; the oracle
+    * SQL generator and the Column chain both read these aliases). */
+  private[graft] val BaseEntities: Seq[(String, String)] =
+    graft.functions.EntityDecode.BaseEntities
   private[graft] val NcrDecodes: Seq[(String, String)] =
-    (126 to 32 by -1).filter(_ != 38).flatMap { cp =>
-      val ch = cp.toChar.toString
-      Seq(s"&#$cp;" -> ch, f"&#x$cp%x;" -> ch)
-    }
-
-  /** `&`-producing decodes, LAST so no earlier step can see a decoded
-    * `&` as the start of a fresh entity (single-pass order). */
-  private[graft] val AmpEntities: Seq[(String, String)] = Seq(
-    "&amp;" -> "&", "&#38;" -> "&", "&#x26;" -> "&")
+    graft.functions.EntityDecode.NcrDecodes
+  private[graft] val AmpEntities: Seq[(String, String)] =
+    graft.functions.EntityDecode.AmpEntities
 
   /** Unicode punctuation → ASCII normalizations (the text-cleanup
     * pass a crawl corpus runs before tokenization: curly quotes,
@@ -284,6 +284,24 @@ object Cleaning {
     * anchor spanning a block boundary counts in neither block). */
   def extractMainContent(html: Column, minTextChars: Int = 30,
                          maxLinkPct: Int = 33): Column = {
+    val mcb = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MainContentBlocksExpr(
+        org.apache.spark.sql.GraftBridge.expression(stripScriptStyleComment(html)),
+        minTextChars, maxLinkPct))
+    struct(
+      trim(regexp_replace(decodeEntities(mcb.getField("main_join")), WsClass, " "))
+        .as("main_text"),
+      mcb.getField("n_blocks").as("n_blocks"),
+      mcb.getField("n_kept").as("n_kept"))
+  }
+
+  /** The original HOF/regex formulation of [[extractMainContent]]
+    * (block split + per-block regex scoring — 5 regex scans per
+    * block). Kept as the spec reference the native
+    * [[graft.functions.MainContentBlocksExpr]] is pinned against
+    * (CleaningExprSpec) and as the shape the SQL oracle replays. */
+  private[graft] def extractMainContentHof(html: Column, minTextChars: Int = 30,
+                                           maxLinkPct: Int = 33): Column = {
     val blocks = split(stripScriptStyleComment(html), BlockTagSplit)
     def cleanOf(b: Column): Column =
       trim(regexp_replace(regexp_replace(b, "(?s)<[^>]*>", " "), WsClass, " "))
@@ -297,7 +315,7 @@ object Cleaning {
         s("lc") * 100 <= length(s("t")) * maxLinkPct)
     val joined = array_join(transform(kept, s => s("t")), " ")
     struct(
-      trim(regexp_replace(decodeEntities(joined), WsClass, " ")).as("main_text"),
+      trim(regexp_replace(decodeEntitiesChain(joined), WsClass, " ")).as("main_text"),
       size(blocks).as("n_blocks"), size(kept).as("n_kept"))
   }
 

@@ -234,6 +234,14 @@ object Infer {
                  models: Seq[(String, IndexedSeq[Long], Long)],
                  salt: String = "fh"): DataFrame = {
     require(models.nonEmpty, "predictOvr needs at least one class head")
+    // the rk = K−i tie key below encodes "first class in the SORTED
+    // vocabulary" only when callers pass models sorted and distinct —
+    // fail loudly on any other ordering instead of silently breaking
+    // the documented tie rule (ADVICE r15)
+    require(models.map(_._1) == models.map(_._1).sorted &&
+        models.map(_._1).distinct.size == models.size,
+      "predictOvr: models must be sorted by distinct class name " +
+        "(the tie rule resolves toward the first sorted class)")
     val b = models.head._2.length
     require(models.forall(_._2.length == b), "heads must share bucket count")
     val bucket =
@@ -298,7 +306,10 @@ object Infer {
       .crossJoin(broadcast(r2))
       .select(col("n_eval"), col("n_pos"), col("n_neg"),
         col("tp"), col("fp"), col("tn"), col("fn"),
-        expr("(tp + tn) * 1000000 div n_eval").as("accuracy_ppm"),
+        // CASE-guarded like the other ratio metrics (ADVICE r15): an
+        // empty scored frame must yield null, not DIVIDE_BY_ZERO
+        // under spark.sql.ansi.enabled
+        expr("CASE WHEN n_eval > 0 THEN (tp + tn) * 1000000 div n_eval END").as("accuracy_ppm"),
         expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) END").as("precision_ppm"),
         expr("CASE WHEN n_pos > 0 THEN tp * 1000000 div n_pos END").as("recall_ppm"),
         expr("CASE WHEN n_pos * n_neg > 0 THEN (r2pos - n_pos * (n_pos + 1)) * 1000000" +

@@ -45,9 +45,17 @@ object Rank {
     val dfreq = tf.groupBy("__term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "__term").join(dl, idCol)
       .crossJoin(broadcast(tot))
+      // LOUD overflow gate (ADVICE r15): the exact-ppm product
+      // 22·tf·A·10⁶ wraps silently past tf·A ≈ 4·10¹¹ — fail the job
+      // instead of emitting wrong scores (the containmentPairs
+      // discipline). Division form so the GUARD itself can't wrap;
+      // assert_true returns null on pass, so `+ coalesce(…, 0)` keeps
+      // the check alive in the plan without touching the score.
       .withColumn("__contrib",
         expr("((2 * nd - 2 * df + 1) * 1000000 div (2 * df + 1)) * " +
-          "(22 * tf * a * 1000000 div (10 * a * tf + 3 * a + 9 * dl * nd)) div 1000000"))
+          "(22 * tf * a * 1000000 div (10 * a * tf + 3 * a + 9 * dl * nd)) div 1000000" +
+          " + coalesce(assert_true(a <= 400000000000 div tf, " +
+          "'bm25 exact-ppm overflow: tf*A exceeds 4e11 — rerun at reduced ppm scale'), 0)"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_terms"), sum(col("__contrib")).as("score_ppm"))
   }

@@ -299,7 +299,8 @@ class DedupSpec extends AnyFunSuite {
       (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
       c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
       if c >= thr
-    } yield (ia, ib, math.rint(c * 1e6) / 1e6)).toSet
+    } yield (ia, ib, BigDecimal(c).setScale(6,
+      scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
   }
 
   test("containment detects a quoted subset that Jaccard structurally misses") {
