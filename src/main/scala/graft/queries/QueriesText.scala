@@ -149,6 +149,20 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_substring" -> ((s, d) => {
+      // arbitrary-length exact-substring dedup (VERDICT r15 #4, the
+      // Lee-et-al suffix-array family): every token covered by a
+      // repeated stride-1 6-gram is removed, so maximal repeats of
+      // ANY length >= 6 die in full while dedupSpans' fixed windows
+      // would only clip them at 8-token granularity. n_extents counts
+      // the merged variable-length extents per doc (operators/Dedup
+      // .scala dedupSubstrings; the oracle replays the gram-ban +
+      // difference-array coverage dataflow with SQL windows)
+      Dedup.dedupSubstrings(Tables(s, d).documents, "doc_id", "text",
+          minTokens = 6, maxOccur = 1)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minHashLsh(Tables(s, d).documents, "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.6)
@@ -2224,6 +2238,42 @@ object QueriesText {
          | coalesce(string_agg(CASE WHEN b.span IS NULL THEN s.span END, ' ' ORDER BY s.pos), '') AS clean_text
          |FROM s LEFT JOIN banned b ON s.span = b.span
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // replays dedupSubstrings exactly: stride-1 6-grams, corpus-wide
+    // repeat ban, +1/−1 difference-array coverage summed doc-locally
+    // (deltas order before the token at an equal position via o),
+    // islands = removed && !lag(removed)
+    "q_dedup_substring" ->
+      s"""WITH t AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+         |tok AS (
+         | SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         | FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |g AS (
+         | SELECT doc_id, i - 1 AS gs, array_to_string(toks[i:(i+5)], ' ') AS gram
+         | FROM t, unnest(range(1, len(toks) - 6 + 2)) AS u(i)
+         | WHERE len(toks) >= 6),
+         |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+         |bans AS (SELECT g.doc_id, g.gs FROM g JOIN rep USING (gram)),
+         |ev AS (
+         | SELECT doc_id, pos, tok, 0 AS d, 2 AS o FROM tok
+         | UNION ALL SELECT doc_id, gs, NULL, 1, 1 FROM bans
+         | UNION ALL SELECT doc_id, gs + 6, NULL, -1, 1 FROM bans),
+         |cum AS (
+         | SELECT doc_id, pos, tok, o,
+         |  sum(d) OVER (PARTITION BY doc_id ORDER BY pos, o
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+         | FROM ev),
+         |tk AS (
+         | SELECT doc_id, pos, tok, cov > 0 AS rm,
+         |  coalesce(lag(cov > 0) OVER (PARTITION BY doc_id ORDER BY pos), false) AS prev
+         | FROM cum WHERE o = 2)
+         |SELECT doc_id,
+         | count(*) AS n_tokens,
+         | count(CASE WHEN rm THEN 1 END) AS n_removed,
+         | count(CASE WHEN rm AND NOT prev THEN 1 END) AS n_extents,
+         | coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos), '') AS clean_text
+         |FROM tk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
