@@ -715,6 +715,78 @@ object Dedup {
     withDropMetric(result, db, dr, mx)
   }
 
+  /** The 100 TB configuration of the ASYMMETRIC containment slot
+    * (VERDICT r15 next-round #5): [[containmentPairs]] is lossless
+    * but rides the FULL inverted index on one side — its bucket
+    * shuffle grows with corpus text. This sibling prunes candidates
+    * with single-value minhash collisions (banding at ONE ROW PER
+    * BAND: bands = numHashes), then re-scores survivors with the
+    * exact containment rational — same output schema and bit-exact
+    * `containment` values as the lossless path, so the two are
+    * interchangeable behind a strategy config (the
+    * minhashPrunedJaccard pattern).
+    *
+    * Why rows=1 banding: containment pairs are asymmetric — a quote
+    * contained in a 10× larger host has Jaccard ≈ |A|/|B| ≈ 0.1, so
+    * multi-row bands (which need ALL rows of some band equal,
+    * P=J^rows) would miss exactly the pairs this operator exists for.
+    * A single shared minhash VALUE happens with P = J per hash, so
+    * the catch probability is 1−(1−J)^numHashes — ≥ 0.96 at J = 0.1
+    * with 32 hashes, degrading only toward extreme size ratios
+    * (J = 0.03 → 0.62). That recall boundary is the documented trade;
+    * the shuffle in exchange is numHashes 8-byte values per doc,
+    * FIXED-WIDTH regardless of document length.
+    *
+    * Dataflow: one persisted tokenize+shingle+minhash pass feeds the
+    * banding branch and both re-score sides; candidate generation is
+    * one (pos, value)-keyed shuffle; capped buckets are loud
+    * (stderr + the NearDupDropObservation riding the result); the
+    * re-score join is merge-pinned past [[BroadcastSafeCorpusRows]].
+    *
+    * Returns (id_a, id_b, containment) like [[containmentPairs]]. */
+  def minhashPrunedContainment(df: DataFrame, idCol: String, textCol: String,
+                               shingleN: Int = 3, threshold: Double = 0.8,
+                               numHashes: Int = 32,
+                               maxBucket: Int = 10000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        array_distinct(shinglesOfTokens(col("__toks"), shingleN)).as("__sh"))
+      .withColumn("__s", size(col("__sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = sh.count()
+    // bands = numHashes -> one hash per band: a single shared minhash
+    // value anywhere in the signature makes a candidate
+    val banded = bandBuckets(
+      sh.withColumn("minhash", minhashSig(col("__sh"), numHashes)),
+      idCol, numHashes, bands = numHashes)
+    val buckets = bucketLists(banded, Seq("band", "bh"), idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (db, dr, mx) = dropStats(buckets, maxBucket)
+    warnDrops(db, dr, mx, maxBucket, "minhashPrunedContainment")
+    val pairs = pairsFromLists(buckets, maxBucket)
+    val pin = nRows > BroadcastSafeCorpusRows
+    def reScoreSide(n: String, shName: String, sName: String) = {
+      val s = sh.select(col(idCol).as(n), col("__sh").as(shName),
+        col("__s").as(sName))
+      if (pin) s.hint("merge") else s
+    }
+    val result = pairs
+      .join(reScoreSide("id_a", "sh_a", "sa"), "id_a")
+      .join(reScoreSide("id_b", "sh_b", "sb"), "id_b")
+      .withColumn("__i", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment", col("__i").cast("double") /
+        least(col("sa"), col("sb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+      .localCheckpoint()
+    buckets.unpersist()
+    sh.unpersist()
+    withDropMetric(result, db, dr, mx)
+  }
+
   /** Exact dedup with a SURVIVOR POLICY and rewrite map: one row per
     * input document carrying the canonical `keep_id` of its content
     * group — the table downstream references are rewritten through.

@@ -986,6 +986,24 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_dedup_containment_pruned" -> ((s, d) => {
+      // the 100 TB strategy of the containment slot (VERDICT r15 #5,
+      // Dedup.minhashPrunedContainment): rows=1 minhash banding — a
+      // single shared signature value makes a candidate, the rule
+      // that survives the asymmetric pairs multi-row bands miss —
+      // then the identical exact containment re-score. Same universe,
+      // threshold, and oracle as q_dedup_containment: on this corpus
+      // the pruned survivor set must EQUAL the lossless one
+      // (hash-checked here, asserted again by TextDedupSpec); the
+      // recall boundary (catch prob 1−(1−J)^32) and the fixed-width
+      // candidate shuffle are the documented trade, measured by the
+      // ×32/×100 A/B ladder rows.
+      Dedup.minhashPrunedContainment(
+          Tables(s, d).documents.filter(col("doc_id") < 500),
+          "doc_id", "text", shingleN = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_text_normalize" -> ((s, d) => {
       // unicode punctuation normalization (Cleaning.normalizeText):
       // curly quotes/dashes/ellipsis/NBSP/zero-widths → ASCII, then
@@ -1720,6 +1738,24 @@ object QueriesText {
     // hash-matching it proves containmentPairs' prefix×full candidate
     // rule lossless here (same argument as q_simjoin_prefix)
     "q_dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+         |  WHERE doc_id < 500),
+         |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |  THEN [array_to_string(toks, ' ')]
+         |  ELSE list_transform(range(len(toks)-2),
+         |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS sh
+         | FROM t),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  cast(len(list_intersect(a.sh, b.sh)) as double)
+         |    / least(len(a.sh), len(b.sh)) AS c
+         | FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(c, 6) AS containment FROM p
+         |WHERE c >= 0.7 ORDER BY 1, 2""".stripMargin,
+
+    // the pruned strategy must reproduce the lossless pair set on
+    // this corpus — same brute-force oracle, so any banding recall
+    // miss is a HASH FAILURE, not a silent grade
+    "q_dedup_containment_pruned" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
          |  WHERE doc_id < 500),
          |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3

@@ -347,6 +347,39 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashPrunedContainment matches the lossless strategy, including " +
+    "the asymmetric quote pair (rows=1 banding)") {
+    // the quote-in-host pair has LOW Jaccard (the union is the host)
+    // but must survive the pruned candidate rule: one shared minhash
+    // value suffices at rows=1
+    val quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fixture = Seq(
+      (1L, quote),
+      (2L, s"intro words before the passage $quote and then a very long tail " +
+        "of unrelated filler content that keeps going with many extra tokens " +
+        "so the union is dominated by this host document entirely"),
+      (3L, "completely disjoint vocabulary about engines and shuffles"))
+      .toDF("doc_id", "text")
+    val pruned = Dedup.minhashPrunedContainment(fixture, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(pruned == Set((1L, 2L, 1.0)), s"pruned quote pair: $pruned")
+    // strategy A/B on the spec corpus: identical survivor sets
+    for (thr <- Seq(0.5, 0.8)) {
+      val lossless = Dedup.containmentPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+        .collect().toSet
+      val p = Dedup.minhashPrunedContainment(docs, "doc_id", "text",
+          shingleN = 3, threshold = thr)
+        .select("id_a", "id_b", "containment").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(p == lossless,
+        s"thr=$thr: missing=${lossless -- p} extra=${p -- lossless}")
+    }
+  }
+
   test("containmentPairs refuses to drop an oversized bucket (exactness gate)") {
     val e = intercept[IllegalStateException] {
       Dedup.containmentPairs(docs, "doc_id", "text",
