@@ -971,6 +971,25 @@ object QueriesText {
         .orderBy(col("score_ppm").desc, col("doc_id")).limit(20)
     }),
 
+    "q_bm25_table" -> ((s, d) => {
+      // BM25 against a query TABLE (VERDICT r15 #8, Rank.bm25Table):
+      // three queries with overlapping vocabularies scored in ONE
+      // corpus pass — dl/df/totals computed once and shared, the
+      // query dim broadcast both as the token-stream prune and the
+      // per-query fan-out, per-query top-10 via one partitioned
+      // window. Identical exact-integer fixed point as q_bm25, so
+      // every (query, doc) score is an exact long and the ranking is
+      // engine-reproducible bit-for-bit.
+      import s.implicits._
+      val queries = Seq(
+        ("compute", "merge"), ("compute", "vector"), ("compute", "stream"),
+        ("windows", "window"), ("windows", "stream"),
+        ("rare", "vector"), ("rare", "quantile")).toDF("query_id", "term")
+      graft.operators.Rank.bm25Table(Tables(s, d).documents, "doc_id", "text",
+          queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_dedup_containment" -> ((s, d) => {
       // asymmetric CONTAINMENT dedup (Dedup.containmentPairs): the
       // quote/subset detector — |∩| / min(|Sa|,|Sb|) ≥ τ catches a
@@ -1789,6 +1808,33 @@ object QueriesText {
          | FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), tot)
          |SELECT doc_id, count(*) AS n_terms, cast(sum(contrib) as bigint) AS score_ppm
          |FROM sc GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the same exact-integer dag with the query dim joined in: corpus
+    // facts once, per-(query, doc) sums, rank <= 10 per query
+    "q_bm25_table" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |  ('compute', 'merge'), ('compute', 'vector'), ('compute', 'stream'),
+         |  ('windows', 'window'), ('windows', 'stream'),
+         |  ('rare', 'vector'), ('rare', 'quantile')),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |t2 AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |tot AS (SELECT cast(sum(dl) as bigint) AS a, count(*) AS nd FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id, t.term,
+         |  ((2 * tot.nd - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)) *
+         |  (22 * t.tf * tot.a * 1000000
+         |    // (10 * tot.a * t.tf + 3 * tot.a + 9 * dl.dl * tot.nd)) // 1000000 AS contrib
+         | FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+         |s AS (SELECT q.query_id, sc.doc_id, count(*) AS n_terms,
+         |  cast(sum(sc.contrib) as bigint) AS score_ppm
+         | FROM sc JOIN q ON sc.term = q.term GROUP BY 1, 2),
+         |r AS (SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |  ORDER BY score_ppm DESC, doc_id) as int) AS rank FROM s)
+         |SELECT query_id, doc_id, n_terms, score_ppm, rank FROM r
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // replays the in-plan messy wrap via chr() codepoints, then the
     // identical literal replace chain — GENERATED from the same

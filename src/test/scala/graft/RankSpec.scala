@@ -59,4 +59,30 @@ class RankSpec extends AnyFunSuite {
       Rank.bm25(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", Nil)
     }
   }
+
+  test("bm25Table equals per-query bm25 runs, ranked and capped at k") {
+    val docs = Seq(
+      (1L, "x x y m"), (2L, "x z z z"), (3L, "w w m w w"),
+      (4L, "y y m z"), (5L, "m m x y z w")).toDF("doc_id", "text")
+    val queries = Seq(
+      ("qa", "x"), ("qa", "y"), ("qb", "m"), ("qc", "x"), ("qc", "w"))
+      .toDF("query_id", "term")
+    val got = Rank.bm25Table(docs, "doc_id", "text", queries, k = 3)
+      .select("query_id", "doc_id", "n_terms", "score_ppm", "rank")
+      .as[(String, Long, Long, Long, Int)].collect().toSet
+    // reference: one bm25 run per query over the SAME corpus facts
+    // (df in bm25 is computed from its own term set, but per-term df
+    // depends only on the corpus, so the values agree), then rank
+    val want = Seq(
+      "qa" -> Seq("x", "y"), "qb" -> Seq("m"), "qc" -> Seq("x", "w"))
+      .flatMap { case (q, ts) =>
+        Rank.bm25(docs, "doc_id", "text", ts)
+          .select("doc_id", "n_terms", "score_ppm")
+          .as[(Long, Long, Long)].collect()
+          .sortBy { case (id, _, sc) => (-sc, id) }.take(3).zipWithIndex
+          .map { case ((id, nt, sc), i) => (q, id, nt, sc, i + 1) }
+      }.toSet
+    assert(got == want, s"table-vs-single divergence: got $got want $want")
+  }
+
 }
