@@ -25,10 +25,11 @@ object Graph {
     * Semantics notes (each deterministic and oracle-replayable):
     *  - duplicate edges collapse (a multigraph caller pre-weights);
     *  - DANGLING nodes (no out-edges) keep receiving rank but emit
-    *    none — their mass LEAKS rather than redistributing (the
-    *    simplified variant common in map-reduce formulations; the
-    *    redistribution term would add an all-nodes broadcast per
-    *    iteration for a constant the fixed-point replay doesn't need);
+    *    none. Default: their mass LEAKS (the simplified map-reduce
+    *    variant). With `redistributeDangling = true` the STANDARD
+    *    term applies instead — each iteration adds the 1-row dangling
+    *    mass aggregate and every node receives `dm div N` extra
+    *    contribution before damping (truncating, still exact ppm);
     *  - nodes with no in-edges settle at the base (10⁶ − d).
     *
     * Scale shape: the deduped edge list and the node spine (with
@@ -44,7 +45,8 @@ object Graph {
     * @return (node, out_degree, rank_ppm) after `iters` iterations. */
   def pagerankPpm(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 4, dampingPpm: Long = 850000L,
-                  checkpointEvery: Int = 2): DataFrame = {
+                  checkpointEvery: Int = 2,
+                  redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -68,10 +70,26 @@ object Graph {
          else e.join(broadcast(contribs), "src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(col("c")).as("s"))
-      ranks = spine.join(summed, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(base) + expr(s"($dampingPpm * coalesce(s, cast(0 as bigint))) div 1000000"))
-            .as("r"))
+      val joined = spine.join(summed, Seq("node"), "left")
+      ranks =
+        if (redistributeDangling) {
+          // the standard dangling-mass term (VERDICT r15 next-round
+          // #9): sink rank redistributes uniformly instead of
+          // leaking — ONE 1-row aggregate per iteration (a narrow
+          // filtered sum over the rank frame, broadcast as a
+          // constant), truncating `div nNodes` so the trajectory
+          // stays exact-integer and oracle-replayable
+          val dang = ranks.filter(col("deg").isNull)
+            .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+          joined.crossJoin(broadcast(dang))
+            .select(col("node"), col("deg"),
+              (lit(base) + expr(s"($dampingPpm * (coalesce(s, cast(0 as bigint))" +
+                s" + dm div ${nNodes}L)) div 1000000")).as("r"))
+        } else {
+          joined.select(col("node"), col("deg"),
+            (lit(base) + expr(s"($dampingPpm * coalesce(s, cast(0 as bigint))) div 1000000"))
+              .as("r"))
+        }
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(eager = false)
     }

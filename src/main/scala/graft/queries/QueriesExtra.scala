@@ -471,6 +471,27 @@ object QueriesExtra {
         pairs.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.pagerankPpm(edges, "src", "dst", iters = 4)
         .orderBy("node")
+    }),
+
+    "q_pagerank_redist" -> ((s, d) => {
+      // the STANDARD dangling-mass PageRank (VERDICT r15 #9,
+      // Graph.pagerankPpm redistributeDangling=true) on the DIRECTED
+      // customer→supplier graph, where every supplier is a genuine
+      // sink: without the term their mass leaks (the documented
+      // default); with it each iteration's 1-row dangling aggregate
+      // redistributes `dm div N` to every node before damping — still
+      // exact ppm, the oracle unrolls the 4-iteration trajectory with
+      // the same truncating arithmetic.
+      val t = Tables(s, d)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_suppkey")), "o_orderkey")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.pagerankPpm(edges, "src", "dst", iters = 4,
+          redistributeDangling = true)
+        .orderBy("node")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -499,6 +520,38 @@ object QueriesExtra {
          | SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
          |deg AS (SELECT src AS node, cast(count(*) as bigint) AS deg FROM e GROUP BY 1),
          |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
+         |$steps
+         |SELECT n.node, coalesce(d.deg, 0) AS out_degree, r.r AS rank_ppm
+         |FROM nodes n JOIN r4 r USING (node) LEFT JOIN deg d USING (node)
+         |ORDER BY n.node""".stripMargin
+    },
+
+    // the redistribution trajectory: same unrolled integer steps plus
+    // the per-iteration dangling-mass sum redistributed dm // N
+    "q_pagerank_redist" -> {
+      val steps = (1 to 4).map { t =>
+        s"""d$t AS (
+           | SELECT coalesce(sum(r.r), 0) AS dm FROM r${t - 1} r
+           | WHERE r.node NOT IN (SELECT node FROM deg)),
+           |r$t AS (
+           | SELECT n.node,
+           |  cast(150000 + (850000 * (coalesce(s.s, 0) + d$t.dm // cnt.n))
+           |   // 1000000 as bigint) AS r
+           | FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node, sum(r.r // d.deg) AS s
+           |  FROM e JOIN r${t - 1} r ON r.node = e.src
+           |   JOIN deg d ON d.node = e.src
+           |  GROUP BY 1) s USING (node), d$t, cnt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         | SELECT DISTINCT cast(o_custkey * 2 as bigint) AS src,
+         |  cast(l_suppkey * 2 + 1 as bigint) AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |deg AS (SELECT src AS node, cast(count(*) as bigint) AS deg FROM e GROUP BY 1),
+         |nodes AS (SELECT node FROM (
+         | SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |cnt AS (SELECT cast(count(*) as bigint) AS n FROM nodes),
          |r0 AS (SELECT node, cast(1000000 as bigint) AS r FROM nodes),
          |$steps
          |SELECT n.node, coalesce(d.deg, 0) AS out_degree, r.r AS rank_ppm

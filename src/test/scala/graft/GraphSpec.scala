@@ -52,6 +52,44 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L)._2 > 150000L && got(3L)._2 > got(2L)._2)
   }
 
+  private def ranksRedist(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.pagerankPpm(edges.toDF("src", "dst"), "src", "dst", iters = iters,
+        redistributeDangling = true)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("dangling redistribution: hand-unrolled trajectory conserves mass") {
+    // 1 -> 2 -> 3 (3 dangling), N = 3, d = 850000 ppm.
+    // iter1: dm = r0(3) = 1e6, share = dm div 3 = 333333
+    //  r(1) = 150000 + 850000*(0    + 333333) div 1e6 = 433333
+    //  r(2) = 150000 + 850000*(1e6  + 333333) div 1e6 = 1283333
+    //  r(3) = 150000 + 850000*(1e6  + 333333) div 1e6 = 1283333
+    // iter2: dm = 1283333, share = 427777
+    //  r(1) = 150000 + 850000*427777 div 1e6            = 513610
+    //  r(2) = 150000 + 850000*(433333 + 427777) div 1e6 = 881943
+    //  r(3) = 150000 + 850000*(1283333 + 427777) div 1e6 = 1604443
+    val chain = Seq(1L -> 2L, 2L -> 3L)
+    val r1 = ranksRedist(chain, iters = 1)
+    assert(r1 == Map(1L -> ((1L, 433333L)), 2L -> ((1L, 1283333L)),
+      3L -> ((0L, 1283333L))), s"iter1: $r1")
+    val r2 = ranksRedist(chain, iters = 2)
+    assert(r2 == Map(1L -> ((1L, 513610L)), 2L -> ((1L, 881943L)),
+      3L -> ((0L, 1604443L))), s"iter2: $r2")
+    // vs the leak default: the same chain loses the sink's emission
+    // entirely, so total redistributed mass strictly exceeds it
+    val leak = ranks(chain, iters = 2)
+    assert(r2.values.map(_._2).sum > leak.values.map(_._2).sum)
+    // mass conservation up to ppm truncation crumbs: total stays near
+    // N·1e6 under redistribution (the leak variant drains toward base)
+    val total = r2.values.map(_._2).sum
+    assert(total > 2990000L && total <= 3000000L, s"total=$total")
+  }
+
+  test("redistribution on a graph with no dangling nodes equals the default") {
+    val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
+    assert(ranksRedist(star, iters = 3) == ranks(star, iters = 3))
+  }
+
   test("duplicate edges collapse; layout does not change ranks") {
     val star = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 0L, 2L -> 0L, 3L -> 0L)
     val dup = star ++ star ++ star
