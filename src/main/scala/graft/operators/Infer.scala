@@ -24,13 +24,33 @@ import org.apache.spark.sql.functions._
   */
 object Infer {
 
+  /** The shared hashed-feature token stream: word unigrams, optionally
+    * augmented with character n-grams of each token (fastText's
+    * subword features — orthography lives in character sequences, so
+    * langid-class models need them to generalize to unseen words).
+    * Char grams carry a `#` marker prefix so the gram "abc" and the
+    * token "abc" hash to independent buckets; tokens shorter than
+    * `charNgram` contribute only their unigram. `charNgram = 0`
+    * (every pre-r16 call site) is the identity — the pure-unigram
+    * stream, bit-compatible with all existing trained models and
+    * oracles. */
+  private[operators] def featTokens(textCol: Column, charNgram: Int): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    if (charNgram <= 0) toks
+    else concat(toks, flatten(transform(toks, t =>
+      when(length(t) >= charNgram,
+        transform(sequence(lit(0), length(t) - charNgram),
+          i => concat(lit("#"), t.substr(i + 1, lit(charNgram)))))
+        .otherwise(array().cast("array<string>")))))
+  }
+
   /** @param weights the model: weight per hash bucket; size must
     *                divide 4096 (the 3-hex-digit hash range) so
     *                bucket = hex3 mod B stays uniform.
     * @param salt    feature-hash salt — distinct models decorrelate. */
   def linearScore(docs: DataFrame, idCol: String, textCol: String,
                   weights: Seq[Long], bias: Long = 0L,
-                  salt: String = "fh"): DataFrame = {
+                  salt: String = "fh", charNgram: Int = 0): DataFrame = {
     val b = weights.length
     require(b > 0 && 4096 % b == 0,
       s"weights size must divide 4096 (3 hex digits); got $b")
@@ -38,7 +58,7 @@ object Infer {
       conv(substring(md5(concat(lit(salt), col("__tok"))), 1, 3), 16, 10)
         .cast("long") % b
     val scores = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), explode(featTokens(col(textCol), charNgram)).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__w", element_at(lit(weights.toArray), (bucket + 1).cast("int")))
       .groupBy(idCol)
@@ -87,7 +107,8 @@ object Infer {
     *         into [[linearScore]](weights, bias). */
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, buckets: Int = 64, iters: Int = 3,
-                    lrDiv: Long = 8L, salt: String = "fh"): (IndexedSeq[Long], Long) = {
+                    lrDiv: Long = 8L, salt: String = "fh",
+                    charNgram: Int = 0): (IndexedSeq[Long], Long) = {
     require(buckets > 0 && 4096 % buckets == 0,
       s"buckets must divide 4096 (3 hex digits); got $buckets")
     require(iters >= 1 && lrDiv >= 1, "iters and lrDiv must be positive")
@@ -98,7 +119,7 @@ object Infer {
     // step's gradient explode covers bias and weights in one pass
     val docFeats = docs
       .select(col(idCol), label.cast("boolean").as("__y"),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+        explode(featTokens(col(textCol), charNgram)).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__b", bucket)
       .groupBy(col(idCol), col("__y"), col("__b"))
@@ -158,7 +179,8 @@ object Infer {
     *         is the predicted class. */
   def trainOvr(docs: DataFrame, idCol: String, textCol: String,
                classCol: Column, buckets: Int = 64, iters: Int = 3,
-               lrDiv: Long = 8L, salt: String = "fh"): Seq[(String, IndexedSeq[Long], Long)] = {
+               lrDiv: Long = 8L, salt: String = "fh",
+               charNgram: Int = 0): Seq[(String, IndexedSeq[Long], Long)] = {
     require(buckets > 0 && 4096 % buckets == 0,
       s"buckets must divide 4096 (3 hex digits); got $buckets")
     require(iters >= 1 && lrDiv >= 1, "iters and lrDiv must be positive")
@@ -166,7 +188,7 @@ object Infer {
       .cast("long") % buckets).cast("int")
     val docFeats = docs
       .select(col(idCol), classCol.cast("string").as("__y"),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+        explode(featTokens(col(textCol), charNgram)).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__b", bucket)
       .groupBy(col(idCol), col("__y"), col("__b"))
@@ -232,7 +254,7 @@ object Infer {
     * @return (idCol, pred_<i.e. predicted class>, score of winner). */
   def predictOvr(docs: DataFrame, idCol: String, textCol: String,
                  models: Seq[(String, IndexedSeq[Long], Long)],
-                 salt: String = "fh"): DataFrame = {
+                 salt: String = "fh", charNgram: Int = 0): DataFrame = {
     require(models.nonEmpty, "predictOvr needs at least one class head")
     // the rk = K−i tie key below encodes "first class in the SORTED
     // vocabulary" only when callers pass models sorted and distinct —
@@ -251,7 +273,7 @@ object Infer {
       sum(element_at(lit(w.toArray), (col("__b") + 1).cast("int"))).as(s"__sw$i")
     }
     val perDoc = docs
-      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), explode(featTokens(col(textCol), charNgram)).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .withColumn("__b", bucket)
       .groupBy(idCol)

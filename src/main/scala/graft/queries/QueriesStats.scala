@@ -355,6 +355,46 @@ object QueriesStats {
         .groupBy(col("true_lang"), col("pred").as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("true_lang", "pred_lang")
+    }),
+
+    "q_langid_chargram" -> ((s, d) => {
+      // langid with REAL signal + subword features (VERDICT r15 #7):
+      // the corpus text is a shared word salad with zero per-language
+      // signal, so — the q_html_extract fixture discipline — a
+      // multilingual page is synthesized IN-PLAN: each doc gets its
+      // language's function words (overlapping across languages, as
+      // real function words are) repeated 3–5× ahead of a shared-text
+      // tail, and the trainer runs on hashed word unigrams PLUS
+      // '#'-marked char trigrams (Infer.featTokens, fastText's
+      // subword trick — the same salt+bucket discipline, so the
+      // oracle replays bucketing verbatim). Train on 4/5, argmax-
+      // predict the held-out fifth: the confusion matrix must be
+      // DIAGONAL-DOMINANT, and the trajectory stays exact fixed-point
+      // (the oracle unrolls all 10 steps over the same synth+feature
+      // stream). InferSpec proves the char-gram generalization win on
+      // unseen words directly.
+      val docs = Tables(s, d).documents
+      val m = when(col("lang") === "en", lit("the and of to with"))
+        .when(col("lang") === "de", lit("der die und von mit"))
+        .when(col("lang") === "es", lit("el la de los con"))
+        .when(col("lang") === "fr", lit("le la les des avec"))
+        .when(col("lang") === "zh", lit("zhong wen pin yin hua"))
+        .otherwise(col("lang"))
+      val synth = docs.withColumn("__m", m)
+        .select(col("doc_id"), col("lang"),
+          concat(expr("repeat(__m || ' ', cast(3 + doc_id % 3 as int))"),
+            substring(col("text"), 1, 80)).as("text"))
+      val trainDocs = synth.filter(col("doc_id") % 5 =!= 0)
+      val evalDocs = synth.filter(col("doc_id") % 5 === 0)
+      val models = graft.operators.Infer.trainOvr(trainDocs, "doc_id", "text",
+        classCol = col("lang"), buckets = 64, iters = 10, lrDiv = 1L,
+        charNgram = 3)
+      graft.operators.Infer.predictOvr(evalDocs, "doc_id", "text", models,
+          charNgram = 3)
+        .join(evalDocs.select(col("doc_id"), col("lang").as("true_lang")), "doc_id")
+        .groupBy(col("true_lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
     }))
 
   /** q_corr_matrix oracle generator: the same moment dag and closed
@@ -436,8 +476,19 @@ object QueriesStats {
     * for the same anti-exponential-inlining reason). Yields w{iters}
     * keyed by (cls, b). Shared by the q_train_langid and q_langid_eval
     * oracles. */
+  /** DuckDB mirror of [[graft.operators.Infer.featTokens]]: the
+    * word-unigram list optionally augmented with '#'-prefixed char
+    * n-grams, over a subquery exposing `tl` (the token list). */
+  private def featListSql(n: Int): String =
+    if (n <= 0) "tl"
+    else s"""list_concat(tl, flatten(list_transform(tl, t ->
+            | CASE WHEN length(t) >= $n
+            |  THEN list_transform(range(length(t) - ${n - 1}), i -> '#' || substr(t, i + 1, $n))
+            |  ELSE cast([] as varchar[]) END)))""".stripMargin
+
   private def trainOvrCtes(iters: Int, docFilter: String,
-                           lrDiv: Long = 8L): String = {
+                           lrDiv: Long = 8L, src: String = "documents",
+                           charNgram: Int = 0): String = {
     val steps = (1 to iters).map { t =>
       s"""z$t AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS z
          | FROM fb f JOIN w${t - 1} w USING (b) GROUP BY 1, 2),
@@ -453,8 +504,9 @@ object QueriesStats {
          | FROM w${t - 1} w LEFT JOIN g$t g ON g.cls = w.cls AND g.b = w.b, n)""".stripMargin
     }.mkString(",\n")
     s"""toks AS (
-       | SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
-       | FROM documents WHERE $docFilter),
+       | SELECT doc_id, lang, unnest(${featListSql(charNgram)}) AS tok FROM (
+       |  SELECT doc_id, lang, string_split($normSql, ' ') AS tl
+       |  FROM $src WHERE $docFilter)),
        |f0 AS (
        | SELECT doc_id, lang,
        |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
@@ -571,6 +623,43 @@ object QueriesStats {
          |  count(*) AS x
          | FROM ev WHERE length(tok) > 0 GROUP BY 1, 2),
          |espine AS (SELECT doc_id, lang AS true_lang FROM documents WHERE doc_id % 5 = 0),
+         |esum AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS sw
+         | FROM ef f JOIN w10 w ON w.b = f.b GROUP BY 1, 2),
+         |esc AS (SELECT s.doc_id, s.true_lang, c.cls,
+         |  coalesce(e.sw, 0) + bias.w AS score
+         | FROM espine s
+         |  CROSS JOIN (SELECT DISTINCT cls FROM w10) c
+         |  LEFT JOIN esum e ON e.doc_id = s.doc_id AND e.cls = c.cls
+         |  JOIN (SELECT cls, w FROM w10 WHERE b = -1) bias ON bias.cls = c.cls),
+         |win AS (SELECT doc_id, true_lang, cls AS pred_lang,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+         | FROM esc)
+         |SELECT true_lang, pred_lang, count(*) AS n_docs
+         |FROM win WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the same replayed loop over the IN-PLAN multilingual synth and
+    // the unigram+char-trigram feature stream (featListSql mirrors
+    // Infer.featTokens); train on 4/5, argmax the held-out fifth
+    "q_langid_chargram" ->
+      s"""WITH synth AS (
+         | SELECT doc_id, lang,
+         |  repeat(CASE lang WHEN 'en' THEN 'the and of to with'
+         |   WHEN 'de' THEN 'der die und von mit'
+         |   WHEN 'es' THEN 'el la de los con'
+         |   WHEN 'fr' THEN 'le la les des avec'
+         |   WHEN 'zh' THEN 'zhong wen pin yin hua'
+         |   ELSE lang END || ' ', cast(3 + doc_id % 3 as int))
+         |   || substr(text, 1, 80) AS text
+         | FROM documents),
+         |${trainOvrCtes(10, "doc_id % 5 <> 0", lrDiv = 1L, src = "synth", charNgram = 3)},
+         |ev AS (SELECT doc_id, lang, unnest(${featListSql(3)}) AS tok FROM (
+         |  SELECT doc_id, lang, string_split($normSql, ' ') AS tl
+         |  FROM synth WHERE doc_id % 5 = 0)),
+         |ef AS (SELECT doc_id,
+         |  cast((${hex3Sql(1)} * 256 + ${hex3Sql(2)} * 16 + ${hex3Sql(3)}) % 64 as int) AS b,
+         |  count(*) AS x
+         | FROM ev WHERE length(tok) > 0 GROUP BY 1, 2),
+         |espine AS (SELECT doc_id, lang AS true_lang FROM synth WHERE doc_id % 5 = 0),
          |esum AS (SELECT f.doc_id, w.cls, sum(w.w * f.x) AS sw
          | FROM ef f JOIN w10 w ON w.b = f.b GROUP BY 1, 2),
          |esc AS (SELECT s.doc_id, s.true_lang, c.cls,

@@ -206,4 +206,34 @@ class InferSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("auc_ppm")), "no positive class")
     assert(r.getAs[Long]("accuracy_ppm") == 1000000L)
   }
+
+  test("char n-gram features generalize to UNSEEN words; charNgram=0 is the " +
+    "pure-unigram stream") {
+    import spark.implicits._
+    // train: two classes whose words share per-class character stems;
+    // eval: an unseen word per class carrying only the stem signal
+    val train = Seq(
+      (1L, "abcdef abcdqq", "A"), (2L, "abcdrr abcdss", "A"),
+      (3L, "uvwxyz uvwxkk", "B"), (4L, "uvwxmm uvwxnn", "B"))
+      .toDF("doc_id", "text", "cls")
+    val eval = Seq((10L, "abcdzz"), (11L, "uvwxtt")).toDF("doc_id", "text")
+    def preds(n: Int): Map[Long, String] = {
+      val m = graft.operators.Infer.trainOvr(train, "doc_id", "text",
+        classCol = org.apache.spark.sql.functions.col("cls"),
+        buckets = 64, iters = 8, lrDiv = 1L, charNgram = n)
+      graft.operators.Infer.predictOvr(eval, "doc_id", "text", m, charNgram = n)
+        .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    }
+    // unigram-only: the eval words are unseen -> all-zero feature
+    // weights, every score ties at bias, argmax falls to the first
+    // sorted class for both docs (no generalization)
+    val uni = preds(0)
+    assert(uni(10L) == uni(11L),
+      s"unigram model cannot separate unseen words: $uni")
+    // char trigrams: the shared stems (#abc #bcd ...) carry the class
+    val sub = preds(3)
+    assert(sub == Map(10L -> "A", 11L -> "B"),
+      s"char-gram model must generalize via stems: $sub")
+  }
+
 }
