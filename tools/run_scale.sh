@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval,q_dedup_containment,q_text_normalize,q_calibration,q_html_extract,q_dedup_substring,q_dedup_containment_pruned,q_bm25_table,q_pagerank_redist,q_langid_chargram
 
 # q_curate_e2e's stage-5 token budget scales with the corpus factor
 # (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
@@ -126,9 +126,13 @@ CHUNK_C5=$(echo "$CORE" | cut -d, -f52-58)
 # incremental-curate DAG) — the curate DAG writes eight parquet
 # targets and must not share a JVM with the budget-scaled flagship or
 # the stateful streams
-CHUNK_C6=$(echo "$CORE" | cut -d, -f59-)
+CHUNK_C6=$(echo "$CORE" | cut -d, -f59-66)
+# r16: a SEVENTH chunk carries the r16 ladder rows plus the three
+# r15 queries the verdict flagged with zero scale evidence at any
+# factor (q_dedup_containment / q_text_normalize / q_calibration)
+CHUNK_C7=$(echo "$CORE" | cut -d, -f67-)
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7"; do
   bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
@@ -138,7 +142,7 @@ rm -f target/scale_x32.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4, 5, 6):
+for i in (1, 2, 3, 4, 5, 6, 7):
     try:
         qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -172,8 +176,20 @@ fi
 # single-JVM x100 run wedges or OOMs by the second pass; r13: even a
 # 19-query chunk OOM'd once the corpus-scaled curate budget shared a
 # JVM with the stateful stream queries — c4 isolates it).
-i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6"; do
+# r16: c1 splits at x100 — q_ancestor_arrays OOM'd a task at p128
+# inside the 16-query c1 JVM (its per-task ancestor-array volume is
+# total/partitions; the partitions matrix below measures exactly this
+# boundary). It runs ALONE at p256, the knob's own measured relief
+# point; the other 15 queries keep the fleet-standard p128.
+bench scale_x100_c1a.json target/scale/x100 SPARK_GRAFT_ONLY=q_ancestor_arrays \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=256 SPARK_GRAFT_STREAM_PARTITIONS=32 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
+CHUNK_C1B=$(echo "$CHUNK_C1" | sed 's/q_ancestor_arrays,//')
+bench scale_x100_c1b.json target/scale/x100 SPARK_GRAFT_ONLY=$CHUNK_C1B \
+  SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
+  SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
+i=2
+for chunk in "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
@@ -200,7 +216,7 @@ rm -f target/scale_x100.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4, 5, 6):
+for i in ('1a', '1b', 2, 3, 4, 5, 6, 7):
     try:
         qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
     except FileNotFoundError:
