@@ -920,7 +920,17 @@ object Dedup {
       .filter(col("gram").isNotNull)
     val rep = grams.groupBy("gram").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccur).select("gram")
-    val bans = grams.join(rep, Seq("gram")).select(col(idCol), col("gs"))
+    // merge-PINNED, never broadcast: unlike dedupSpans' boilerplate
+    // set (non-overlapping windows over-frequent corpus-wide —
+    // typically tiny), the stride-1 ban set scales with the corpus's
+    // DUPLICATED VOLUME (every position of a repeated run is a banned
+    // gram) — the r16 scale gate measured the AQE broadcast build
+    // growing 42 MB → 470 MB from ×1 to ×10, the corpus-scaling
+    // broadcast class that OOMs the driver at 100 TB. Both sides key
+    // by gram (rep comes from the same aggregation), so the pin costs
+    // one linear probe-side shuffle, nothing pairwise.
+    val bans = grams.join(rep.hint("merge"), Seq("gram"))
+      .select(col(idCol), col("gs"))
     // difference-array events: __o orders deltas BEFORE the token at
     // an equal position (a window starting AT a token covers it; one
     // ENDING at it — interval [gs, gs+L-1] — does not)
