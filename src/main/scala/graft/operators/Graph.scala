@@ -43,6 +43,115 @@ object Graph {
     * planner). Exact while iters·10⁶·maxdeg < 2⁶³ — unreachable.
     *
     * @return (node, out_degree, rank_ppm) after `iters` iterations. */
+  /** Multi-source BFS hop distance over an edge list — the crawl-depth
+    * prior (distance from a trusted seed set) that web curation ranks
+    * hosts by, and the k-hop reachability a link-graph audit asks for.
+    *
+    * dist(v) = min hops from ANY seed, settled frontier-by-frontier:
+    * unit weights make the first visit minimal, so a node joins the
+    * `reached` set exactly once and each iteration expands only the
+    * PREVIOUS frontier — per hop ONE edge-keyed shuffle (frontier ⋈
+    * edges) plus an anti-join against the reached set, never a full
+    * relax over all nodes. Unreached nodes are absent from the output
+    * (their distance is undefined, not 0/null — callers left-join).
+    *
+    * Scale shape: edges persist once; the frontier is the only moving
+    * frame and shrinks as the graph saturates; `reached` grows
+    * monotonically and is re-keyed on node for the anti-join. Lineage
+    * truncates every hop via the running union's localCheckpoint (the
+    * [[Components]] discipline). Deterministic — set semantics, no
+    * floats — so a DuckDB oracle replays hop-by-hop as unrolled CTEs.
+    *
+    * @param seeds single-column ("node") frame of BFS sources.
+    * @return (node, hops) for every node within `maxHops` of a seed. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("node"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var reached = seeds.select(col("node").cast("long").as("node")).distinct()
+      .select(col("node"), lit(0).as("hops"))
+      .localCheckpoint()
+    var frontier = reached.select("node")
+    for (t <- 1 to maxHops) {
+      val next = e.join(frontier, "node").select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(t).as("hops"))
+      // localCheckpoint both truncates the per-hop lineage (a deep
+      // maxHops cannot blow the planner) and pins `next` so frontier
+      // and the union see ONE evaluation
+      reached = reached.unionByName(next).localCheckpoint()
+      frontier = reached.filter(col("hops") === t).select("node")
+    }
+    e.unpersist()
+    reached
+  }
+
+  /** Fixed-iteration HITS (hubs & authorities) in exact integer ppm —
+    * the OTHER classic link-graph prior: on a crawl graph, authority
+    * scores surface content pages and hub scores surface index/portal
+    * pages, complementary to PageRank's random-surfer mass.
+    *
+    *   h⁰(u) = 10⁶
+    *   aᵗ(v) = Σ_{u→v} hᵗ⁻¹(u), then a ← a·10⁶ div max(a)
+    *   hᵗ(u) = Σ_{u→v} aᵗ(v),   then h ← h·10⁶ div max(h)
+    *
+    * Max-normalization (instead of the float L2 norm) keeps every
+    * value an exact long under truncating division, so a fixed
+    * iteration count replays bit-for-bit in an unrolled-CTE oracle —
+    * the [[pagerankPpm]] discipline. Nodes with no in-edges settle at
+    * authority 0, no out-edges at hub 0; duplicate edges collapse.
+    *
+    * Scale shape: per iteration TWO edge-keyed shuffles (the h→a and
+    * a→h contribution sums, each map-side combined) and two 1-row max
+    * aggregates broadcast as constants; the edge list persists once;
+    * lineage truncates every `checkpointEvery` iterations. Exact while
+    * iters·10⁶·maxdeg < 2⁶³.
+    *
+    * @return (node, hub_ppm, auth_ppm) after `iters` iterations. */
+  def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
+              iters: Int = 3, checkpointEvery: Int = 2): DataFrame = {
+    require(iters >= 1)
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spine = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spine.count()
+    def maxNorm(df: DataFrame, c: String): DataFrame = {
+      val mx = df.agg(greatest(max(col(c)), lit(1L)).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col("node"), expr(s"($c * 1000000) div mx").as(c))
+    }
+    var hubs = spine.select(col("node"), lit(1000000L).as("h"))
+    var auths: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      auths = maxNorm(spine.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      hubs = maxNorm(spine.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+      if (i % checkpointEvery == 0 && i < iters) {
+        hubs = hubs.localCheckpoint(eager = false)
+        auths = auths.localCheckpoint(eager = false)
+      }
+    }
+    val result = hubs.join(auths, "node")
+      .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+      .localCheckpoint()
+    e.unpersist()
+    spine.unpersist()
+    result
+  }
+
   def pagerankPpm(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 4, dampingPpm: Long = 850000L,
                   checkpointEvery: Int = 2,

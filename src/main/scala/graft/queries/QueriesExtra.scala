@@ -492,6 +492,54 @@ object QueriesExtra {
       graft.operators.Graph.pagerankPpm(edges, "src", "dst", iters = 4,
           redistributeDangling = true)
         .orderBy("node")
+    }),
+
+    "q_graph_bfs" -> ((s, d) => {
+      // multi-source BFS hop distance (Graph.bfsHops): the crawl-depth
+      // prior — distance from a trusted seed set — that web curation
+      // ranks hosts by. Sparsified symmetric customer↔part graph (only
+      // quantity≤2 lineitems, parity-tagged ids) so the frontier
+      // genuinely expands over 4 hops instead of saturating through
+      // supplier hubs; seeds = node % 997 == 0. Per hop ONE edge-keyed
+      // shuffle (previous frontier ⋈ edges) + an anti-join against the
+      // reached set — never a full relax; the oracle replays the
+      // frontier trajectory as unrolled CTEs.
+      val t = Tables(s, d)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.filter(col("l_quantity") <= 2)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          "o_orderkey")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst")))
+        .distinct()
+        .filter(pmod(col("node"), lit(997)) === 0)
+      graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, maxHops = 4)
+        .orderBy("node")
+    }),
+
+    "q_hits" -> ((s, d) => {
+      // HITS hubs & authorities (Graph.hitsPpm): the other classic
+      // link-graph prior — on a crawl graph authorities surface
+      // content pages, hubs surface portals. Directed customer→
+      // supplier graph (customers are pure hubs, suppliers pure
+      // authorities — the bipartite co-citation shape). Exact integer
+      // ppm under max-normalization (truncating div), 3 iterations;
+      // the oracle unrolls the trajectory. Per iteration: TWO
+      // edge-keyed shuffles + two 1-row max aggregates.
+      val t = Tables(s, d)
+      val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_suppkey")), "o_orderkey")
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.hitsPpm(edges, "src", "dst", iters = 3)
+        .orderBy("node")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -556,6 +604,65 @@ object QueriesExtra {
          |$steps
          |SELECT n.node, coalesce(d.deg, 0) AS out_degree, r.r AS rank_ppm
          |FROM nodes n JOIN r4 r USING (node) LEFT JOIN deg d USING (node)
+         |ORDER BY n.node""".stripMargin
+    },
+
+    // replays Graph.bfsHops' frontier trajectory hop-by-hop: each fN
+    // expands ONLY the previous frontier and anti-joins the reached
+    // set — the operator's exact settle order, so hop labels land
+    // identical or the frontier logic drifted.
+    "q_graph_bfs" -> {
+      val steps = (1 to 4).map { t =>
+        s"""f$t AS (
+           | SELECT DISTINCT e.dst AS node
+           | FROM e JOIN f${t - 1} f ON e.src = f.node
+           | WHERE e.dst NOT IN (SELECT node FROM r${t - 1})),
+           |r$t AS (SELECT * FROM r${t - 1} UNION ALL SELECT node, $t FROM f$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         | SELECT DISTINCT cast(o_custkey * 2 as bigint) AS src,
+         |  cast(l_partkey * 2 + 1 as bigint) AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE l_quantity <= 2),
+         |e AS MATERIALIZED (
+         | SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+         |f0 AS (
+         | SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)
+         | WHERE node % 997 = 0),
+         |r0 AS (SELECT node, 0 AS hops FROM f0),
+         |$steps
+         |SELECT node, hops FROM r4 ORDER BY node""".stripMargin
+    },
+
+    // unrolls Graph.hitsPpm's 3 exact-integer iterations: per step the
+    // h→a contribution sum, max-normalization by truncating division,
+    // then a→h — all nonnegative longs, so DuckDB's floor `//` equals
+    // the operator's truncating `div` bit-for-bit.
+    "q_hits" -> {
+      val steps = (1 to 3).map { t =>
+        s"""ar$t AS (
+           | SELECT n.node, coalesce(s.a, 0) AS a FROM nodes n LEFT JOIN (
+           |  SELECT e.dst AS node, sum(h.h) AS a
+           |  FROM e JOIN h${t - 1} h ON h.node = e.src GROUP BY 1) s USING (node)),
+           |am$t AS (SELECT greatest(max(a), 1) AS mx FROM ar$t),
+           |a$t AS (SELECT node, cast((a * 1000000) // mx as bigint) AS a FROM ar$t, am$t),
+           |hr$t AS (
+           | SELECT n.node, coalesce(s.h, 0) AS h FROM nodes n LEFT JOIN (
+           |  SELECT e.src AS node, sum(a.a) AS h
+           |  FROM e JOIN a$t a ON a.node = e.dst GROUP BY 1) s USING (node)),
+           |hm$t AS (SELECT greatest(max(h), 1) AS mx FROM hr$t),
+           |h$t AS (SELECT node, cast((h * 1000000) // mx as bigint) AS h FROM hr$t, hm$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         | SELECT DISTINCT cast(o_custkey * 2 as bigint) AS src,
+         |  cast(l_suppkey * 2 + 1 as bigint) AS dst
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT node FROM (
+         | SELECT src AS node FROM e UNION SELECT dst FROM e)),
+         |h0 AS (SELECT node, cast(1000000 as bigint) AS h FROM nodes),
+         |$steps
+         |SELECT n.node, h3.h AS hub_ppm, a3.a AS auth_ppm
+         |FROM nodes n JOIN h3 USING (node) JOIN a3 USING (node)
          |ORDER BY n.node""".stripMargin
     },
 

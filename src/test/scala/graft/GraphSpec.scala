@@ -100,4 +100,62 @@ class GraphSpec extends AnyFunSuite {
       "src", "dst", iters = 2).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                  maxHops: Int): Map[Long, Int] =
+    Graph.bfsHops(edges.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node"), maxHops)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsHops: chain distances, hop cap, unreachable absent") {
+    // 1 -> 2 -> 3 -> 4 (directed); 5 -> 6 is a separate component
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 5L -> 6L)
+    assert(bfs(chain, Seq(1L), maxHops = 4) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // the cap truncates the frontier, it does not relabel
+    assert(bfs(chain, Seq(1L), maxHops = 2) == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // direction matters: seeding the sink reaches nothing upstream
+    assert(bfs(chain, Seq(4L), maxHops = 4) == Map(4L -> 0))
+  }
+
+  test("bfsHops: multi-source takes the MINIMUM distance per node") {
+    val chain = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    // node 3 is 2 hops from seed 1 but becomes hop-1 from seed 2;
+    // node 5 is hop-1 from seed 4
+    assert(bfs(chain, Seq(1L, 4L), maxHops = 4) ==
+      Map(1L -> 0, 4L -> 0, 2L -> 1, 5L -> 1, 3L -> 2))
+    // a seed already reached stays at 0 — first settle wins
+    assert(bfs(chain, Seq(1L, 2L), maxHops = 4)(2L) == 0)
+  }
+
+  private def hits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.hitsPpm(edges.toDF("src", "dst"), "src", "dst", iters = iters)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hitsPpm: hand-unrolled bipartite trajectory") {
+    // 1 -> 10, 2 -> 10, 2 -> 11
+    // iter1: a_raw(10)=2e6, a_raw(11)=1e6, max 2e6
+    //        a: 10=1e6, 11=500000
+    //        h_raw(1)=1e6, h_raw(2)=1.5e6, max 1.5e6
+    //        h: 1=666666, 2=1e6
+    // iter2: a_raw(10)=1666666, a_raw(11)=1e6, max 1666666
+    //        a: 10=1e6, 11=600000
+    //        h_raw(1)=1e6, h_raw(2)=1.6e6 -> h: 1=625000, 2=1e6
+    val g = Seq(1L -> 10L, 2L -> 10L, 2L -> 11L)
+    val r1 = hits(g, iters = 1)
+    assert(r1 == Map(1L -> ((666666L, 0L)), 2L -> ((1000000L, 0L)),
+      10L -> ((0L, 1000000L)), 11L -> ((0L, 500000L))), s"iter1: $r1")
+    val r2 = hits(g, iters = 2)
+    assert(r2(1L) == ((625000L, 0L)) && r2(2L) == ((1000000L, 0L)))
+    assert(r2(10L) == ((0L, 1000000L)) && r2(11L) == ((0L, 600000L)))
+  }
+
+  test("hitsPpm: duplicate edges collapse; pure-sink/source zeros") {
+    val g = Seq(1L -> 10L, 2L -> 10L, 2L -> 11L)
+    assert(hits(g ++ g, iters = 2) == hits(g, iters = 2))
+    // customers (sources) carry zero authority; suppliers zero hub
+    val r = hits(g, iters = 3)
+    assert(r(1L)._2 == 0L && r(10L)._1 == 0L)
+  }
 }
