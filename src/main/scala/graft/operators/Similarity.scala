@@ -280,4 +280,94 @@ object Similarity {
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rk"))
   }
+
+  /** Margin-based bitext mining (the Artetxe & Schwenk ratio margin —
+    * the standard recipe for mining parallel sentence pairs out of two
+    * monolingual embedding spaces, the step that produces translation
+    * training data at corpus scale).
+    *
+    * A pair (x, y) survives iff each side is the other's BEST margin
+    * partner (mutual top-1) and the margin clears `minMarginPpm`:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2)
+    *
+    * where avgₖ(s) is the mean cosine of s's k nearest cross-side
+    * CANDIDATES — the margin denominator is the "how dense is your
+    * neighborhood" correction that plain cosine thresholds lack
+    * (hubness: some vectors are close to everything).
+    *
+    * Candidates are SAME-CELL cross-side pairs under the shared
+    * bit-deterministic int8 k-means ([[Cluster.trainInt8]] — the
+    * q_dedup_semantic blocking discipline): never all-pairs, and the
+    * whole pipeline — Lloyd trajectory, candidate set, kNN lists,
+    * margins, mutual filter — is a pure function of the data that a
+    * DuckDB oracle replays exactly. Margin arithmetic is integer after
+    * one float→ppb floor per pair (floor(cos·10⁹) — IEEE-exact on both
+    * engines): per-side sums of top-k ppb values are order-independent
+    * longs, truncating `div` keeps ties engine-identical.
+    *
+    * Scale shape: one cell-keyed shuffle builds candidates (cells from
+    * the broadcast-literal centroid assignment), then two window
+    * re-keys (x side, y side) + two bounded aggregate joins — every
+    * frame is O(candidates), candidates are cell-bounded. Sides are
+    * fixed by `sideExpr` (true = X/source side).
+    *
+    * @return (x_id, y_id, cos_ppb, margin_ppm) for mutual-best pairs
+    *         with margin ≥ minMarginPpm, one row per surviving pair. */
+  def bitextMarginMine(corpus: DataFrame, sideExpr: Column,
+                       k: Int = 4, minMarginPpm: Long = 1000000L,
+                       nlist: Int = 0, iters: Int = 2,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && minMarginPpm >= 0)
+    // nlist = 0 derives cell count by the IVF rule (cells stay ~64
+    // rows at every corpus size — the assignCells discipline; a fixed
+    // nlist would let candidate blocks grow with the data)
+    val kCells = if (nlist > 0) nlist else Cluster.kForCorpus(corpus.count(), 64)
+    val tr = Cluster.trainInt8(corpus, idCol, vecCol, kCells, iters)
+    val vecs = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"), sideExpr.as("__x"))
+    val sided = tr.assigned.select(col("id"), col("cid")).join(vecs, "id")
+    val xs = sided.filter(col("__x"))
+      .select(col("cid"), col("id").as("x_id"), col("__v").as("__xv"))
+    val ys = sided.filter(!col("__x"))
+      .select(col("cid"), col("id").as("y_id"), col("__v").as("__yv"))
+    val pairs = xs.join(ys, "cid")
+      .withColumn("cos_ppb",
+        floor(VectorFunctions.cosine(col("__xv"), col("__yv")) * 1e9).cast("long"))
+      // negative-cosine candidates are never translations; dropping
+      // them here also keeps EVERY div operand nonnegative, where
+      // Spark's truncating `div` and DuckDB's flooring `//` agree
+      .filter(col("cos_ppb") >= 0)
+      .select(col("x_id"), col("y_id"), col("cos_ppb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-side kNN means over the candidate set, kept as exact longs:
+    // sum of the top-k ppb cosines (order-independent), truncated avg
+    def kAvg(side: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(side))
+        .orderBy(col("cos_ppb").desc, col(other).asc)
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(side))
+        .agg(expr(s"sum(cos_ppb) div count(*)").as(out))
+    }
+    val ax = kAvg("x_id", "y_id", "__ax")
+    val ay = kAvg("y_id", "x_id", "__ay")
+    val margined = pairs.join(ax, "x_id").join(ay, "y_id")
+      .filter(col("__ax") + col("__ay") > 0)
+      .withColumn("margin_ppm",
+        expr("(cos_ppb * 2000000) div (__ax + __ay)"))
+    val bx = Window.partitionBy(col("x_id"))
+      .orderBy(col("margin_ppm").desc, col("y_id").asc)
+    val by = Window.partitionBy(col("y_id"))
+      .orderBy(col("margin_ppm").desc, col("x_id").asc)
+    val result = margined
+      .withColumn("__bx", row_number().over(bx))
+      .withColumn("__by", row_number().over(by))
+      .filter(col("__bx") === 1 && col("__by") === 1 &&
+        col("margin_ppm") >= minMarginPpm)
+      .select(col("x_id"), col("y_id"), col("cos_ppb"), col("margin_ppm"))
+      .localCheckpoint()
+    pairs.unpersist()
+    result
+  }
 }

@@ -285,6 +285,23 @@ object QueriesText {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_bitext_mine" -> ((s, d) => {
+      // margin-based bitext mining (Similarity.bitextMarginMine — the
+      // Artetxe & Schwenk ratio margin, the standard recipe for
+      // mining parallel sentence pairs out of two monolingual
+      // embedding spaces): mutual best-margin cross-side pairs where
+      // margin = cos / mean-of-kNN-cos corrects for hubness. Sides by
+      // vec_id parity; candidates are SAME-CELL pairs under the shared
+      // bit-deterministic int8 k-means (the q_dedup_semantic blocking
+      // discipline, nlist derived so cells stay ~64 rows) — never
+      // all-pairs. One float→ppb floor per pair, then integer sums /
+      // truncating divs, so the DuckDB oracle replays candidate set,
+      // kNN means, margins and the mutual filter bit-for-bit.
+      Similarity.bitextMarginMine(Tables(s, d).embeddings,
+          pmod(col("vec_id"), lit(2)) === 0, k = 4, minMarginPpm = 1000000L)
+        .orderBy("x_id", "y_id")
+    }),
+
     "q_dedup_semantic" -> ((s, d) => {
       // LABEL-FREE semantic near-dup: blocks come from the engine's
       // own bit-deterministic int8 k-means (Cluster.kmeansAssignInt8,
@@ -1560,6 +1577,51 @@ object QueriesText {
          |FROM brute b LEFT JOIN ivf i
          | ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays bitextMarginMine end-to-end: the shared unrolled k-means
+    // (a2 = final cells), same-cell cross-side candidates with the
+    // parity sides, the one float→ppb floor (IEEE-exact both engines),
+    // per-side top-4 ppb sums (order-independent longs), truncating
+    // margin division (all operands nonnegative, where DuckDB's
+    // flooring // equals Spark's truncating div), and the mutual
+    // best-margin filter with identical tie-breaks.
+    "q_bitext_mine" ->
+      s"""WITH $kmeansCtes,
+         |sided AS (
+         | SELECT a.id, a.cid, e.embedding FROM a2 a
+         |  JOIN embeddings e ON e.vec_id = a.id),
+         |pairs AS (
+         | SELECT * FROM (
+         |  SELECT x.id AS x_id, y.id AS y_id,
+         |   cast(floor(1e9 * (
+         |    list_sum(list_transform(list_zip(x.embedding, y.embedding),
+         |      p -> cast(p[1] as double) * cast(p[2] as double)))
+         |    / (sqrt(list_sum(list_transform(x.embedding, v -> cast(v as double) * cast(v as double))))
+         |     * sqrt(list_sum(list_transform(y.embedding, v -> cast(v as double) * cast(v as double))))))) as bigint) AS cos_ppb
+         |  FROM sided x JOIN sided y
+         |   ON x.cid = y.cid AND x.id % 2 = 0 AND y.id % 2 = 1)
+         | WHERE cos_ppb >= 0),
+         |rkx AS (SELECT *, row_number() OVER (
+         |  PARTITION BY x_id ORDER BY cos_ppb DESC, y_id) AS rk FROM pairs),
+         |ax AS (SELECT x_id, cast(sum(cos_ppb) // count(*) as bigint) AS a_x
+         | FROM rkx WHERE rk <= 4 GROUP BY 1),
+         |rky AS (SELECT *, row_number() OVER (
+         |  PARTITION BY y_id ORDER BY cos_ppb DESC, x_id) AS rk FROM pairs),
+         |ay AS (SELECT y_id, cast(sum(cos_ppb) // count(*) as bigint) AS a_y
+         | FROM rky WHERE rk <= 4 GROUP BY 1),
+         |m AS (
+         | SELECT p.x_id, p.y_id, p.cos_ppb,
+         |  cast((p.cos_ppb * 2000000) // (a_x + a_y) as bigint) AS margin_ppm
+         | FROM pairs p JOIN ax USING (x_id) JOIN ay USING (y_id)
+         | WHERE a_x + a_y > 0),
+         |b AS (
+         | SELECT *,
+         |  row_number() OVER (PARTITION BY x_id ORDER BY margin_ppm DESC, y_id) AS bx,
+         |  row_number() OVER (PARTITION BY y_id ORDER BY margin_ppm DESC, x_id) AS by
+         | FROM m)
+         |SELECT x_id, y_id, cos_ppb, margin_ppm FROM b
+         |WHERE bx = 1 AND by = 1 AND margin_ppm >= 1000000
+         |ORDER BY x_id, y_id""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH $kmeansCtes,

@@ -419,6 +419,67 @@ class SimilaritySpec extends AnyFunSuite {
     // bucketing is approximate: require non-trivial overlap and same-bucket sanity
     assert(lsh.nonEmpty && (lsh & bf).nonEmpty)
   }
+
+  test("bitextMarginMine at nlist=1 equals a Scala brute force of the definition") {
+    // ONE cell = every cross-side pair is a candidate, so the whole
+    // operator (ppb floor, top-k sums, truncating margin, mutual
+    // filter, tie-breaks) must reproduce a from-scratch replay
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .filter(col("vec_id") < 60)
+    val got = Similarity.bitextMarginMine(emb, pmod(col("vec_id"), lit(2)) === 0,
+        k = 4, minMarginPpm = 1000000L, nlist = 1)
+      .select("x_id", "y_id", "cos_ppb", "margin_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    // sequential left-to-right double fold = FloatVecDot's order
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    def cosPpb(a: Array[Float], b: Array[Float]): Long = {
+      val (na, nb) = (math.sqrt(dot(a, a)), math.sqrt(dot(b, b)))
+      val c = if (na == 0 || nb == 0) 0.0 else dot(a, b) / (na * nb)
+      math.floor(c * 1e9).toLong
+    }
+    val xs = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val ys = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val pairs = (for { x <- xs; y <- ys
+      c = cosPpb(vecs(x), vecs(y)) if c >= 0 } yield (x, y, c))
+    def kAvg(group: Seq[(Long, Long)]): Long = { // (cos, partner)
+      val top = group.sortBy { case (c, p) => (-c, p) }.take(4)
+      top.map(_._1).sum / top.size
+    }
+    val ax = pairs.groupBy(_._1).map { case (x, g) => x -> kAvg(g.map(t => (t._3, t._2))) }
+    val ay = pairs.groupBy(_._2).map { case (y, g) => y -> kAvg(g.map(t => (t._3, t._1))) }
+    val margined = pairs.flatMap { case (x, y, c) =>
+      val d = ax(x) + ay(y)
+      if (d > 0) Some((x, y, c, c * 2000000L / d)) else None
+    }
+    val bestX = margined.groupBy(_._1).map { case (x, g) =>
+      x -> g.minBy { case (_, y, _, m) => (-m, y) } }
+    val bestY = margined.groupBy(_._2).map { case (y, g) =>
+      y -> g.minBy { case (x, _, _, m) => (-m, x) } }
+    val want = margined.filter { case t @ (x, y, _, m) =>
+      bestX(x) == t && bestY(y) == t && m >= 1000000L }.toSet
+    assert(want.nonEmpty, "fixture must mine at least one pair")
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("bitextMarginMine: sides never mix and the threshold gates") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val out = Similarity.bitextMarginMine(emb, pmod(col("vec_id"), lit(2)) === 0,
+        k = 4, minMarginPpm = 1000000L)
+      .select("x_id", "y_id", "margin_ppm").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (x, y, m) => x % 2 == 0 && y % 2 == 1 && m >= 1000000L })
+    // a y_id appears at most once (mutual top-1 is one-to-one)
+    assert(out.map(_._2).distinct.length == out.length)
+    assert(out.map(_._1).distinct.length == out.length)
+    // an unreachable threshold mines nothing
+    val none = Similarity.bitextMarginMine(emb, pmod(col("vec_id"), lit(2)) === 0,
+        k = 4, minMarginPpm = 100000000L)
+    assert(none.count() == 0)
+  }
 }
 
 class MediaStreamSpec extends AnyFunSuite {
