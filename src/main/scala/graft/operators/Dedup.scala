@@ -960,6 +960,54 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Corpus-wide SENTENCE dedup, keep-first (the C4-family boilerplate
+    * stage between doc-level dedup and window/substring dedup): split
+    * each document into sentence units on the literal ". " boundary,
+    * count each unit's corpus-wide occurrences, and for units that are
+    * ELIGIBLE (length ≥ `minChars` — short fragments like "OK" are
+    * never deduped) and REPEATED (count > `maxOccur`) keep only the
+    * canonical FIRST occurrence, ordered by (doc id, position). Unlike
+    * [[dedupSpans]]/[[dedupSubstrings]] (which BAN every occurrence of
+    * an over-frequent unit), keep-first preserves the corpus-level
+    * guarantee a C4-style pipeline wants: every unique sentence
+    * survives somewhere, exactly once.
+    *
+    * Eligibility is a pure function of the unit text, so all
+    * occurrences of a sentence share it — the occurrence count and the
+    * first-occurrence rank can both ride ONE sentence-keyed exchange
+    * (two window functions over the same partitioning). Reassembly is
+    * the usual doc-keyed sort_array(collect_list) join with ". " —
+    * lossless for surviving units by construction of the split.
+    *
+    * Scale: one sentence-keyed shuffle (count + rank windows) + one
+    * doc-keyed exchange for reassembly — linear, nothing pairwise;
+    * per-sentence state is bounded by the duplicate class size and the
+    * rank window streams (row_number, no buffering).
+    *
+    * Returns (idCol, n_sentences, n_removed, clean_text). */
+  def dedupSentences(df: DataFrame, idCol: String, textCol: String,
+                     minChars: Int = 12, maxOccur: Long = 1): DataFrame = {
+    require(minChars >= 1 && maxOccur >= 1)
+    val W = org.apache.spark.sql.expressions.Window
+    val wRank = W.partitionBy(col("sent")).orderBy(col(idCol), col("pos"))
+    val wCnt = W.partitionBy(col("sent"))
+    df.select(col(idCol),
+        posexplode_outer(split(col(textCol), "\\. ")).as(Seq("pos", "sent")))
+      .filter(col("sent").isNotNull)
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__n", count(lit(1)).over(wCnt))
+      .withColumn("__keep",
+        length(col("sent")) < minChars || col("__n") <= maxOccur || col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        count(when(!col("__keep"), 1)).as("n_removed"),
+        array_join(
+          transform(sort_array(collect_list(when(col("__keep"),
+            struct(col("pos"), col("sent"))))), s => s("sent")),
+          ". ").as("clean_text"))
+  }
+
   // ───────────────────────── drop-accounting observation ──────────────
 
   /** Name of the plan-riding observation under which banded candidate

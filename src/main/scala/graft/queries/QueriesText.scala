@@ -149,6 +149,33 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_sentence" -> ((s, d) => {
+      // corpus-wide SENTENCE dedup, keep-first (Dedup.dedupSentences —
+      // the C4-family stage between doc dedup and span/substring
+      // dedup): repeated eligible sentences survive ONLY at their
+      // canonical first occurrence, so unique content is preserved
+      // exactly once, where dedupSpans/dedupSubstrings ban every
+      // occurrence. The corpus carries no sentence boundaries, so
+      // multi-sentence pages are synthesized IN-PLAN (the
+      // q_html_extract fixture discipline): a per-source subscribe
+      // banner (repeated ~100×), the doc's unique body, a shared
+      // rights notice on every third doc, a sub-minChars "OK" fragment
+      // that repeats corpus-wide but is too short to dedup, and a
+      // short unique tail. The oracle replays wrap + split + count +
+      // first-occurrence rank + reassembly bit-for-bit.
+      val page = concat(
+        lit("Subscribe to the "), col("source"), lit(" newsletter today. "),
+        substring(col("text"), 1, 60), lit(". "),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("All rights reserved by the operator"))
+          .otherwise(concat(lit("Thanks "), col("doc_id"))),
+        lit(". OK"))
+      Dedup.dedupSentences(
+          Tables(s, d).documents.select(col("doc_id"), page.as("page")),
+          "doc_id", "page", minChars = 12, maxOccur = 1)
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_substring" -> ((s, d) => {
       // arbitrary-length exact-substring dedup (VERDICT r15 #4, the
       // Lee-et-al suffix-array family): every token covered by a
@@ -2366,6 +2393,35 @@ object QueriesText {
          | coalesce(h.hist_id, bm.batch_min) AS canonical_id
          |FROM b JOIN bm USING (fp) LEFT JOIN h USING (fp)
          |ORDER BY b.doc_id""".stripMargin,
+
+    // replays dedupSentences end-to-end: the same in-plan page wrap,
+    // the ". " split with positions, ONE count + ONE first-occurrence
+    // rank per sentence (eligibility is a pure function of the unit
+    // text, so both ride the sentence partition), the keep rule, and
+    // the ordered ". " reassembly. coalesce('') matches Spark's
+    // array_join over an all-removed doc.
+    "q_dedup_sentence" ->
+      """WITH pages AS (
+        | SELECT doc_id,
+        |  'Subscribe to the ' || source || ' newsletter today. ' ||
+        |  substr(text, 1, 60) || '. ' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved by the operator'
+        |       ELSE 'Thanks ' || doc_id END || '. OK' AS page
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id, unnest(string_split(page, '. ')) AS sent,
+        |  generate_subscripts(string_split(page, '. '), 1) - 1 AS pos
+        | FROM pages),
+        |m AS (
+        | SELECT doc_id, pos, sent,
+        |  row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn,
+        |  count(*) OVER (PARTITION BY sent) AS n
+        | FROM segs),
+        |k AS (SELECT *, (length(sent) < 12 OR n <= 1 OR rn = 1) AS keep FROM m)
+        |SELECT doc_id, count(*) AS n_sentences,
+        | count(CASE WHEN NOT keep THEN 1 END) AS n_removed,
+        | coalesce(string_agg(CASE WHEN keep THEN sent END, '. ' ORDER BY pos), '') AS clean_text
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_spans" ->
       s"""WITH t AS (

@@ -387,6 +387,50 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("shingle bucket"))
   }
+
+  test("dedupSentences: keep-first across docs, ordered by (doc_id, pos)") {
+    val boiler = "all rights reserved forever"
+    val fx = Seq(
+      (2L, s"unique middle content here. $boiler"),
+      (1L, s"$boiler. body of the first document"),
+      (3L, s"$boiler. another unique tail sentence"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSentences(fx, "doc_id", "text")
+      .select("doc_id", "n_sentences", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the canonical first occurrence (lowest doc_id)
+    assert(got(1L) == ((1L, 2L, 0L, s"$boiler. body of the first document")))
+    assert(got(2L) == ((2L, 2L, 1L, "unique middle content here")))
+    assert(got(3L) == ((3L, 2L, 1L, "another unique tail sentence")))
+  }
+
+  test("dedupSentences: within-doc repeats keep the earliest position") {
+    val s1 = "repeated sentence inside one document"
+    val fx = Seq((7L, s"$s1. interlude goes right here. $s1")).toDF("doc_id", "text")
+    val got = Dedup.dedupSentences(fx, "doc_id", "text")
+      .select("n_sentences", "n_removed", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(got == ((3L, 1L, s"$s1. interlude goes right here")))
+  }
+
+  test("dedupSentences: minChars shields short fragments; maxOccur gates") {
+    // "OK" repeats corpus-wide but is under minChars — never removed
+    val fx = Seq((1L, "alpha beta gamma delta. OK"), (2L, "epsilon zeta eta theta. OK"))
+      .toDF("doc_id", "text")
+    val texts = Dedup.dedupSentences(fx, "doc_id", "text", minChars = 12)
+      .select("clean_text").as[String].collect().toSet
+    assert(texts == Set("alpha beta gamma delta. OK", "epsilon zeta eta theta. OK"))
+    // maxOccur = 2 tolerates a pair, removes only at the third copy
+    val tri = Seq((1L, "tolerated duplicate sentence"), (2L, "tolerated duplicate sentence"),
+      (3L, "tolerated duplicate sentence")).toDF("doc_id", "text")
+    val byDoc = Dedup.dedupSentences(tri, "doc_id", "text", maxOccur = 2)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    val pair = Dedup.dedupSentences(tri.filter($"doc_id" < 3), "doc_id", "text",
+        maxOccur = 2)
+      .select("n_removed").as[Long].collect().toSeq
+    assert(pair == Seq(0L, 0L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
