@@ -38,4 +38,35 @@ object Merge {
     val ups = changes.filter(!(col(opCol) <=> "delete")).drop(opCol)
     target.join(touched, keys, "left_anti").unionByName(ups)
   }
+
+  /** Compact an ORDERED changelog to last-writer-wins per key — the
+    * step between [[applyChanges]] (which requires a pre-deduped
+    * change set) and a raw CDC stream, where one batch can carry many
+    * ops for the same key (insert → update → … → delete) and only the
+    * LAST one may decide. `orderCols` must totally order events within
+    * a key (e.g. ts + a unique event id as the tie-break) or the
+    * "last" row is nondeterministic — the same requirement a log
+    * replayer has. One key-partitioned streaming row_number — a single
+    * key-keyed shuffle, no buffering beyond the sort. */
+  def compactLog(log: DataFrame, keys: Seq[String],
+                 orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must totally order a key's events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop((orderCols :+ "__rn"): _*)
+  }
+
+  /** CDC apply at a batch boundary: compact the ordered log
+    * ([[compactLog]]), then merge the survivors into the snapshot
+    * ([[applyChanges]]) — a key whose last op is 'delete' vanishes,
+    * any other last op upserts its row. The whole thing is two
+    * key-keyed shuffles of the (small) log plus one of the target —
+    * at scale the target side should be bucketed on the key so only
+    * the log moves. */
+  def applyCdcLog(target: DataFrame, log: DataFrame, keys: Seq[String],
+                  orderCols: Seq[String], opCol: String = "_op"): DataFrame =
+    applyChanges(target, compactLog(log, keys, orderCols), keys, opCol)
 }

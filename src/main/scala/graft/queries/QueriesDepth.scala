@@ -685,6 +685,32 @@ object QueriesDepth {
         .orderBy("c_custkey")
     }),
 
+    "q_cdc_apply" -> ((s, d) => {
+      // CDC apply at a batch boundary (Merge.applyCdcLog): the events
+      // table plays a raw change-data-capture log — many ops per key,
+      // 'error' events as tombstones, everything else an upsert
+      // carrying new values — compacted to last-writer-wins per key
+      // under the (ts, event_id) total order, then merged into the
+      // customer snapshot: last-op-delete keys vanish, others replace
+      // their row, untouched keys pass through. Balances compare as
+      // exact CENTS (floor(×100) longs — IEEE-identical both engines).
+      // Two key-keyed shuffles of the small log + one of the target;
+      // at scale the target is bucketed so only the log moves.
+      val t = Tables(s, d)
+      val target = t.customer.select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+      val log = t.events.select(
+        col("user_id").as("c_custkey"),
+        concat(lit("cdc-"), col("event_id")).as("c_name"),
+        floor(col("value") * 100).cast("long").as("acct_cents"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("_op"),
+        col("ts"), col("event_id"))
+      graft.operators.Merge.applyCdcLog(target, log, Seq("c_custkey"),
+          orderCols = Seq("ts", "event_id"))
+        .orderBy("c_custkey")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // train/eval decontamination — flag training docs sharing 3-gram
       // shingles with the eval split (the standard pre-training
@@ -1160,6 +1186,31 @@ object QueriesDepth {
         | user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // replays applyCdcLog: the same log projection, last-writer-wins
+    // compaction under the (ts, event_id) DESC total order, tombstone
+    // filter, and anti-join + union apply
+    "q_cdc_apply" ->
+      """WITH target AS (
+        | SELECT c_custkey, c_name,
+        |  cast(floor(c_acctbal * 100) as bigint) AS acct_cents
+        | FROM customer),
+        |log AS (
+        | SELECT user_id AS c_custkey, 'cdc-' || event_id AS c_name,
+        |  cast(floor(value * 100) as bigint) AS acct_cents,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _op,
+        |  ts, event_id
+        | FROM events),
+        |last AS (
+        | SELECT c_custkey, c_name, acct_cents, _op FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM log) WHERE rn = 1)
+        |SELECT * FROM (
+        | SELECT t.* FROM target t ANTI JOIN last l ON t.c_custkey = l.c_custkey
+        | UNION ALL
+        | SELECT c_custkey, c_name, acct_cents FROM last WHERE _op <> 'delete')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

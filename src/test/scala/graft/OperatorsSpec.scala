@@ -349,6 +349,28 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b2"))) // replaced, NOT deleted
   }
 
+  test("Merge.applyCdcLog: only the LAST op per key decides") {
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // key 1: upsert then delete -> gone, despite the earlier upsert
+    // key 2: delete then upsert -> resurrected with the later value
+    // key 4: insert then update -> lands at the final value
+    val log = Seq(
+      (1L, "a2", "upsert", 10L), (1L, null.asInstanceOf[String], "delete", 20L),
+      (2L, null.asInstanceOf[String], "delete", 10L), (2L, "b2", "upsert", 20L),
+      (4L, "d1", "upsert", 10L), (4L, "d2", "upsert", 20L))
+      .toDF("k", "v", "_op", "seq")
+    val out = Merge.applyCdcLog(target, log, Seq("k"), orderCols = Seq("seq"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "b2"), (3L, "c"), (4L, "d2")))
+  }
+
+  test("Merge.compactLog breaks same-position ties by the full orderCols list") {
+    val log = Seq((1L, "x", 10L, 1L), (1L, "y", 10L, 2L)).toDF("k", "v", "ts", "eid")
+    val out = Merge.compactLog(log, Seq("k"), orderCols = Seq("ts", "eid"))
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "y"))) // eid 2 wins the ts tie
+  }
+
   test("FloatVecDot yields null for null elements, matching the HOF form") {
     val df = Seq((1L, Seq(Some(1f), None, Some(2f)), Seq(Some(1f), Some(1f), Some(1f))),
       (2L, Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(1f), Some(1f))))
