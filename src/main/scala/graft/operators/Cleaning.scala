@@ -164,6 +164,44 @@ object Cleaning {
     * attribute quoting edge cases) — the subset covers the synthetic-
     * wrap oracle and the boilerplate classes a curation chain strips;
     * a production crawl would front a real parser at the same slot. */
+  /** Canonical URL form for recrawl dedup — the normalization a web
+    * corpus applies before keying anything by URL, since the same page
+    * is crawled as `HTTPS://Host:443/p/?b=2&a=1&utm_source=x#frag` and
+    * `https://host/p?a=1&b=2`:
+    *
+    *   - fragment dropped (never sent to the server);
+    *   - scheme + host lowercased (case-insensitive per RFC 3986);
+    *   - the scheme's default port stripped (`:443` https, `:80` http);
+    *   - tracking params dropped (`utm_*`, `ref`, `fbclid`, `gclid` —
+    *     the content-neutral attribution set), remaining params sorted
+    *     bytewise (param order is non-semantic);
+    *   - ONE trailing path slash stripped (non-root), empty path → `/`.
+    *
+    * Pure narrow column expression (regex extract/replace + array
+    * sort/filter — no UDF, fully codegen'd) restricted to the
+    * Java∩RE2 dialect with NO backreferences, so a DuckDB oracle
+    * replays it literally. Conservative by design: path case, param
+    * values, and non-default ports are preserved — collapsing those
+    * would merge genuinely different resources. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    val path0 = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val cleanPath = when(path0.endsWith("/") && length(path0) > 1,
+      path0.substr(lit(1), length(path0) - 1)).otherwise(path0)
+    val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      array_sort(filter(split(rawQuery, "&"), p =>
+        p =!= "" && !p.rlike("^(utm_[a-z]+|ref|fbclid|gclid)="))), "&")
+    concat(scheme, lit("://"), host, cleanPath,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   def extractHtml(html: Column): Column = {
     val noComment = stripScriptStyleComment(html)
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")

@@ -845,6 +845,47 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_url_dedup" -> ((s, d) => {
+      // recrawl dedup keyed by CANONICAL URL (Cleaning.canonicalizeUrl
+      // — fragment/default-port/tracking-param/case/trailing-slash
+      // normalization, the step before any URL-keyed dedup since the
+      // same page arrives as HTTPS://Host:443/p/?b=2&a=1&utm_source=x
+      // and https://host/p?a=1&b=2). Five crawl variants of each page
+      // are synthesized IN-PLAN (variant = doc_id div 100 mod 5, page
+      // group = doc_id mod 100, so every group carries all five);
+      // keep-best = (n_chars DESC, doc_id) per canonical key — ONE
+      // url-keyed exchange serving both the survivor window and the
+      // dup count. Pure codegen'd column expression, no UDF; the
+      // oracle replays wrap + canonicalization + keep-best literally.
+      val grp = pmod(col("doc_id"), lit(100))
+      val variant = pmod(expr("doc_id div 100"), lit(5))
+      val url = when(variant === 0, concat(
+          lit("https://WWW.Example.org:443/docs/page-"), grp,
+          lit("?utm_source=feed&b=2&a=1")))
+        .when(variant === 1, concat(
+          lit("https://www.example.org/docs/page-"), grp, lit("/?a=1&b=2")))
+        .when(variant === 2, concat(
+          lit("https://www.example.org/docs/page-"), grp,
+          lit("?b=2&a=1&fbclid=xyz#frag")))
+        .when(variant === 3, concat(
+          lit("https://www.example.org/docs/page-"), grp,
+          lit("?a=1&ref="), col("source"), lit("&b=2")))
+        .otherwise(concat(
+          lit("HTTPS://www.example.org/docs/page-"), grp, lit("?a=1&b=2")))
+      val canon = Tables(s, d).documents
+        .select(col("doc_id"), col("n_chars"),
+          graft.operators.Cleaning.canonicalizeUrl(url).as("canonical_url"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_url"))
+      canon
+        .withColumn("__rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .filter(col("__rn") === 1)
+        .select(col("canonical_url"), col("doc_id"), col("n_chars"), col("n_dups"))
+        .orderBy("canonical_url")
+    }),
+
     "q_url_parse" -> ((s, d) => {
       // URL normalization for web-corpus curation: host/path extraction
       // + tracking-param strip. parse_url + regex, pure narrow map. The
@@ -2078,6 +2119,50 @@ object QueriesText {
          | FROM bg g LEFT JOIN agg a USING (doc_id))
          |SELECT *, top_bigram_frac <= 0.18 AS keep FROM res
          |ORDER BY doc_id""".stripMargin,
+
+    // replays canonicalizeUrl literally (same Java∩RE2 regexes, no
+    // backreferences; bytewise param sort = Spark array_sort) plus the
+    // keep-best window
+    "q_url_dedup" ->
+      """WITH u AS (
+        | SELECT doc_id, n_chars,
+        |  CASE (doc_id // 100) % 5
+        |   WHEN 0 THEN 'https://WWW.Example.org:443/docs/page-' || (doc_id % 100) || '?utm_source=feed&b=2&a=1'
+        |   WHEN 1 THEN 'https://www.example.org/docs/page-' || (doc_id % 100) || '/?a=1&b=2'
+        |   WHEN 2 THEN 'https://www.example.org/docs/page-' || (doc_id % 100) || '?b=2&a=1&fbclid=xyz#frag'
+        |   WHEN 3 THEN 'https://www.example.org/docs/page-' || (doc_id % 100) || '?a=1&ref=' || source || '&b=2'
+        |   ELSE 'HTTPS://www.example.org/docs/page-' || (doc_id % 100) || '?a=1&b=2'
+        |  END AS url
+        | FROM documents),
+        |nf AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |parts AS (
+        | SELECT doc_id, n_chars,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS rawq
+        | FROM nf),
+        |canon AS (
+        | SELECT doc_id, n_chars,
+        |  scheme || '://' ||
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       ELSE hostport END ||
+        |  CASE WHEN p2 LIKE '%/' AND length(p2) > 1 THEN substr(p2, 1, length(p2) - 1)
+        |       ELSE p2 END ||
+        |  CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url
+        | FROM (
+        |  SELECT *, CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS p2,
+        |   array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+        |     p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref|fbclid|gclid)='))), '&') AS params
+        |  FROM parts)),
+        |r AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY canonical_url) AS n_dups
+        | FROM canon)
+        |SELECT canonical_url, doc_id, n_chars, n_dups FROM r WHERE rn = 1
+        |ORDER BY canonical_url""".stripMargin,
 
     "q_url_parse" ->
       """WITH u AS (

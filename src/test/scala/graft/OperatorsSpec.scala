@@ -15,6 +15,25 @@ class CleaningSpec extends AnyFunSuite {
     assert(out == Set("HMGU", "HARWELL", "zzz"))
   }
 
+  test("canonicalizeUrl normalizes exactly the non-semantic parts") {
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(Cleaning.canonicalizeUrl(col("u"))).as[String].head()
+    // case, default port, tracking params, param order, fragment, trailing slash
+    assert(canon("HTTPS://WWW.Example.ORG:443/Docs/Page/?b=2&utm_source=x&a=1#frag")
+      == "https://www.example.org/Docs/Page?a=1&b=2")
+    assert(canon("http://host:80/p?ref=abc&gclid=1&fbclid=2")
+      == "http://host/p")
+    // preserved: non-default port, path case, param values
+    assert(canon("https://host:8443/A/b?z=Q") == "https://host:8443/A/b?z=Q")
+    assert(canon("http://host:443/p") == "http://host:443/p")
+    // empty path -> '/', root slash survives, only ONE trailing slash strips
+    assert(canon("https://host") == "https://host/")
+    assert(canon("https://host/") == "https://host/")
+    assert(canon("https://host/a//") == "https://host/a/")
+    // an empty post-filter query drops the '?'
+    assert(canon("https://host/p?utm_campaign=x") == "https://host/p")
+  }
+
   test("truncateSuffix drops last _segment only for matching rows") {
     val df = Seq(("232328312_HRW", "europhenome"), ("ABC_123", "impc")).toDF("id", "src")
     val out = Cleaning.truncateSuffix("id", col("src") === "europhenome")(df)
