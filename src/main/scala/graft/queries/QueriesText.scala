@@ -845,6 +845,37 @@ object QueriesText {
         .orderBy("doc_id")
     }),
 
+    "q_anchor_text" -> ((s, d) => {
+      // anchor-text aggregation per link TARGET — the classic web
+      // signal (anchor terms describe the target better than the
+      // target describes itself) that retrieval/quality pipelines
+      // aggregate into a per-page term profile. A link table is
+      // synthesized IN-PLAN (each doc links to 3 targets
+      // (doc_id*7+k) % 100 with a 2-token anchor sliced from the
+      // SOURCE doc's own text at offset 3k — deterministic, unique
+      // slices); per (target, term) counts roll up map-side, then ONE
+      // target-keyed window takes the top-3 terms with (count DESC,
+      // term) ties. Linear: one narrow explode (3·2 terms per doc),
+      // one aggregate shuffle, one window exchange — never the link
+      // graph squared.
+      val t = Tables(s, d)
+      val toks = split(col("text"), " ")
+      val links = t.documents
+        .select(col("doc_id"), posexplode(transform(sequence(lit(0), lit(2)),
+          k => struct(
+            pmod(col("doc_id") * 7 + k, lit(100)).as("target"),
+            slice(toks, k * lit(3) + 1, lit(2)).as("terms")))).as(Seq("__k", "l")))
+        .select(col("l.target").as("target"), explode(col("l.terms")).as("term"))
+      val counts = links.groupBy("target", "term")
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("target")).orderBy(col("n").desc, col("term").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("target"), col("term"), col("n"), col("rk"))
+        .orderBy("target", "rk")
+    }),
+
     "q_url_dedup" -> ((s, d) => {
       // recrawl dedup keyed by CANONICAL URL (Cleaning.canonicalizeUrl
       // — fragment/default-port/tracking-param/case/trailing-slash
@@ -2119,6 +2150,21 @@ object QueriesText {
          | FROM bg g LEFT JOIN agg a USING (doc_id))
          |SELECT *, top_bigram_frac <= 0.18 AS keep FROM res
          |ORDER BY doc_id""".stripMargin,
+
+    // replays the in-plan link synthesis (same 2-token slices at
+    // offset 3k, same (doc_id*7+k) % 100 targets), the per-(target,
+    // term) rollup and the top-3 window with identical ties
+    "q_anchor_text" ->
+      """WITH ks AS (SELECT unnest([0, 1, 2]) AS k),
+        |links AS (
+        | SELECT (doc_id * 7 + k) % 100 AS target,
+        |  unnest(string_split(text, ' ')[(k*3+1):(k*3+2)]) AS term
+        | FROM documents, ks),
+        |c AS (SELECT target, term, count(*) AS n FROM links GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY target ORDER BY n DESC, term) AS rk FROM c)
+        |SELECT target, term, n, cast(rk as int) AS rk FROM r
+        |WHERE rk <= 3 ORDER BY target, rk""".stripMargin,
 
     // replays canonicalizeUrl literally (same Java∩RE2 regexes, no
     // backreferences; bytewise param sort = Spark array_sort) plus the
