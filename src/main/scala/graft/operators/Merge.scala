@@ -69,4 +69,35 @@ object Merge {
   def applyCdcLog(target: DataFrame, log: DataFrame, keys: Seq[String],
                   orderCols: Seq[String], opCol: String = "_op"): DataFrame =
     applyChanges(target, compactLog(log, keys, orderCols), keys, opCol)
+
+  /** Version-aware merge for OUT-OF-ORDER CDC (the micro-batch form:
+    * a stream delivers change batches in arrival order, which is not
+    * version order). State and batch share one schema (keys, payload,
+    * `opCol`, `versionCols`); the merge keeps, per key, the row with
+    * the highest version — INCLUDING tombstones, which must be
+    * RETAINED in state (reads go through [[readView]]): dropping a
+    * tombstone row would let a late-arriving OLDER update resurrect
+    * the deleted key. Because max-by-version is associative and
+    * commutative (versionCols must totally order a key's changes),
+    * ANY batching of the same log folds to the same state — the
+    * property that makes the streaming apply idempotent and
+    * replay-safe. One key-keyed shuffle per merge; at scale state is
+    * bucketed on the key and tombstones age out by a version floor. */
+  def mergeVersioned(state: DataFrame, batch: DataFrame, keys: Seq[String],
+                     versionCols: Seq[String]): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must totally order a key's changes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    state.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The live-rows view over a [[mergeVersioned]] state: tombstones
+    * filtered, bookkeeping columns dropped. */
+  def readView(state: DataFrame, versionCols: Seq[String],
+               opCol: String = "_op"): DataFrame =
+    state.filter(!(col(opCol) <=> "delete")).drop((opCol +: versionCols): _*)
 }

@@ -662,6 +662,18 @@ object QueriesDepth {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q_stream_cdc" -> ((s, d) => {
+      // STREAMING CDC apply (EventStream.runCdcEquivalent): the event
+      // stream as a change feed over the customer snapshot, each
+      // micro-batch folded into versioned state by Merge.mergeVersioned
+      // (max-by-(ts, event_id) per key, tombstones RETAINED so a late
+      // older update cannot resurrect a delete). The fold is
+      // associative + commutative, so any batching/replay lands on the
+      // global last-writer-wins snapshot — hash-checked against the
+      // EXACT q_cdc_apply oracle SQL.
+      graft.streaming.EventStream.runCdcEquivalent(s, d)
+    }),
+
     "q_stream_sessions" -> ((s, d) => {
       // streaming session_window agg (gap-merge) — oracle-checked
       // against batch gap-sessionization SQL; second oracle-checked
@@ -822,6 +834,31 @@ object QueriesDepth {
   private def zOrderSqlExpr(dims: Seq[String], bits: Int): String =
     (for { (c, j) <- dims.zipWithIndex; i <- 0 until bits }
       yield s"((($c >> $i) & 1) << ${i * dims.size + j})").mkString(" | ")
+
+  /** Shared by q_cdc_apply (batch) and q_stream_cdc (micro-batch fold)
+    * — the streaming apply's order-independence means both must land
+    * on this one global last-writer-wins result. */
+  private val cdcApplySql: String =
+    """WITH target AS (
+      | SELECT c_custkey, c_name,
+      |  cast(floor(c_acctbal * 100) as bigint) AS acct_cents
+      | FROM customer),
+      |log AS (
+      | SELECT user_id AS c_custkey, 'cdc-' || event_id AS c_name,
+      |  cast(floor(value * 100) as bigint) AS acct_cents,
+      |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _op,
+      |  ts, event_id
+      | FROM events),
+      |last AS (
+      | SELECT c_custkey, c_name, acct_cents, _op FROM (
+      |  SELECT *, row_number() OVER (
+      |   PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM log) WHERE rn = 1)
+      |SELECT * FROM (
+      | SELECT t.* FROM target t ANTI JOIN last l ON t.c_custkey = l.c_custkey
+      | UNION ALL
+      | SELECT c_custkey, c_name, acct_cents FROM last WHERE _op <> 'delete')
+      |ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1190,27 +1227,12 @@ object QueriesDepth {
     // replays applyCdcLog: the same log projection, last-writer-wins
     // compaction under the (ts, event_id) DESC total order, tombstone
     // filter, and anti-join + union apply
-    "q_cdc_apply" ->
-      """WITH target AS (
-        | SELECT c_custkey, c_name,
-        |  cast(floor(c_acctbal * 100) as bigint) AS acct_cents
-        | FROM customer),
-        |log AS (
-        | SELECT user_id AS c_custkey, 'cdc-' || event_id AS c_name,
-        |  cast(floor(value * 100) as bigint) AS acct_cents,
-        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _op,
-        |  ts, event_id
-        | FROM events),
-        |last AS (
-        | SELECT c_custkey, c_name, acct_cents, _op FROM (
-        |  SELECT *, row_number() OVER (
-        |   PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM log) WHERE rn = 1)
-        |SELECT * FROM (
-        | SELECT t.* FROM target t ANTI JOIN last l ON t.c_custkey = l.c_custkey
-        | UNION ALL
-        | SELECT c_custkey, c_name, acct_cents FROM last WHERE _op <> 'delete')
-        |ORDER BY c_custkey""".stripMargin,
+    "q_cdc_apply" -> cdcApplySql,
+
+    // the STREAMING apply must land on the identical snapshot: global
+    // last-writer-wins is the fixed point of any batched
+    // mergeVersioned fold, so the oracle is the q_cdc_apply SQL itself
+    "q_stream_cdc" -> cdcApplySql,
 
     "q_merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),

@@ -326,6 +326,48 @@ object EventStream {
                      batchId: Long) => write(batch, batchId))
       .trigger(Trigger.AvailableNow())
 
+  /** STREAMING CDC apply — the micro-batch form of
+    * [[graft.operators.Merge.applyCdcLog]]: the event stream plays a
+    * change-data-capture feed over the customer snapshot ('error' =
+    * tombstone, everything else an upsert), and each micro-batch folds
+    * into a VERSIONED state via [[graft.operators.Merge.mergeVersioned]]
+    * — max-by-(ts, event_id) per key with tombstones retained. Because
+    * that fold is associative and commutative, ANY batching of the log
+    * (one file, many files, restarts/replays) lands on the same final
+    * snapshot, which the batch oracle — global last-writer-wins, the
+    * exact q_cdc_apply SQL — hash-checks. The snapshot seeds state at
+    * version (epoch, -1), strictly below every real event. State is
+    * localCheckpoint-pinned per batch (lineage cannot grow with batch
+    * count); at scale it is a bucketed table and tombstones age out by
+    * a version floor. */
+  def runCdcEquivalent(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val target0 = cust.select(col("c_custkey"), col("c_name"),
+      floor(col("c_acctbal") * 100).cast("long").as("acct_cents"),
+      lit("upsert").as("_op"),
+      to_timestamp(lit("1970-01-01 00:00:00")).as("ts"),
+      lit(-1L).cast("long").as("event_id"))
+    var state = target0.localCheckpoint()
+    val log = eventsSource(spark, sfDir).select(
+      col("user_id").as("c_custkey"),
+      concat(lit("cdc-"), col("event_id")).as("c_name"),
+      floor(col("value") * 100).cast("long").as("acct_cents"),
+      when(col("event_type") === "error", lit("delete"))
+        .otherwise(lit("upsert")).as("_op"),
+      col("ts"), col("event_id"))
+    withNarrowShuffle(spark) {
+      val q = sinkForeachBatch(log) { (batch, _) =>
+        state = graft.operators.Merge.mergeVersioned(state, batch.toDF(),
+          Seq("c_custkey"), versionCols = Seq("ts", "event_id"))
+          .localCheckpoint()
+      }.start()
+      q.awaitTermination(300000)
+      if (q.isActive) q.stop()
+    }
+    graft.operators.Merge.readView(state, versionCols = Seq("ts", "event_id"))
+      .orderBy("c_custkey")
+  }
+
   /** STREAMING TWIN of the composed pipeline (q_pipeline_e2e run
     * incrementally — the deployment mode the reference's scheduled
     * batch reruns approximate): each micro-batch of raw events

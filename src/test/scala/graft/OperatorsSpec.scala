@@ -390,6 +390,46 @@ class DepthOpsSpec extends AnyFunSuite {
     assert(out == Seq((1L, "y"))) // eid 2 wins the ts tie
   }
 
+  test("Merge.mergeVersioned folds to the same state under ANY batch order") {
+    // 6 changes over 3 keys, delivered as 3 micro-batches in every
+    // permutation — the associative/commutative max-by-version fold
+    // must land on one state (the streaming-CDC replay-safety claim)
+    val b = Seq(
+      Seq((1L, "a1", "upsert", 1L), (2L, "b3", "delete", 3L)),
+      Seq((1L, "a2", "delete", 2L), (3L, "c1", "upsert", 1L)),
+      Seq((2L, "b1", "upsert", 1L), (3L, "c2", "upsert", 2L)))
+      .map(_.toDF("k", "v", "_op", "ver"))
+    val empty = b.head.limit(0)
+    val folds = b.permutations.map(_.foldLeft(empty)(
+      (st, batch) => Merge.mergeVersioned(st, batch, Seq("k"), Seq("ver")))
+      .as[(Long, String, String, Long)].collect().toSet).toSeq
+    assert(folds.distinct.size == 1, "fold must be order-independent")
+    assert(folds.head == Set((1L, "a2", "delete", 2L), (2L, "b3", "delete", 3L),
+      (3L, "c2", "upsert", 2L)))
+    // the read view hides tombstones and bookkeeping
+    val view = Merge.readView(
+        Merge.mergeVersioned(empty, b.head, Seq("k"), Seq("ver"))
+          .unionByName(Merge.mergeVersioned(empty, b(1), Seq("k"), Seq("ver"))),
+        versionCols = Seq("ver"))
+    assert(view.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("Merge.mergeVersioned: a late OLDER update cannot resurrect a tombstone") {
+    val empty = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "_op", "ver")
+    val del = Seq((1L, null.asInstanceOf[String], "delete", 5L)).toDF("k", "v", "_op", "ver")
+    val late = Seq((1L, "stale", "upsert", 3L)).toDF("k", "v", "_op", "ver")
+    val st = Merge.mergeVersioned(Merge.mergeVersioned(empty, del, Seq("k"), Seq("ver")),
+      late, Seq("k"), Seq("ver"))
+    // state keeps the tombstone; the view shows nothing
+    assert(st.select("_op").as[String].collect().toSeq == Seq("delete"))
+    assert(Merge.readView(st, Seq("ver")).count() == 0)
+    // a NEWER upsert does resurrect
+    val fresh = Seq((1L, "new", "upsert", 9L)).toDF("k", "v", "_op", "ver")
+    val st2 = Merge.mergeVersioned(st, fresh, Seq("k"), Seq("ver"))
+    assert(Merge.readView(st2, Seq("ver")).as[(Long, String)].collect().toSeq
+      == Seq((1L, "new")))
+  }
+
   test("FloatVecDot yields null for null elements, matching the HOF form") {
     val df = Seq((1L, Seq(Some(1f), None, Some(2f)), Seq(Some(1f), Some(1f), Some(1f))),
       (2L, Seq(Some(1f), Some(2f), Some(3f)), Seq(Some(1f), Some(1f), Some(1f))))
