@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-training data preparation — the SFT/DPO half of a training-data
+  * engine, downstream of the pre-training curation this library already
+  * covers (dedup, quality, packing, mixing): render conversations into
+  * model-ready text with LOSS-MASK spans, and assemble preference pairs
+  * from scored candidate responses.
+  *
+  * Both operators are pure integer/string column arithmetic — no UDFs,
+  * no floats — so a DuckDB oracle replays rendering offsets and pair
+  * selection bit-for-bit.
+  */
+object Posttrain {
+
+  val SystemTag = "<|system|>"
+  val UserTag = "<|user|>"
+  val AssistantTag = "<|assistant|>"
+  val EndTag = "<|end|>"
+
+  /** Render multi-turn conversations with a fixed chat template and
+    * emit, PER TURN, the character span of the assistant payload — the
+    * loss mask an SFT tokenizer consumes (loss on assistant tokens
+    * only; prompt/system/user spans masked out).
+    *
+    * Input: one row per (conversation, turn): `(idCol, posCol, user,
+    * assistant)`. Rendered form per conversation:
+    *
+    *   <|system|>SYS<|user|>u₀<|assistant|>a₀<|user|>u₁… <|end|>
+    *
+    * Span offsets are 0-based character positions into the rendered
+    * string, derived from length arithmetic alone: a turn's block is
+    * `len(UserTag)+len(u)+len(AssistantTag)+len(a)` chars, the prefix
+    * sum over earlier turns rides ONE conversation-keyed window (rows
+    * unbounded-preceding to 1-preceding — streaming, no buffering),
+    * and the same exchange serves the rendered-string aggregate. The
+    * span contract — `substring(rendered, start+1, len) == assistant`
+    * — is spec-asserted, not assumed.
+    *
+    * Scale: one conversation-keyed exchange total; everything else is
+    * narrow. Turn positions must be dense-orderable per conversation
+    * (any orderable ints; gaps are fine).
+    *
+    * @return one row per turn: (idCol, turn, span_start, span_len,
+    *         n_turns, rendered) — `rendered` repeats per turn of the
+    *         same conversation by design (each row is self-contained
+    *         for a downstream per-turn tokenizer). */
+  def sftSpans(turns: DataFrame, idCol: String, posCol: String,
+               userCol: String, assistantCol: String,
+               system: String = "You are a helpful assistant."): DataFrame = {
+    val uT = lit(UserTag.length)
+    val aT = lit(AssistantTag.length)
+    val sysLen = lit(SystemTag.length + system.length)
+    val blockLen = uT + length(col(userCol)) + aT + length(col(assistantCol))
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(idCol))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+    turns
+      .withColumn("__prefix", coalesce(sum(blockLen).over(wPrev), lit(0)))
+      .withColumn("span_start", sysLen + col("__prefix") + uT + length(col(userCol)) + aT)
+      .withColumn("span_len", length(col(assistantCol)))
+      .withColumn("turn", row_number().over(wOrd) - 1)
+      .withColumn("n_turns", count(lit(1)).over(wAll))
+      .withColumn("rendered", concat(
+        lit(SystemTag + system),
+        array_join(transform(
+          sort_array(collect_list(struct(col(posCol).as("p"),
+            concat(lit(UserTag), col(userCol), lit(AssistantTag),
+              col(assistantCol)).as("b"))).over(wAll)),
+          s => s("b")), ""),
+        lit(EndTag)))
+      .select(col(idCol), col("turn"), col("span_start").cast("long"),
+        col("span_len").cast("long"), col("n_turns"), col("rendered"))
+  }
+
+  /** Assemble DPO/RLHF preference pairs from scored candidate
+    * responses: per prompt, `chosen` is the top-scored candidate and
+    * `rejected` the bottom-scored one (ties broken toward the smaller
+    * candidate id on both sides — deterministic, engine-replayable),
+    * kept only when the score gap clears `minGap` (an all-tied prompt
+    * yields gap 0 and drops — a preference pair without a preference
+    * teaches nothing) and the prompt has ≥ 2 candidates.
+    *
+    * Scores must be exact integers (cents/ppm — the caller quantizes);
+    * float scores would make ties engine-dependent. One prompt-keyed
+    * exchange serves both rank windows and the candidate count.
+    *
+    * @return (promptCol, chosen_id, rejected_id, chosen_score,
+    *         rejected_score, gap, n_candidates). */
+  def dpoPairs(cands: DataFrame, promptCol: String, idCol: String,
+               scoreCol: String, minGap: Long = 1L): DataFrame = {
+    require(minGap >= 1, "minGap must be >= 1: a zero-gap pair carries no preference")
+    val byPrompt = Window.partitionBy(col(promptCol))
+    val top = byPrompt.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val bottom = byPrompt.orderBy(col(scoreCol).asc, col(idCol).asc)
+    cands
+      .withColumn("__rt", row_number().over(top))
+      .withColumn("__rb", row_number().over(bottom))
+      .withColumn("__n", count(lit(1)).over(byPrompt))
+      .withColumn("__ch", max(when(col("__rt") === 1,
+        struct(col(idCol).as("id"), col(scoreCol).as("s")))).over(byPrompt))
+      .filter(col("__rb") === 1 && col("__n") >= 2)
+      .select(col(promptCol),
+        col("__ch.id").as("chosen_id"), col(idCol).as("rejected_id"),
+        col("__ch.s").as("chosen_score"), col(scoreCol).as("rejected_score"),
+        (col("__ch.s") - col(scoreCol)).as("gap"), col("__n").as("n_candidates"))
+      .filter(col("gap") >= minGap)
+  }
+}

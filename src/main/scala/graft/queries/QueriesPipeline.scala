@@ -846,6 +846,51 @@ object QueriesPipeline {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    "q_sft_format" -> ((s, d) => {
+      // SFT chat-template rendering with LOSS-MASK spans
+      // (Posttrain.sftSpans): conversations rendered as
+      // <|system|>…<|user|>u<|assistant|>a…<|end|> and, per turn, the
+      // 0-based character span of the assistant payload — the mask an
+      // SFT tokenizer consumes (loss on assistant tokens only). Turns
+      // synthesized IN-PLAN from documents (2 turns on even doc_ids,
+      // 1 on odd; user/assistant = fixed token slices, so span starts
+      // vary with real text lengths); offsets are pure length
+      // arithmetic on ONE conversation-keyed exchange. The span
+      // contract substring(rendered, start+1, len) == assistant is
+      // spec-asserted; the oracle replays synthesis, prefix sums and
+      // rendering bit-for-bit.
+      val t = Tables(s, d)
+      val toks = split(col("text"), " ")
+      val turns = t.documents
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), when(pmod(col("doc_id"), lit(2)) === 0, lit(1)).otherwise(lit(0))),
+          k => struct(
+            array_join(slice(toks, k * lit(16) + 1, lit(5)), " ").as("u"),
+            array_join(slice(toks, k * lit(16) + 9, lit(6)), " ").as("a"))))
+          .as(Seq("k", "t")))
+        .select(col("doc_id"), col("k"), col("t.u").as("u"), col("t.a").as("a"))
+      graft.operators.Posttrain.sftSpans(turns, "doc_id", "k", "u", "a")
+        .orderBy("doc_id", "turn")
+    }),
+
+    "q_dpo_pairs" -> ((s, d) => {
+      // DPO/RLHF preference-pair assembly (Posttrain.dpoPairs): per
+      // prompt the top- and bottom-scored candidate responses, ties
+      // broken toward the smaller candidate id, kept only with a
+      // positive score gap (an all-tied prompt teaches nothing) and
+      // ≥ 2 candidates. Events play the scored-candidates table
+      // (prompt = user_id, candidate = event_id, score = exact
+      // floor-cents of value — integer scores keep ties
+      // engine-replayable); one prompt-keyed exchange serves both
+      // rank windows and the count.
+      val cands = Tables(s, d).events
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("prompt_id"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("score"))
+      graft.operators.Posttrain.dpoPairs(cands, "prompt_id", "event_id", "score")
+        .orderBy("prompt_id")
+    }),
+
     "q_mix_temperature" -> ((s, d) => {
       // multinomial temperature sampling over the skewed lang
       // distribution (alpha=0.5 upsamples low-resource langs) —
@@ -1366,6 +1411,67 @@ object QueriesPipeline {
          |FROM c WHERE n_copies > 0
          |ORDER BY lang, doc_id, copy_idx""".stripMargin
     },
+
+    // replays sftSpans: same in-plan turn synthesis, template-constant
+    // lengths INTERPOLATED from the Posttrain tags (one Scala constant
+    // feeds both sides — the hadamardProj discipline), prefix sums
+    // over the same frame, ordered full-partition string_agg rendering
+    "q_sft_format" -> {
+      import graft.operators.Posttrain.{AssistantTag, EndTag, SystemTag, UserTag}
+      val uT = UserTag.length
+      val aT = AssistantTag.length
+      val sys = "You are a helpful assistant."
+      val sysLen = SystemTag.length + sys.length
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ks AS (
+         | SELECT doc_id, t,
+         |  unnest(range(0, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)) AS k
+         | FROM toks),
+         |turns AS (
+         | SELECT doc_id, k,
+         |  coalesce(array_to_string(t[(k*16+1):(k*16+5)], ' '), '') AS u,
+         |  coalesce(array_to_string(t[(k*16+9):(k*16+14)], ' '), '') AS a
+         | FROM ks),
+         |m AS (
+         | SELECT doc_id, k, u, a,
+         |  coalesce(sum($uT + length(u) + $aT + length(a)) OVER (
+         |   PARTITION BY doc_id ORDER BY k
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+         |  cast(row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 as int) AS turn,
+         |  count(*) OVER (PARTITION BY doc_id) AS n_turns,
+         |  '$SystemTag$sys' || string_agg('$UserTag' || u || '$AssistantTag' || a, '') OVER (
+         |   PARTITION BY doc_id ORDER BY k
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) || '$EndTag' AS rendered
+         | FROM turns)
+         |SELECT doc_id, turn,
+         | cast($sysLen + prefix + $uT + length(u) + $aT as bigint) AS span_start,
+         | cast(length(a) as bigint) AS span_len, n_turns, rendered
+         |FROM m ORDER BY doc_id, turn""".stripMargin
+    },
+
+    // replays dpoPairs: same candidate projection, both rank windows
+    // with the smaller-id tie-break, the >= 2 candidate gate and the
+    // positive-gap gate
+    "q_dpo_pairs" ->
+      """WITH c AS (
+        | SELECT user_id AS prompt_id, event_id,
+        |  cast(floor(value * 100) as bigint) AS s
+        | FROM events WHERE event_type IN ('view', 'click')),
+        |r AS (
+        | SELECT *,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY s DESC, event_id) AS rt,
+        |  row_number() OVER (PARTITION BY prompt_id ORDER BY s ASC, event_id) AS rb,
+        |  count(*) OVER (PARTITION BY prompt_id) AS n
+        | FROM c),
+        |ch AS (SELECT prompt_id, event_id AS chosen_id, s AS chosen_score
+        | FROM r WHERE rt = 1),
+        |rj AS (SELECT prompt_id, event_id AS rejected_id, s AS rejected_score, n
+        | FROM r WHERE rb = 1 AND n >= 2)
+        |SELECT rj.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+        | chosen_score - rejected_score AS gap, n AS n_candidates
+        |FROM rj JOIN ch USING (prompt_id)
+        |WHERE chosen_score - rejected_score >= 1
+        |ORDER BY rj.prompt_id""".stripMargin,
 
     "q_chunk_windows" -> {
       val norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
