@@ -152,6 +152,67 @@ object Graph {
     result
   }
 
+  /** Per-node TRIANGLE counts over an undirected graph — the local
+    * clustering signal link-spam detection keys on (link farms are
+    * triangle-dense, organic link neighborhoods are sparse), and the
+    * third classic graph prior next to [[pagerankPpm]]/[[hitsPpm]].
+    *
+    * Degree-ordered enumeration (the arboricity-bounded method every
+    * distributed triangle counter uses): each undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one,
+    * wedges are built only from a node's OUT-edges under that order,
+    * and a wedge (v, w) closes iff the oriented edge v→w exists — so
+    * every triangle is found exactly once and per-node wedge work is
+    * O(out-degree²), bounded by O(m^{3/2}) total regardless of hub
+    * skew, where a naive neighbor-join is O(Σ deg²) and explodes on
+    * hubs.
+    *
+    * Scale shape: canonical-edge dedup (one shuffle), degree
+    * aggregation (one), the wedge self-join keys by wedge CENTER and
+    * the close join by the (v, w) edge — all equi-joins on bounded
+    * frames; duplicate and reversed input edges collapse, self-loops
+    * drop. Deterministic set semantics, no floats — the oracle
+    * replays orientation, wedges and closure with tuple comparisons.
+    *
+    * @return (node, n_triangles) for every node in ≥ 1 triangle. */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("node")).union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val keyed = und
+      .join(deg.select(col("node").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("dg").as("db")), "b")
+    val ord = keyed.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("dst"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
+          .otherwise(col("da")).as("kdg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ord.count() // materialize; und no longer needed after this
+    und.unpersist()
+    val x = ord.select(col("src").as("u"), col("dst").as("v"), col("kdg").as("kv"))
+    val y = ord.select(col("src").as("u"), col("dst").as("w"), col("kdg").as("kw"))
+    val wedges = x.join(y, Seq("u"))
+      .filter(struct(col("kv"), col("v")) < struct(col("kw"), col("w")))
+    val tris = wedges.join(
+        ord.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val result = tris.select(col("u").as("node"))
+      .unionByName(tris.select(col("v").as("node")))
+      .unionByName(tris.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint()
+    ord.unpersist()
+    result
+  }
+
   def pagerankPpm(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 4, dampingPpm: Long = 850000L,
                   checkpointEvery: Int = 2,

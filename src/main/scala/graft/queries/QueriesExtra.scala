@@ -540,6 +540,24 @@ object QueriesExtra {
         .distinct()
       graft.operators.Graph.hitsPpm(edges, "src", "dst", iters = 3)
         .orderBy("node")
+    }),
+
+    "q_graph_triangles" -> ((s, d) => {
+      // per-node triangle counts (Graph.triangleCount): the local
+      // clustering signal link-spam detection keys on. Degree-ordered
+      // enumeration — each triangle found exactly once, wedge work
+      // O(out-degree²) under the orientation, O(m^{3/2}) total
+      // regardless of hub skew. Fixture graph: customer successor
+      // edges (+1, +2 — every interior node closes up to three
+      // (i, i+1, i+2) triangles), built by self-joins so endpoints
+      // exist by construction; reversed/duplicate edges collapse.
+      val c = Tables(s, d).customer.select(col("c_custkey").as("i"))
+      def succ(delta: Int) =
+        c.select(col("i").as("x"))
+          .join(c.select(col("i").as("y")), col("y") === col("x") + delta)
+      graft.operators.Graph.triangleCount(
+          succ(1).unionByName(succ(2)), "x", "y")
+        .orderBy("node")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -665,6 +683,38 @@ object QueriesExtra {
          |FROM nodes n JOIN h3 USING (node) JOIN a3 USING (node)
          |ORDER BY n.node""".stripMargin
     },
+
+    // replays triangleCount: canonical undirected dedup, degrees, the
+    // (degree, id) tuple orientation, out-wedge enumeration, the v→w
+    // closure join and the 3-way per-node rollup
+    "q_graph_triangles" ->
+      """WITH c AS (SELECT c_custkey AS i FROM customer),
+        |raw AS (
+        | SELECT a.i AS x, b.i AS y FROM c a JOIN c b ON b.i = a.i + 1
+        | UNION ALL
+        | SELECT a.i, b.i FROM c a JOIN c b ON b.i = a.i + 2),
+        |und AS (
+        | SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        | FROM raw WHERE x <> y),
+        |deg AS (
+        | SELECT node, count(*) AS dg FROM (
+        |  SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |ord AS (
+        | SELECT CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.a ELSE u.b END AS src,
+        |  CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN u.b ELSE u.a END AS dst,
+        |  CASE WHEN (da.dg, u.a) < (db.dg, u.b) THEN db.dg ELSE da.dg END AS kdg
+        | FROM und u JOIN deg da ON da.node = u.a JOIN deg db ON db.node = u.b),
+        |w AS (
+        | SELECT x.src AS u, x.dst AS v, y.dst AS w
+        | FROM ord x JOIN ord y ON x.src = y.src
+        |  AND (x.kdg, x.dst) < (y.kdg, y.dst)),
+        |tri AS (
+        | SELECT w.u, w.v, w.w
+        | FROM w JOIN ord z ON z.src = w.v AND z.dst = w.w)
+        |SELECT node, count(*) AS n_triangles FROM (
+        | SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+        | UNION ALL SELECT w FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_omero_manifest" ->
       """WITH inv AS (

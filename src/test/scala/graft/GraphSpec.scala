@@ -151,6 +151,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r2(10L) == ((0L, 1000000L)) && r2(11L) == ((0L, 600000L)))
   }
 
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+
+  test("triangleCount: triangle, square, and K4 land on exact counts") {
+    // one triangle: every node counts it once
+    assert(tris(Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a 4-cycle has NO triangles -> empty result
+    assert(tris(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)).isEmpty)
+    // K4 has 4 triangles; each node sits in C(3,2) = 3 of them
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield a -> b
+    val got = tris(k4)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got.values.sum == 12L) // 4 triangles x 3 corners
+  }
+
+  test("triangleCount: reversed/duplicate edges and self-loops collapse") {
+    val t = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    val noisy = t ++ t.map(_.swap) ++ t ++ Seq(1L -> 1L, 2L -> 2L)
+    assert(tris(noisy) == tris(t))
+  }
+
   test("hitsPpm: duplicate edges collapse; pure-sink/source zeros") {
     val g = Seq(1L -> 10L, 2L -> 10L, 2L -> 11L)
     assert(hits(g ++ g, iters = 2) == hits(g, iters = 2))

@@ -22,7 +22,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_media_pipeline",
     "q_dedup_clusters", "q_shingle_clusters", "q_hierarchy", "q_ancestor_arrays",
     "q_curate_e2e", // full curation chain: measured counts + checkpoints at build
-    "q_ingest_night") // Targets DAG: materializes parquet targets at build
+    "q_ingest_night", // Targets DAG: materializes parquet targets at build
+    "q_stream_cdc", // streaming foreachBatch fold runs to completion at build
+    "q_graph_bfs", "q_hits", // iterative: edge counts + eager checkpoints at build
+    "q_bitext_mine") // k-means training + eager checkpoint at build
 
   /** Plan every query with AQE off: the non-adaptive physical plan
     * materializes WholeStageCodegen spans at plan time (under AQE the
