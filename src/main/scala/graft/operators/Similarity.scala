@@ -320,13 +320,20 @@ object Similarity {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && minMarginPpm >= 0)
     // nlist = 0 derives cell count by the IVF rule (cells stay ~64
-    // rows at every corpus size — the assignCells discipline; a fixed
-    // nlist would let candidate blocks grow with the data)
-    val kCells = if (nlist > 0) nlist else Cluster.kForCorpus(corpus.count(), 64)
-    val tr = Cluster.trainInt8(corpus, idCol, vecCol, kCells, iters)
+    // rows at every corpus size — the assignCells discipline, which
+    // also auto-escalates to two-level k-means past the flat ceiling
+    // (~262k vectors), exactly like q_dedup_semantic's blocking; a
+    // fixed nlist would let candidate blocks grow with the data)
+    val cells =
+      if (nlist > 0)
+        Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters)
+          .assigned.select(col("id"), col("cid"))
+      else
+        Cluster.assignCells(corpus, idCol, vecCol, targetCellSize = 64, iters = iters)
+          .select(col(idCol).cast("long").as("id"), col("cluster").as("cid"))
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"), sideExpr.as("__x"))
-    val sided = tr.assigned.select(col("id"), col("cid")).join(vecs, "id")
+    val sided = cells.join(vecs, "id")
     val xs = sided.filter(col("__x"))
       .select(col("cid"), col("id").as("x_id"), col("__v").as("__xv"))
     val ys = sided.filter(!col("__x"))

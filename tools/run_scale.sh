@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval,q_dedup_containment,q_text_normalize,q_calibration,q_html_extract,q_dedup_substring,q_dedup_containment_pruned,q_bm25_table,q_pagerank_redist,q_langid_chargram
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval,q_dedup_containment,q_text_normalize,q_calibration,q_html_extract,q_dedup_substring,q_dedup_containment_pruned,q_bm25_table,q_pagerank_redist,q_langid_chargram,q_graph_bfs,q_hits,q_graph_triangles,q_bitext_mine,q_dedup_sentence,q_cdc_apply,q_url_dedup,q_anchor_text,q_stream_cdc,q_sft_format,q_dpo_pairs
 
 # q_curate_e2e's stage-5 token budget scales with the corpus factor
 # (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
@@ -130,9 +130,13 @@ CHUNK_C6=$(echo "$CORE" | cut -d, -f59-66)
 # r16: a SEVENTH chunk carries the r16 ladder rows plus the three
 # r15 queries the verdict flagged with zero scale evidence at any
 # factor (q_dedup_containment / q_text_normalize / q_calibration)
-CHUNK_C7=$(echo "$CORE" | cut -d, -f67-)
+CHUNK_C7=$(echo "$CORE" | cut -d, -f67-75)
+# r16 session 2: an EIGHTH chunk carries this session's 11 new ladder
+# rows (graph trio, bitext mining, sentence/url dedup, CDC batch +
+# stream, anchor text, SFT/DPO prep) — fresh JVM like every chunk
+CHUNK_C8=$(echo "$CORE" | cut -d, -f76-)
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7" "$CHUNK_C8"; do
   bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
@@ -142,7 +146,7 @@ rm -f target/scale_x32.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4, 5, 6, 7):
+for i in (1, 2, 3, 4, 5, 6, 7, 8):
     try:
         qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -189,7 +193,7 @@ bench scale_x100_c1b.json target/scale/x100 SPARK_GRAFT_ONLY=$CHUNK_C1B \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
   SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
 i=2
-for chunk in "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7"; do
+for chunk in "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7" "$CHUNK_C8"; do
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
@@ -216,7 +220,7 @@ rm -f target/scale_x100.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in ('1a', '1b', 2, 3, 4, 5, 6, 7):
+for i in ('1a', '1b', 2, 3, 4, 5, 6, 7, 8):
     try:
         qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
     except FileNotFoundError:
