@@ -107,13 +107,18 @@ object Graph {
     *
     * Scale shape: per iteration TWO edge-keyed shuffles (the h→a and
     * a→h contribution sums, each map-side combined) and two 1-row max
-    * aggregates broadcast as constants; the edge list persists once;
-    * lineage truncates every `checkpointEvery` iterations. Exact while
-    * iters·10⁶·maxdeg < 2⁶³.
+    * aggregates broadcast as constants; the edge list persists once.
+    * Each normalized frame is EAGERLY checkpointed before the next
+    * step: the max-normalization references its frame TWICE (the 1-row
+    * aggregate and the scaled projection), so without a per-iteration
+    * pin the unevaluated join subtree doubles per reference and the
+    * final action re-executes it ~2^(2·iters) times — measured 36.9 s
+    * → 9.9 s (single-query JVM incl. startup) at sf0.1 when the pin
+    * landed. Exact while iters·10⁶·maxdeg < 2⁶³.
     *
     * @return (node, hub_ppm, auth_ppm) after `iters` iterations. */
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
-              iters: Int = 3, checkpointEvery: Int = 2): DataFrame = {
+              iters: Int = 3): DataFrame = {
     require(iters >= 1)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -135,14 +140,12 @@ object Graph {
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
       auths = maxNorm(spine.join(aRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      auths = auths.localCheckpoint()
       val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       hubs = maxNorm(spine.join(hRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
-      if (i % checkpointEvery == 0 && i < iters) {
-        hubs = hubs.localCheckpoint(eager = false)
-        auths = auths.localCheckpoint(eager = false)
-      }
+      hubs = hubs.localCheckpoint()
     }
     val result = hubs.join(auths, "node")
       .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
