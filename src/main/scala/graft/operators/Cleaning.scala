@@ -186,7 +186,14 @@ object Cleaning {
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val authority = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    // case-fold ONLY the host part — after the LAST '@' (greedy `.*@`)
+    // — of the authority: userinfo carries case-SENSITIVE credentials,
+    // and folding them would merge genuinely different URLs (ADVICE
+    // r16). No '@' → extract yields '' and replace is a no-op, so the
+    // whole authority folds as before.
+    val hostPort = concat(regexp_extract(authority, "^(.*@)", 1),
+      lower(regexp_replace(authority, "^.*@", "")))
     val host = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .otherwise(hostPort)

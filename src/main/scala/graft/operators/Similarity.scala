@@ -312,12 +312,17 @@ object Similarity {
     * frame is O(candidates), candidates are cell-bounded. Sides are
     * fixed by `sideExpr` (true = X/source side).
     *
+    * @param allPairs true = NO blocking: every cross-side pair is a
+    *        candidate — the brute-forced TRUTH leg of the blocking-
+    *        recall certification (q_bitext_recall). O(|X|·|Y|): only
+    *        for a bounded certification universe, never production.
     * @return (x_id, y_id, cos_ppb, margin_ppm) for mutual-best pairs
     *         with margin ≥ minMarginPpm, one row per surviving pair. */
   def bitextMarginMine(corpus: DataFrame, sideExpr: Column,
                        k: Int = 4, minMarginPpm: Long = 1000000L,
                        nlist: Int = 0, iters: Int = 2,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       allPairs: Boolean = false): DataFrame = {
     require(k >= 1 && minMarginPpm >= 0)
     // nlist = 0 derives cell count by the IVF rule (cells stay ~64
     // rows at every corpus size — the assignCells discipline, which
@@ -325,7 +330,9 @@ object Similarity {
     // (~262k vectors), exactly like q_dedup_semantic's blocking; a
     // fixed nlist would let candidate blocks grow with the data)
     val cells =
-      if (nlist > 0)
+      if (allPairs)
+        corpus.select(col(idCol).cast("long").as("id"), lit(0).as("cid"))
+      else if (nlist > 0)
         Cluster.trainInt8(corpus, idCol, vecCol, nlist, iters)
           .assigned.select(col("id"), col("cid"))
       else

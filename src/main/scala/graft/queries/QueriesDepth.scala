@@ -723,6 +723,44 @@ object QueriesDepth {
         .orderBy("c_custkey")
     }),
 
+    "q_cdc_ttl" -> ((s, d) => {
+      // tombstone TTL over the VERSIONED CDC state (VERDICT r16 #5,
+      // Merge.expireTombstones): the q_cdc_apply fold kept as
+      // mergeVersioned state (tombstones RETAINED — a late older
+      // update must not resurrect a delete), then compacted at a
+      // version floor = max event ts − 15 days (the watermark a CDC
+      // reader would promise: no change older than the floor can
+      // still arrive). Tombstones strictly below the floor drop —
+      // bounding state on an infinite stream — tombstones at/above it
+      // and ALL live rows survive; the output is the post-TTL state
+      // itself (op + version columns visible), so the oracle checks
+      // both retention classes in one hash. Expiry is a pure narrow
+      // filter (no shuffle); the floor is a 1-row broadcast aggregate.
+      val t = Tables(s, d)
+      val target0 = t.customer.select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acct_cents"),
+        lit("upsert").as("_op"),
+        to_timestamp(lit("1970-01-01 00:00:00")).as("ts"),
+        lit(-1L).cast("long").as("event_id"))
+      val log = t.events.select(
+        col("user_id").as("c_custkey"),
+        concat(lit("cdc-"), col("event_id")).as("c_name"),
+        floor(col("value") * 100).cast("long").as("acct_cents"),
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")).as("_op"),
+        col("ts"), col("event_id"))
+      val state = graft.operators.Merge.mergeVersioned(target0, log,
+        Seq("c_custkey"), versionCols = Seq("ts", "event_id"))
+      val fl = t.events.agg(
+        (max(col("ts")) - expr("INTERVAL 15 DAYS")).as("__floor"))
+      graft.operators.Merge.expireTombstones(
+          state.crossJoin(broadcast(fl)), col("ts"), col("__floor"))
+        .select(col("c_custkey"), col("c_name"), col("acct_cents"), col("_op"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_id"))
+        .orderBy("c_custkey")
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // train/eval decontamination — flag training docs sharing 3-gram
       // shingles with the eval split (the standard pre-training
@@ -1228,6 +1266,35 @@ object QueriesDepth {
     // compaction under the (ts, event_id) DESC total order, tombstone
     // filter, and anti-join + union apply
     "q_cdc_apply" -> cdcApplySql,
+
+    // replays mergeVersioned's max-by-(ts, event_id) fold over the
+    // seeded state (customer snapshot at epoch / event_id -1), then
+    // expireTombstones' floor filter: live rows always survive;
+    // tombstones survive iff ts >= max(ts) - 15 days
+    "q_cdc_ttl" ->
+      """WITH target AS (
+        | SELECT c_custkey, c_name,
+        |  cast(floor(c_acctbal * 100) as bigint) AS acct_cents,
+        |  'upsert' AS _op, TIMESTAMP '1970-01-01 00:00:00' AS ts,
+        |  cast(-1 as bigint) AS event_id
+        | FROM customer),
+        |log AS (
+        | SELECT user_id AS c_custkey, 'cdc-' || event_id AS c_name,
+        |  cast(floor(value * 100) as bigint) AS acct_cents,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS _op,
+        |  ts, event_id
+        | FROM events),
+        |st AS (
+        | SELECT c_custkey, c_name, acct_cents, _op, ts, event_id FROM (
+        |  SELECT *, row_number() OVER (
+        |   PARTITION BY c_custkey ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM (SELECT * FROM target UNION ALL SELECT * FROM log)) WHERE rn = 1),
+        |fl AS (SELECT max(ts) - INTERVAL 15 DAY AS f FROM events)
+        |SELECT c_custkey, c_name, acct_cents, _op,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id
+        |FROM st, fl
+        |WHERE _op IS DISTINCT FROM 'delete' OR ts >= f
+        |ORDER BY c_custkey""".stripMargin,
 
     // the STREAMING apply must land on the identical snapshot: global
     // last-writer-wins is the fixed point of any batched

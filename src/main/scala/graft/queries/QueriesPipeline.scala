@@ -873,6 +873,32 @@ object QueriesPipeline {
         .orderBy("doc_id", "turn")
     }),
 
+    "q_sft_normalized" -> ((s, d) => {
+      // NORMALIZED sibling of q_sft_format (VERDICT r16 #6,
+      // Posttrain.sftRendered): ONE row per conversation carrying the
+      // rendered string once — q_sft_format's per-turn rows repeat
+      // `rendered` by design (self-contained rows for a per-turn
+      // tokenizer), which prices O(turns² · len) output per
+      // conversation; the storage-bound form materializes THIS frame
+      // next to the slim spans table (Posttrain.sftSpansOnly) and
+      // joins back on demand — the join-back identity is spec-proven
+      // (PosttrainSpec). Same in-plan turn synthesis, same template;
+      // ONE conversation-keyed exchange (sort_array'd collect_list —
+      // order-independent input, deterministic render).
+      val t = Tables(s, d)
+      val toks = split(col("text"), " ")
+      val turns = t.documents
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), when(pmod(col("doc_id"), lit(2)) === 0, lit(1)).otherwise(lit(0))),
+          k => struct(
+            array_join(slice(toks, k * lit(16) + 1, lit(5)), " ").as("u"),
+            array_join(slice(toks, k * lit(16) + 9, lit(6)), " ").as("a"))))
+          .as(Seq("k", "t")))
+        .select(col("doc_id"), col("k"), col("t.u").as("u"), col("t.a").as("a"))
+      graft.operators.Posttrain.sftRendered(turns, "doc_id", "k", "u", "a")
+        .orderBy("doc_id")
+    }),
+
     "q_dpo_pairs" -> ((s, d) => {
       // DPO/RLHF preference-pair assembly (Posttrain.dpoPairs): per
       // prompt the top- and bottom-scored candidate responses, ties
@@ -1447,6 +1473,31 @@ object QueriesPipeline {
          | cast($sysLen + prefix + $uT + length(u) + $aT as bigint) AS span_start,
          | cast(length(a) as bigint) AS span_len, n_turns, rendered
          |FROM m ORDER BY doc_id, turn""".stripMargin
+    },
+
+    // replays sftRendered: same synthesis, the rendered aggregate as
+    // an ordered string_agg per conversation — ONE row each
+    "q_sft_normalized" -> {
+      import graft.operators.Posttrain.{AssistantTag, EndTag, SystemTag, UserTag}
+      val sys = "You are a helpful assistant."
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ks AS (
+         | SELECT doc_id, t,
+         |  unnest(range(0, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)) AS k
+         | FROM toks),
+         |turns AS (
+         | SELECT doc_id, k,
+         |  coalesce(array_to_string(t[(k*16+1):(k*16+5)], ' '), '') AS u,
+         |  coalesce(array_to_string(t[(k*16+9):(k*16+14)], ' '), '') AS a
+         | FROM ks),
+         |r AS (
+         | SELECT doc_id, count(*) AS n_turns,
+         |  '$SystemTag$sys' || string_agg('$UserTag' || u || '$AssistantTag' || a,
+         |    '' ORDER BY k) || '$EndTag' AS rendered
+         | FROM turns GROUP BY doc_id)
+         |SELECT doc_id, n_turns, cast(length(rendered) as bigint) AS rendered_len,
+         | rendered
+         |FROM r ORDER BY doc_id""".stripMargin
     },
 
     // replays dpoPairs: same candidate projection, both rank windows

@@ -329,6 +329,39 @@ object QueriesText {
         .orderBy("x_id", "y_id")
     }),
 
+    "q_bitext_recall" -> ((s, d) => {
+      // ORACLE-CHECKED blocking recall for bitext mining (VERDICT r16
+      // #2 — the q_ann_recall discipline applied to
+      // bitextMarginMine): the production same-cell candidate
+      // generation has unmeasured recall, and q_bitext_mine's oracle
+      // replays the SAME blocking, so a cross-cell miss is invisible
+      // to it. Here the TRUTH leg mines with NO blocking (allPairs —
+      // every cross-side pair a candidate; margins/kNN means computed
+      // over the full candidate set, the real answer) and recall =
+      // |blocked ∩ truth| / |truth| at the production cell config
+      // (assignCells targetCellSize=64 — the q_dedup_semantic
+      // blocking). Both legs are exact-integer after the one
+      // float→ppb floor, so DuckDB replays blocking, truth AND the
+      // recall arithmetic bit-for-bit. The truth leg is O(|X|·|Y|) BY
+      // DESIGN — certification on the bounded corpus, never the
+      // production path (SimilaritySpec pins a cross-cell near-pair
+      // the blocked leg misses, proving the metric detects misses).
+      val emb = Tables(s, d).embeddings
+      val side = pmod(col("vec_id"), lit(2)) === 0
+      val blocked = Similarity.bitextMarginMine(emb, side,
+          k = 4, minMarginPpm = 1000000L)
+        .select(col("x_id"), col("y_id"), lit(1).as("__hit"))
+      val truth = Similarity.bitextMarginMine(emb, side,
+          k = 4, minMarginPpm = 1000000L, allPairs = true)
+        .select(col("x_id"), col("y_id"))
+      val nb = blocked.agg(count(lit(1)).as("n_blocked"))
+      truth.join(blocked, Seq("x_id", "y_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_hits"))
+        .crossJoin(broadcast(nb))
+        .select(col("n_truth"), col("n_blocked"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"))
+    }),
+
     "q_dedup_semantic" -> ((s, d) => {
       // LABEL-FREE semantic near-dup: blocks come from the engine's
       // own bit-deterministic int8 k-means (Cluster.kmeansAssignInt8,
@@ -1106,6 +1139,49 @@ object QueriesText {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_retrieve_hybrid" -> ((s, d) => {
+      // HYBRID retrieval fusion via reciprocal-rank fusion (VERDICT
+      // r16 #4): the sparse leg (Rank.bm25Table — many term queries,
+      // ONE corpus pass) and the dense leg (Similarity.ivfInt8TopK —
+      // the bit-deterministic IVF, one index) fused per (query, id):
+      //   rrf_ppm = Σ legs 10⁶ div (60 + rank)     (absent leg → 0)
+      // — the standard RRF with K=60, kept EXACT INTEGER (truncating
+      // div over ranks 1..k: all operands positive, DuckDB's `//`
+      // agrees), so the fused ordering is engine-replayable
+      // bit-for-bit where float RRF would tie-drift. Queries bridge
+      // the two spaces by id: query_id '0'/'1'/'2' carries both a term
+      // set (documents leg) and its embedding (vec_id 0/1/2 — the
+      // shared id space doc_id ≡ vec_id the testdata defines). Scale:
+      // each leg is its own bounded top-k (k·|queries| rows); the
+      // fusion full-outer join and final window are dim-sized — the
+      // corpus is touched once per leg, never by the fusion.
+      import s.implicits._
+      val t = Tables(s, d)
+      val queries = Seq(
+        ("0", "merge"), ("0", "vector"),
+        ("1", "stream"), ("1", "window"),
+        ("2", "quantile"), ("2", "vector")).toDF("query_id", "term")
+      val sparse = graft.operators.Rank.bm25Table(t.documents, "doc_id", "text",
+          queries, k = 10)
+        .select(col("query_id"), col("doc_id").cast("long").as("id"),
+          col("rank").as("bm25_rank"))
+      val dense = Similarity.ivfInt8TopK(t.embeddings, col("vec_id") < 3,
+          k = 10, nlist = 8, iters = 2, nprobe = 2)
+        .select(col("query_id").cast("string").as("query_id"),
+          col("neighbor_id").as("id"), col("rk").as("dense_rank"))
+      val fused = sparse.join(dense, Seq("query_id", "id"), "full_outer")
+        .select(col("query_id"), col("id"),
+          (coalesce(expr("1000000 div (60 + bm25_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + dense_rank)"), lit(0L))).as("rrf_ppm"),
+          col("bm25_rank"), col("dense_rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("rrf_ppm").desc, col("id"))
+      fused.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_dedup_containment" -> ((s, d) => {
       // asymmetric CONTAINMENT dedup (Dedup.containmentPairs): the
       // quote/subset detector — |∩| / min(|Sa|,|Sb|) ≥ τ catches a
@@ -1722,6 +1798,65 @@ object QueriesText {
          |WHERE bx = 1 AND by = 1 AND margin_ppm >= 1000000
          |ORDER BY x_id, y_id""".stripMargin,
 
+    // replays BOTH legs of the blocking-recall certification: the
+    // blocked leg is the exact q_bitext_mine pipeline (same-cell
+    // candidates under the shared unrolled k-means), the truth leg the
+    // same margin pipeline over ALL cross-side pairs (no blocking),
+    // then the exact-integer recall arithmetic
+    "q_bitext_recall" -> {
+      def marginLeg(pairsCte: String, p: String): String =
+        s"""${p}rx AS (SELECT *, row_number() OVER (
+           |  PARTITION BY x_id ORDER BY cos_ppb DESC, y_id) AS rk FROM $pairsCte),
+           |${p}ax AS (SELECT x_id, cast(sum(cos_ppb) // count(*) as bigint) AS a_x
+           | FROM ${p}rx WHERE rk <= 4 GROUP BY 1),
+           |${p}ry AS (SELECT *, row_number() OVER (
+           |  PARTITION BY y_id ORDER BY cos_ppb DESC, x_id) AS rk FROM $pairsCte),
+           |${p}ay AS (SELECT y_id, cast(sum(cos_ppb) // count(*) as bigint) AS a_y
+           | FROM ${p}ry WHERE rk <= 4 GROUP BY 1),
+           |${p}m AS (
+           | SELECT q.x_id, q.y_id,
+           |  cast((q.cos_ppb * 2000000) // (a_x + a_y) as bigint) AS margin_ppm
+           | FROM $pairsCte q JOIN ${p}ax USING (x_id) JOIN ${p}ay USING (y_id)
+           | WHERE a_x + a_y > 0),
+           |${p}b AS (
+           | SELECT *,
+           |  row_number() OVER (PARTITION BY x_id ORDER BY margin_ppm DESC, y_id) AS bx,
+           |  row_number() OVER (PARTITION BY y_id ORDER BY margin_ppm DESC, x_id) AS by
+           | FROM ${p}m),
+           |${p}sel AS (SELECT x_id, y_id FROM ${p}b
+           | WHERE bx = 1 AND by = 1 AND margin_ppm >= 1000000)""".stripMargin
+      val cosExpr = (a: String, b: String) =>
+        s"""list_sum(list_transform(list_zip($a, $b),
+           |      p -> cast(p[1] as double) * cast(p[2] as double)))
+           |    / (sqrt(list_sum(list_transform($a, v -> cast(v as double) * cast(v as double))))
+           |     * sqrt(list_sum(list_transform($b, v -> cast(v as double) * cast(v as double)))))""".stripMargin
+      s"""WITH $kmeansCtes,
+         |sided AS (
+         | SELECT a.id, a.cid, e.embedding FROM a2 a
+         |  JOIN embeddings e ON e.vec_id = a.id),
+         |bpairs AS (
+         | SELECT * FROM (
+         |  SELECT x.id AS x_id, y.id AS y_id,
+         |   cast(floor(1e9 * (${cosExpr("x.embedding", "y.embedding")})) as bigint) AS cos_ppb
+         |  FROM sided x JOIN sided y
+         |   ON x.cid = y.cid AND x.id % 2 = 0 AND y.id % 2 = 1)
+         | WHERE cos_ppb >= 0),
+         |${marginLeg("bpairs", "b")},
+         |tpairs AS (
+         | SELECT * FROM (
+         |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         |   cast(floor(1e9 * (${cosExpr("x.embedding", "y.embedding")})) as bigint) AS cos_ppb
+         |  FROM embeddings x JOIN embeddings y
+         |   ON x.vec_id % 2 = 0 AND y.vec_id % 2 = 1)
+         | WHERE cos_ppb >= 0),
+         |${marginLeg("tpairs", "t")}
+         |SELECT t.n_truth, bl.n_blocked, h.n_hits,
+         | round(cast(h.n_hits as double) / t.n_truth, 6) AS recall
+         |FROM (SELECT count(*) AS n_truth FROM tsel) t,
+         | (SELECT count(*) AS n_blocked FROM bsel) bl,
+         | (SELECT count(*) AS n_hits FROM tsel JOIN bsel USING (x_id, y_id)) h""".stripMargin
+    },
+
     "q_dedup_semantic" ->
       s"""WITH $kmeansCtes,
          |blocks AS (SELECT cid FROM a2 GROUP BY cid HAVING count(*) BETWEEN 2 AND 1000),
@@ -1997,6 +2132,76 @@ object QueriesText {
          |SELECT query_id, doc_id, n_terms, score_ppm, rank FROM r
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // replays both retrieval legs and the integer RRF fusion: the
+    // sparse leg is the exact q_bm25_table dag over this query dim,
+    // the dense leg the exact q_ann_recall IVF probe (shared unrolled
+    // k-means, nprobe 2, top-10 by exact cosine), fused by
+    // 10⁶ // (60 + rank) per leg (absent leg → 0), re-ranked per query
+    "q_retrieve_hybrid" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |  ('0', 'merge'), ('0', 'vector'),
+         |  ('1', 'stream'), ('1', 'window'),
+         |  ('2', 'quantile'), ('2', 'vector')),
+         |tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |t2 AS (SELECT doc_id, term FROM tk WHERE length(term) > 0),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+         |tot AS (SELECT cast(sum(dl) as bigint) AS a, count(*) AS nd FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t2
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |bmc AS (SELECT t.doc_id, t.term,
+         |  ((2 * tot.nd - 2 * dfq.df + 1) * 1000000 // (2 * dfq.df + 1)) *
+         |  (22 * t.tf * tot.a * 1000000
+         |    // (10 * tot.a * t.tf + 3 * tot.a + 9 * dl.dl * tot.nd)) // 1000000 AS contrib
+         | FROM tf t JOIN dfq USING (term) JOIN dl USING (doc_id), tot),
+         |bms AS (SELECT q.query_id, bmc.doc_id,
+         |  cast(sum(bmc.contrib) as bigint) AS score_ppm
+         | FROM bmc JOIN q ON bmc.term = q.term GROUP BY 1, 2),
+         |sparse AS (SELECT query_id, doc_id AS id, rank FROM (
+         |  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+         |   ORDER BY score_ppm DESC, doc_id) as int) AS rank FROM bms)
+         | WHERE rank <= 10),
+         |$kmeansCtes,
+         |probe AS (
+         | SELECT id AS query_id, cid FROM (
+         |  SELECT aq.id, c.cid,
+         |   row_number() OVER (PARTITION BY aq.id ORDER BY
+         |    cast(list_sum(list_transform(range(1, len(aq.q) + 1),
+         |      i -> (aq.q[i] - c.cq[i]) * (aq.q[i] - c.cq[i]))) as bigint), c.cid) AS rk
+         |  FROM (SELECT id, q FROM a2 WHERE id < 3) aq, c1 c)
+         | WHERE rk <= 2),
+         |cand AS (
+         | SELECT p.query_id, a.id AS neighbor_id
+         | FROM probe p JOIN a2 a ON a.cid = p.cid AND a.id <> p.query_id),
+         |dense AS (
+         | SELECT cast(query_id as varchar) AS query_id, neighbor_id AS id,
+         |  cast(rk as int) AS rk FROM (
+         |  SELECT c.query_id, c.neighbor_id,
+         |   row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |    list_sum(list_transform(list_zip(eq.embedding, en.embedding),
+         |      p -> cast(p[1] as double) * cast(p[2] as double)))
+         |    / (sqrt(list_sum(list_transform(eq.embedding, x -> cast(x as double) * cast(x as double))))
+         |     * sqrt(list_sum(list_transform(en.embedding, x -> cast(x as double) * cast(x as double))))) DESC,
+         |    c.neighbor_id) AS rk
+         |  FROM cand c
+         |   JOIN embeddings eq ON eq.vec_id = c.query_id
+         |   JOIN embeddings en ON en.vec_id = c.neighbor_id)
+         | WHERE rk <= 10),
+         |fused AS (
+         | SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         |  coalesce(s.id, d.id) AS id,
+         |  cast(coalesce(1000000 // (60 + s.rank), 0)
+         |   + coalesce(1000000 // (60 + d.rk), 0) as bigint) AS rrf_ppm,
+         |  s.rank AS bm25_rank, d.rk AS dense_rank
+         | FROM sparse s FULL OUTER JOIN dense d
+         |  ON s.query_id = d.query_id AND s.id = d.id)
+         |SELECT query_id, id, rrf_ppm, bm25_rank, dense_rank,
+         | cast(row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_ppm DESC, id) as int) AS rank
+         |FROM fused
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     // replays the in-plan messy wrap via chr() codepoints, then the
     // identical literal replace chain — GENERATED from the same
     // Cleaning.PunctNormalizations constants the Spark plan folds
@@ -2184,7 +2389,8 @@ object QueriesText {
         |parts AS (
         | SELECT doc_id, n_chars,
         |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |  lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+        |  regexp_extract(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^(.*@)', 1)
+        |   || lower(regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^.*@', '')) AS hostport,
         |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
         |  regexp_extract(nf, '\?([^#]*)', 1) AS rawq
         | FROM nf),

@@ -43,6 +43,23 @@ object EventStream {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** Await an AvailableNow query's FULL drain, loudly (ADVICE r16):
+    * `awaitTermination(timeout)` returns false on timeout, and the
+    * runners used to ignore it and `stop()` the query — returning the
+    * PARTIAL state as the answer, a silent wrong-data failure (fewer
+    * rows at best, a half-folded CDC state at worst). A slow run must
+    * fail parity with a cause, not pass it wrong numbers. */
+  private def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           timeoutMs: Long = 300000): Unit = {
+    val drained = q.awaitTermination(timeoutMs)
+    if (!drained) {
+      q.stop()
+      throw new IllegalStateException(
+        s"stream ${q.name} did not drain within ${timeoutMs} ms — " +
+          "partial state would be silently wrong; failing loudly instead")
+    }
+  }
+
   /** Streaming file source over the events table, correct under BOTH
     * on-disk layouts: the driver testdata's single FILE
     * `$sfDir/events.parquet` and ScaleGen's DIRECTORY of part files
@@ -89,8 +106,7 @@ object EventStream {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     spark.table(queryName)
       .orderBy(col("bucket_start"), col("event_type"))
@@ -116,8 +132,7 @@ object EventStream {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     spark.table(queryName).orderBy(col("user_id"), col("session_start"))
   }
@@ -214,8 +229,7 @@ object EventStream {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     spark.table(queryName)
       .select(col("event_id"), col("user_id"), col("purchase_id"),
@@ -264,8 +278,7 @@ object EventStream {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     spark.table(queryName)
       .select(col("purchase_id"), col("click_id"), col("user_id"),
@@ -300,8 +313,7 @@ object EventStream {
         .format("memory").queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     spark.table(queryName)
       .groupBy("event_type")
@@ -361,8 +373,7 @@ object EventStream {
           Seq("c_custkey"), versionCols = Seq("ts", "event_id"))
           .localCheckpoint()
       }.start()
-      q.awaitTermination(300000)
-      if (q.isActive) q.stop()
+      awaitDrained(q)
     }
     graft.operators.Merge.readView(state, versionCols = Seq("ts", "event_id"))
       .orderBy("c_custkey")

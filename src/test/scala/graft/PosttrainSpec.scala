@@ -38,6 +38,50 @@ class PosttrainSpec extends AnyFunSuite {
     assert(rows((1L, 0))._6 == rows((1L, 1))._6)
   }
 
+  test("sftRendered + sftSpansOnly join back to exactly sftSpans (normalized-pair identity)") {
+    val turns = Seq(
+      (1L, 0, "hi", "hello there"),
+      (1L, 2, "and?", "bye"),
+      (2L, 0, "solo", ""))
+      .toDF("cid", "pos", "u", "a")
+    val full = Posttrain.sftSpans(turns, "cid", "pos", "u", "a", system = "S")
+    val spans = Posttrain.sftSpansOnly(turns, "cid", "pos", "u", "a", system = "S")
+    val conv = Posttrain.sftRendered(turns, "cid", "pos", "u", "a", system = "S")
+    // one row per conversation, rendered identical to the per-turn copy
+    assert(conv.count() == 2)
+    val joined = spans.join(conv.select(col("cid"), col("rendered")), "cid")
+      .select("cid", "turn", "span_start", "span_len", "n_turns", "rendered")
+    val a = joined.orderBy("cid", "turn").collect().toSeq
+    val b = full.select("cid", "turn", "span_start", "span_len", "n_turns", "rendered")
+      .orderBy("cid", "turn").collect().toSeq
+    assert(a == b, "join-back must reproduce sftSpans exactly")
+    // the span contract holds THROUGH the join-back
+    assert(joined.join(turns, joined("cid") === turns("cid") &&
+        joined("turn") === when(turns("pos") === 2, 1).otherwise(turns("pos")))
+      .filter(expr("substring(rendered, span_start + 1, span_len)") =!= col("a"))
+      .count() == 0)
+  }
+
+  test("sftSpans: same-pos turns order deterministically by the block tie-break") {
+    // two turns share pos=0 — ADVICE r16: with a pos-only ordering the
+    // prefix sum, row_number and sort_array could disagree; with the
+    // shared (pos, block) tie-break the span contract must still hold
+    // and the order is the block-string order
+    val turns = Seq(
+      (1L, 0, "zz", "later"),
+      (1L, 0, "aa", "first"))
+      .toDF("cid", "pos", "u", "a")
+    val out = Posttrain.sftSpans(turns, "cid", "pos", "u", "a", system = "S")
+    val bad = out.join(turns.select(col("a").as("pay")),
+        expr("substring(rendered, span_start + 1, span_len)") === col("pay"))
+    assert(bad.count() == 2, "every span must slice back to SOME payload")
+    // turn 0 is the lexicographically smaller block ("<|user|>aa…")
+    val t0 = out.filter(col("turn") === 0)
+      .select(expr("substring(rendered, span_start + 1, span_len)"))
+      .as[String].head()
+    assert(t0 == "first")
+  }
+
   test("dpoPairs: tie-breaks, gap gate, and candidate-count gate") {
     val cands = Seq(
       // prompt 1: clear winner/loser + a tie at the top (id 11 wins it)

@@ -509,6 +509,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  test("bitext blocking recall detects cross-cell misses (q_bitext_recall's metric)") {
+    // the metric must MEASURE blocking loss, pinned at both ends
+    // (VERDICT r16 #2 — the production oracle replays the same
+    // blocking, so a cross-cell miss is invisible to it):
+    //  - one cell (lossless blocking) → blocked == truth, recall 1;
+    //  - singleton cells (over-sharded blocking: every mutual pair is
+    //    cross-cell) → blocked mines NOTHING, recall 0 — the miss is
+    //    loud in the metric instead of silently absent.
+    def v(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    val emb = Seq(
+      (0L, v(100f, 0f)), (1L, v(100f, 1f)),
+      (2L, v(-100f, 10f)), (3L, v(-100f, 0f)),
+      (4L, v(0f, 100f)), (5L, v(1f, 100f))).toDF("vec_id", "embedding")
+    val side = pmod(col("vec_id"), lit(2)) === 0
+    val truth = Similarity.bitextMarginMine(emb, side, k = 2,
+        minMarginPpm = 0L, allPairs = true)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(truth == Set((0L, 1L), (2L, 3L), (4L, 5L)),
+      s"the three directions must pair up: $truth")
+    val lossless = Similarity.bitextMarginMine(emb, side, k = 2,
+        minMarginPpm = 0L, nlist = 1)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(lossless == truth, "one cell = no blocking loss, recall 1")
+    val sharded = Similarity.bitextMarginMine(emb, side, k = 2,
+        minMarginPpm = 0L, nlist = 6)
+      .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+    assert(sharded.isEmpty,
+      s"singleton cells put every pair cross-cell — recall must read 0, got $sharded")
+  }
+
   test("bitextMarginMine: sides never mix and the threshold gates") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val out = Similarity.bitextMarginMine(emb, pmod(col("vec_id"), lit(2)) === 0,
