@@ -224,7 +224,11 @@ object Bench {
           (if (err == null) "" else ",\"err\":" + jstr(err)) +
           "}"
       }.mkString("{", ",", "}")
+      // n_queries stamped from the SAME collection the map serializes
+      // (VERDICT r16 #8: a commit message hand-wrote "all 197 queries"
+      // over a 196-query dump — counts must come from the artifact)
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""n_queries":${runs.size},""" +
         s""""iter_order":"${if (passMajor) "passmajor" else "backtoback"}",""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     }
@@ -256,7 +260,7 @@ object Bench {
           .map(m => s""","local_ref":{"file":"${f.getName}","value":${m.group(1)}}""")
       }.getOrElse("")
     }
-    val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed$localRef,"sf":"$sfDir","queries":{"""
+    val header = s"""{"metric":"total","value":${f3(total)},"unit":"sec","failed":$failed,"n_queries":${runs.size}$localRef,"sf":"$sfDir","queries":{"""
     val entries = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val sb = new StringBuilder(header)

@@ -22,7 +22,7 @@ python3 tools/test_scale_report.py >/dev/null \
 # the scale-critical family: every query whose plan shape carries the
 # 100 TB story (iterative clustering, dedup, as-of, both e2e pipelines,
 # global windows, media decode/encode, the distributed BPE trainer)
-CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval,q_dedup_containment,q_text_normalize,q_calibration,q_html_extract,q_dedup_substring,q_dedup_containment_pruned,q_bm25_table,q_pagerank_redist,q_langid_chargram,q_graph_bfs,q_hits,q_graph_triangles,q_bitext_mine,q_dedup_sentence,q_cdc_apply,q_url_dedup,q_anchor_text,q_stream_cdc,q_sft_format,q_dpo_pairs
+CORE=q_ancestor_arrays,q_simjoin_prefix,q_ngram_lm,q_dsir_select,q_token_budget,q_split_leakfree,q_sample_diverse,q_media_phash,q_embed_gram,q_ann_incremental,q_asof_plan,q_asof_split,q_corpus_e2e,q_dedup_clusters,q_dedup_minhash,q_dedup_spans,q_doc_assembly,q_heavy_hitters,q_hierarchy,q_mix_temperature,q_observations,q_pack_sequences,q_pipeline_e2e,q_salted_join,q_sessionize,q_shingle_clusters,q_window_range,q_media_pipeline,q_media_thumbs,q_token_bpe_dist,q_mannwhitney,q_fdr_bh,q_bloom_join,q_zorder,q_embed_robust,q_quality_model,q_cooccur_pmi,q_stream_window,q_stream_sessions,q_stream_interval,q_dedup_semantic,q_embed_pool,q_omero_manifest,q_batch_query,q_stream_asof,q_stream_dedup,q_dedup_incremental,q_curate_e2e,q_doc_tree,q_ingest_night,q_embed_project,q_ingest_neardup,q_approx_distinct,q_approx_distinct_sketch,q_approx_percentile,q_approx_percentile_sketch,q_hll_union,q_hll_union_sketch,q_train_classifier,q_pagerank,q_main_content,q_curate_incremental,q_train_langid,q_classifier_eval,q_bm25,q_langid_eval,q_dedup_containment,q_text_normalize,q_calibration,q_html_extract,q_dedup_substring,q_dedup_containment_pruned,q_bm25_table,q_pagerank_redist,q_langid_chargram,q_graph_bfs,q_hits,q_graph_triangles,q_bitext_mine,q_dedup_sentence,q_cdc_apply,q_url_dedup,q_anchor_text,q_stream_cdc,q_sft_format,q_dpo_pairs,q_retrieve_hybrid,q_cdc_ttl,q_sft_normalized
 
 # q_curate_e2e's stage-5 token budget scales with the corpus factor
 # (VERDICT r12 #4: the fixed 12k budget empties the manifest past ~x32,
@@ -62,6 +62,19 @@ bench() { # outfile sfdir [env...]
   fi
 }
 
+# per-TIER crash-proofing (VERDICT r16 #1, two rounds running: a
+# campaign that dies late must never again orphan completed tiers in
+# target/): each merged tier artifact is copied into scale_partial/
+# and COMMITTED the moment it exists. scale_partial/ is the audit
+# trail; the final gated SCALE_rN.json supersedes it for grading.
+commit_tier() { # file label
+  mkdir -p scale_partial
+  cp "target/$1" "scale_partial/$1" 2>/dev/null || return 0
+  git add scale_partial/"$1" >/dev/null 2>&1 || true
+  git diff --cached --quiet 2>/dev/null || \
+    git commit -q -m "Scale campaign partial: $2" || true
+}
+
 gen 10; gen 32; gen 100
 
 # oracle SQL dump for the gate's rule-0 adjudication: scale_report runs
@@ -89,14 +102,30 @@ bench full_x10.json target/scale/x10 SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X10
 # same numbers); x32/x100 run the family directly. x100 runs at
 # shuffle.partitions=128 — the deployment knob scales with data (the
 # partitions matrix below measures that knob in isolation).
+# r17 DELTA: the full_x1/x10 dumps are REUSED from the r16-session-2
+# campaign (identical code for those queries); the queries whose plans
+# changed this round (BFS merge-form, URL userinfo fold, SFT tie-break,
+# the de-Expanded approx_distinct twin) and the three NEW c9 queries
+# re-bench here and OVERRIDE the full-dump rows in the merged tiers —
+# fresh evidence where code moved, without re-paying the ~200
+# unchanged queries twice (BENCH_LOCAL re-captures the full suite).
+DELTA=q_graph_bfs,q_url_dedup,q_sft_format,q_approx_distinct,q_retrieve_hybrid,q_cdc_ttl,q_sft_normalized
+bench delta_x1.json "$SF" SPARK_GRAFT_ONLY=$DELTA
+bench delta_x10.json target/scale/x10 SPARK_GRAFT_ONLY=$DELTA
 python3 - <<'EOF'
 import json
 core = set(open('tools/run_scale.sh').read().split('CORE=')[1].split()[0].split(','))
 for f in (1, 10):
     d = json.load(open(f'target/full_x{f}.json'))
+    try:
+        d['queries'].update(json.load(open(f'target/delta_x{f}.json'))['queries'])
+    except FileNotFoundError:
+        pass
     d['queries'] = {k: v for k, v in d['queries'].items() if k in core}
     json.dump(d, open(f'target/scale_x{f}.json', 'w'))
 EOF
+commit_tier scale_x1.json "x1 tier (full_x1 + r17 delta)"
+commit_tier scale_x10.json "x10 tier (full_x10 + r17 delta)"
 # x32 runs at 64 initial shuffle partitions: the deployment contract
 # (GraftSession scaladoc) scales partitions with data so per-task
 # state stays flat — the r8 testdata regeneration deepened the
@@ -134,9 +163,12 @@ CHUNK_C7=$(echo "$CORE" | cut -d, -f67-75)
 # r16 session 2: an EIGHTH chunk carries this session's 11 new ladder
 # rows (graph trio, bitext mining, sentence/url dedup, CDC batch +
 # stream, anchor text, SFT/DPO prep) — fresh JVM like every chunk
-CHUNK_C8=$(echo "$CORE" | cut -d, -f76-)
+CHUNK_C8=$(echo "$CORE" | cut -d, -f76-86)
+# r17: a NINTH chunk carries this round's new ladder rows (hybrid RRF
+# retrieval, CDC tombstone TTL, normalized SFT render)
+CHUNK_C9=$(echo "$CORE" | cut -d, -f87-)
 i=1
-for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7" "$CHUNK_C8"; do
+for chunk in "$CHUNK_C1" "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7" "$CHUNK_C8" "$CHUNK_C9"; do
   bench scale_x32_c$i.json target/scale/x32 SPARK_GRAFT_ONLY=$chunk \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=64 SPARK_GRAFT_STREAM_PARTITIONS=16 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X32
@@ -146,7 +178,7 @@ rm -f target/scale_x32.json
 python3 - <<'EOF'
 import json
 qs = {}
-for i in (1, 2, 3, 4, 5, 6, 7, 8):
+for i in (1, 2, 3, 4, 5, 6, 7, 8, 9):
     try:
         qs.update(json.load(open(f'target/scale_x32_c{i}.json'))['queries'])
     except FileNotFoundError:
@@ -155,6 +187,7 @@ if qs:
     json.dump({"queries": qs, "sf": "target/scale/x32"},
               open('target/scale_x32.json', 'w'))
 EOF
+commit_tier scale_x32.json "x32 tier (9 fresh-JVM chunks)"
 # near-dup strategy A/B at x32 (VERDICT r11 #3; r14 adds the AUTO
 # default): scale_x32.json's q_curate_e2e row now runs the "auto"
 # strategy (160k docs > AutoPrunedMinDocs -> the rule must pick
@@ -192,12 +225,36 @@ CHUNK_C1B=$(echo "$CHUNK_C1" | sed 's/q_ancestor_arrays,//')
 bench scale_x100_c1b.json target/scale/x100 SPARK_GRAFT_ONLY=$CHUNK_C1B \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
   SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
-i=2
-for chunk in "$CHUNK_C2" "$CHUNK_C3" "$CHUNK_C4" "$CHUNK_C5" "$CHUNK_C6" "$CHUNK_C7" "$CHUNK_C8"; do
+# r17: chunk ORDER puts c8/c9 (the session-2 + r17 ladder rows — the
+# round's highest-value missing evidence) ahead of the c2-c7 re-runs
+# whose numbers SCALE_r16 already certified on identical code, and the
+# tier runs SINGLE-ITERATION (SPARK_GRAFT_ITERS=1): x100 runs are
+# minutes-long so contention noise amortizes, x1 keeps min-of-2 so the
+# growth ratios read conservatively high, and the halved wall-clock is
+# what fits the whole tier plus the new chunks inside one session.
+merge_x100() {
+  rm -f target/scale_x100.json
+  python3 - <<'EOF'
+import json
+qs = {}
+for i in ('1a', '1b', 2, 3, 4, 5, 6, 7, 8, 9):
+    try:
+        qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
+    except FileNotFoundError:
+        pass
+if qs:
+    json.dump({"queries": qs, "sf": "target/scale/x100"},
+              open('target/scale_x100.json', 'w'))
+EOF
+  commit_tier scale_x100.json "x100 tier ($1)"
+}
+for pair in "8:$CHUNK_C8" "9:$CHUNK_C9" "2:$CHUNK_C2" "3:$CHUNK_C3" "4:$CHUNK_C4" "5:$CHUNK_C5" "6:$CHUNK_C6" "7:$CHUNK_C7"; do
+  i=${pair%%:*}; chunk=${pair#*:}
   bench scale_x100_c$i.json target/scale/x100 SPARK_GRAFT_ONLY=$chunk \
+    SPARK_GRAFT_ITERS=1 \
     SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
     SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
-  i=$((i+1))
+  merge_x100 "through chunk c$i"
 done
 # pruned-strategy x100 row (VERDICT r12 #4: the x32 A/B gets its x100
 # sibling, both strategies non-degenerate under the scaled budget);
@@ -210,26 +267,16 @@ bench curate_lossless_x100.json target/scale/x100 \
   SPARK_GRAFT_ONLY=q_curate_e2e SPARK_GRAFT_NEARDUP=lossless \
   SPARK_GRAFT_SHUFFLE_PARTITIONS=128 SPARK_GRAFT_STREAM_PARTITIONS=32 \
   SPARK_GRAFT_CURATE_BUDGET=$BUDGET_X100 SPARK_GRAFT_CURATE_KEEPPPM=$KEEPPPM_X100
-# rebuilt UNCONDITIONALLY from whatever chunk dumps exist: the chunk
-# files carry the reuse/idempotence semantics, and a stale merged file
-# from a prior partial run must never win over freshly re-benched
-# chunks — deleted FIRST so that if every fresh chunk run crashed
-# (leaving no dumps) the missing-factor gate fires instead of a prior
-# round's merged file silently certifying the tier
-rm -f target/scale_x100.json
-python3 - <<'EOF'
-import json
-qs = {}
-for i in ('1a', '1b', 2, 3, 4, 5, 6, 7, 8):
-    try:
-        qs.update(json.load(open(f'target/scale_x100_c{i}.json'))['queries'])
-    except FileNotFoundError:
-        pass
-if qs:
-    json.dump({"queries": qs, "sf": "target/scale/x100"},
-              open('target/scale_x100.json', 'w'))
-EOF
+# (the per-chunk merge_x100 above already rebuilt + committed the tier)
 
+# r17: the A/B-stress extras below (closure strategies, as-of hot-key
+# suite incl. the x1000ev/x200emb corpus gens, IVF recall sweeps, bloom
+# A/B, incremental-history axis, partitions matrix) re-measure code
+# UNTOUCHED this round — their committed numbers live in SCALE_r16.
+# SPARK_GRAFT_SKIP_EXTRAS=1 skips them so the session budget goes to
+# the tier evidence the verdict flagged; run without the flag to
+# regenerate them (idempotent — existing dumps are reused).
+if [ -z "$SPARK_GRAFT_SKIP_EXTRAS" ]; then
 # closure-strategy A/B (VERDICT r8 next-round #5): the x100 linear-walk
 # run above is the control; re-run the two closure queries with the
 # doubling and adaptive strategies and let scale_report fold the
@@ -397,6 +444,8 @@ if qs:
 EOF
   fi
 done
+
+fi
 
 # assemble + gate LAST, then refuse success unless the merged artifact
 # at the repo root is NEWER than every dump it folds (the r11/r12
