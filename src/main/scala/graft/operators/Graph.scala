@@ -33,11 +33,15 @@ object Graph {
     *  - nodes with no in-edges settle at the base (10⁶ − d).
     *
     * Scale shape: the deduped edge list and the node spine (with
-    * out-degree attached) are persisted once; each iteration is ONE
-    * edge-keyed shuffle — the ranks→edges contribution join (ranks
-    * broadcast below [[Dedup.BroadcastSafeCorpusRows]] nodes, merge
-    * past it — a node-scaling broadcast build is the r10-measured
-    * driver-OOM class) followed by the map-side-combined per-dst sum;
+    * out-degree attached) persist once; past
+    * [[Dedup.BroadcastSafeCorpusRows]] nodes (the same pin that flips
+    * the contribution join from broadcast to merge — a node-scaling
+    * broadcast build is the r10-measured driver-OOM class) both
+    * re-cache pre-partitioned and sorted on their join keys (src /
+    * node — the GraphX routing-table discipline), so the per-iteration
+    * sort-merge joins re-exchange NEITHER cached frame and each
+    * iteration moves only the node-sized contribution frame
+    * followed by the map-side-combined per-dst sum;
     * lineage is truncated every `checkpointEvery` iterations (the
     * [[Components]] discipline, so a deep `iters` cannot blow the
     * planner). Exact while iters·10⁶·maxdeg < 2⁶³ — unreachable.
@@ -139,9 +143,13 @@ object Graph {
     * the [[pagerankPpm]] discipline. Nodes with no in-edges settle at
     * authority 0, no out-edges at hub 0; duplicate edges collapse.
     *
-    * Scale shape: per iteration TWO edge-keyed shuffles (the h→a and
-    * a→h contribution sums, each map-side combined) and two 1-row max
-    * aggregates broadcast as constants; the edge list persists once.
+    * Scale shape: past [[Dedup.BroadcastSafeCorpusRows]] nodes the
+    * edge list persists TWICE — pre-partitioned and sorted on src and
+    * on dst (the GraphX mirror-table trade), so the h→a and a→h
+    * sort-merge joins re-exchange no O(E) frame; per iteration only
+    * the two map-side-combined contribution sums and two 1-row max
+    * aggregates (broadcast as constants) move. Below the pin the rank
+    * frames broadcast and the single raw cache never moves.
     * Each normalized frame is EAGERLY checkpointed before the next
     * step: the max-normalization references its frame TWICE (the 1-row
     * aggregate and the scaled projection), so without a per-iteration
@@ -154,14 +162,34 @@ object Graph {
   def hitsPpm(edges: DataFrame, srcCol: String, dstCol: String,
               iters: Int = 3): DataFrame = {
     require(iters >= 1)
-    val e = edges
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spine = e.select(col("src").as("node")).union(e.select(col("dst")))
+      .persist(lvl)
+    val spine = eRaw.select(col("src").as("node")).union(eRaw.select(col("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spine.count()
+      .persist(lvl)
+    val nNodes = spine.count()
+    // past the broadcast-safe node count the edge list re-caches TWICE,
+    // pre-partitioned+sorted on src and on dst (the GraphX mirror-table
+    // trade): the h→a join keys on src and the a→h join on dst, and an
+    // unpartitioned cache re-exchanged the full O(E) frame on EVERY one
+    // of the 2·iters sort-merge joins (measured 9.9 GB shuffle write at
+    // ×100 for a ~330 MB edge list). eDst derives from the cached eSrc
+    // so the distinct computes once; with the claims in place,
+    // iterations exchange only the node-sized normalized frames. Below
+    // the pin the rank frames broadcast and the cached edge list never
+    // moves, so the re-layout would be pure overhead — skipped.
+    val (eSrc, eDst) =
+      if (nNodes > Dedup.BroadcastSafeCorpusRows) {
+        val es = eRaw.repartition(col("src")).sortWithinPartitions("src").persist(lvl)
+        es.count()
+        val ed = es.repartition(col("dst")).sortWithinPartitions("dst").persist(lvl)
+        ed.count()
+        eRaw.unpersist()
+        (es, ed)
+      } else (eRaw, eRaw)
     def maxNorm(df: DataFrame, c: String): DataFrame = {
       val mx = df.agg(greatest(max(col(c)), lit(1L)).as("mx"))
       df.crossJoin(broadcast(mx))
@@ -170,12 +198,12 @@ object Graph {
     var hubs = spine.select(col("node"), lit(1000000L).as("h"))
     var auths: DataFrame = null
     for (i <- 1 to iters) {
-      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+      val aRaw = eSrc.join(hubs.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
       auths = maxNorm(spine.join(aRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
       auths = auths.localCheckpoint()
-      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+      val hRaw = eDst.join(auths.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       hubs = maxNorm(spine.join(hRaw, Seq("node"), "left")
         .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
@@ -184,7 +212,8 @@ object Graph {
     val result = hubs.join(auths, "node")
       .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
       .localCheckpoint()
-    e.unpersist()
+    eSrc.unpersist()
+    eDst.unpersist()
     spine.unpersist()
     result
   }
@@ -255,18 +284,37 @@ object Graph {
                   checkpointEvery: Int = 2,
                   redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && dampingPpm >= 0 && dampingPpm <= 1000000L)
-    val e = edges
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val spine = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
+      .persist(lvl)
+    val deg = eRaw.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val spineRaw = eRaw.select(col("src").as("node"))
+      .union(eRaw.select(col("dst")))
       .distinct()
       .join(deg, Seq("node"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNodes = spine.count() // materializes the caches, sizes the pin
+      .persist(lvl)
+    val nNodes = spineRaw.count() // materializes the caches, sizes the pin
     val pin = nNodes > Dedup.BroadcastSafeCorpusRows
+    // on the pinned (merge-join) path the edge list and spine re-cache
+    // PRE-PARTITIONED AND SORTED on their join keys (the GraphX
+    // routing-table discipline): an unpartitioned cache made every
+    // iteration's sort-merge join RE-EXCHANGE the full O(E) frame —
+    // the term that dominated the graph family's ×100 shuffle. With
+    // the hash+order claims carried by the caches, iterations exchange
+    // only the node-sized contribs frame plus the map-side-combined
+    // per-dst sum. Below the pin the iterations broadcast contribs and
+    // never exchange the cached frames at all, so the re-layout would
+    // be pure overhead — the raw caches are kept as-is.
+    val (e, spine) =
+      if (pin) {
+        val ep = eRaw.repartition(col("src")).sortWithinPartitions("src").persist(lvl)
+        val sp = spineRaw.repartition(col("node")).sortWithinPartitions("node").persist(lvl)
+        ep.count(); sp.count()
+        eRaw.unpersist(); spineRaw.unpersist()
+        (ep, sp)
+      } else (eRaw, spineRaw)
     val base = 1000000L - dampingPpm
     var ranks = spine.select(col("node"), col("deg"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {

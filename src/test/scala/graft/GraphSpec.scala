@@ -181,4 +181,27 @@ class GraphSpec extends AnyFunSuite {
     val r = hits(g, iters = 3)
     assert(r(1L)._2 == 0L && r(10L)._1 == 0L)
   }
+
+  test("pinned path (> broadcast-safe nodes): ring fixed point is exact") {
+    // past Dedup.BroadcastSafeCorpusRows both operators re-cache the
+    // edge list pre-partitioned+sorted (the routing-table layout) and
+    // take the merge-join path — this drives THAT branch, which the
+    // hand fixtures above cannot reach. On a directed ring every node
+    // has in/out degree 1, so the exact-integer trajectory is a fixed
+    // point: pagerank r = 150000 + 850000·(1e6 div 1) div 1e6 = 1e6
+    // and HITS a = h = 1e6 under max-normalization — any drift (a
+    // mis-claimed hash layout mis-joining, a lost edge in the
+    // re-partition) breaks exactness loudly.
+    val n = graft.operators.Dedup.BroadcastSafeCorpusRows + 100
+    val ring = spark.range(n).select(col("id").as("src"),
+      ((col("id") + 1) % n).as("dst"))
+    val pr = Graph.pagerankPpm(ring, "src", "dst", iters = 2)
+      .agg(count(lit(1)), min("rank_ppm"), max("rank_ppm"), min("out_degree"), max("out_degree"))
+      .as[(Long, Long, Long, Long, Long)].first()
+    assert(pr == ((n, 1000000L, 1000000L, 1L, 1L)))
+    val ht = Graph.hitsPpm(ring, "src", "dst", iters = 1)
+      .agg(count(lit(1)), min("hub_ppm"), max("hub_ppm"), min("auth_ppm"), max("auth_ppm"))
+      .as[(Long, Long, Long, Long, Long)].first()
+    assert(ht == ((n, 1000000L, 1000000L, 1000000L, 1000000L)))
+  }
 }

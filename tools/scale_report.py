@@ -298,12 +298,34 @@ def entry_at(m):
     return e
 
 
+RULE0_CACHE = "target/rule0_cache.json"
+
+
+def _rule0_cache():
+    try:
+        return json.load(open(RULE0_CACHE))
+    except Exception:
+        return {}
+
+
 def oracle_rows_at(q, factor):
     """Adjudicate a rule-0 flag against the DuckDB oracle ON THE SCALED
     corpus: if the query's own oracle SQL also returns zero rows there,
     the emptiness is the corpus's truth, not drift. Returns the oracle
     row count, or None when it cannot be run (no dumped SQL, no DuckDB,
-    corpus missing) — None keeps the flag."""
+    corpus missing) — None keeps the flag.
+
+    Results are CACHED in target/rule0_cache.json keyed by query@factor:
+    the x100 adjudications replay heavyweight oracles (the q_bitext_mine
+    blocked-pairs SQL is ~78M list-pair computations — hours in DuckDB),
+    and a delta re-gate that re-runs the report must not pay that again
+    for zero-row sets the previous gate already adjudicated. The cache
+    is keyed only by (query, factor): invalidated by deleting the file
+    when a scaled corpus is regenerated or an oracle changes."""
+    cache = _rule0_cache()
+    key = f"{q}@x{factor}"
+    if key in cache:
+        return cache[key]
     try:
         import duckdb
     except ImportError:
@@ -325,9 +347,13 @@ def oracle_rows_at(q, factor):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     try:
-        return len(con.execute(sql).fetchall())
+        n = len(con.execute(sql).fetchall())
     except Exception:
         return None
+    cache = _rule0_cache()
+    cache[key] = n
+    json.dump(cache, open(RULE0_CACHE, "w"))
+    return n
 
 
 def empty_run_violations(q, runs_by_factor):
