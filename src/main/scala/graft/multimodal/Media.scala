@@ -34,6 +34,17 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Media {
 
+  // ImageIO's default stream cache is a TEMP FILE per image: every
+  // ImageIO.read(InputStream) / createImageInput(Output)Stream call
+  // creates and deletes an on-disk cache file, so a partition of
+  // thousands of KB-sized payloads pays thousands of file-system
+  // round-trips for data that already sits in a byte array. In-memory
+  // cache streams produce byte-identical containers/decodes — this is
+  // pure per-task overhead removal (optimization guide §1.2 step 2).
+  // Object-initializer placement runs it once per JVM on first use of
+  // any codec path (driver or executor alike).
+  ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, media_type: String, payload: Array[Byte])
 
   /** Decoded features. For images: real pixel dims + exact gray-pixel

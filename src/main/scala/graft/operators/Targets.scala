@@ -72,25 +72,51 @@ object Targets {
     * runs iff its target is incomplete, it is listed in `force`, or
     * any of its dependencies ran in THIS invocation (cone
     * invalidation — matching Luigi, where deleting an upstream target
-    * cascades because downstream outputs are stale by definition). */
+    * cascades because downstream outputs are stale by definition).
+    *
+    * Stages whose dependencies are satisfied run CONCURRENTLY (a small
+    * driver-side pool — Spark schedules jobs from several threads FIFO
+    * and back-fills the tail of one stage's job with the next stage's
+    * tasks, optimization guide §2.6): the wall clock of a run is the
+    * DAG's critical path, not the stage sum. Dirtiness is decided
+    * up-front from the target markers (same cone semantics as the
+    * sequential form — a stage is dirty iff forced, incomplete, or any
+    * dependency is dirty), every target still lands complete before any
+    * consumer reads it, and the report lists stages in deterministic
+    * topological order regardless of completion order. */
   def run(spark: SparkSession, rootDir: String, stages: Seq[Stage],
           force: Set[String] = Set.empty): RunReport = {
-    val ran = Seq.newBuilder[String]
-    val skipped = Seq.newBuilder[String]
-    val ranSet = scala.collection.mutable.Set.empty[String]
-    topoSort(stages).foreach { s =>
-      val target = targetPath(rootDir, s.name)
-      val dirty = force.contains(s.name) || s.deps.exists(ranSet) ||
-        !isComplete(spark, target)
-      if (dirty) {
-        val ups = s.deps.map(d =>
-          d -> spark.read.parquet(targetPath(rootDir, d))).toMap
-        s.build(spark, ups).write.mode("overwrite").parquet(target)
-        ranSet += s.name
-        ran += s.name
-      } else skipped += s.name
+    val ordered = topoSort(stages)
+    val dirty = scala.collection.mutable.LinkedHashSet.empty[String]
+    ordered.foreach { s =>
+      if (force.contains(s.name) || s.deps.exists(dirty) ||
+          !isComplete(spark, targetPath(rootDir, s.name))) dirty += s.name
     }
-    RunReport(ran.result(), skipped.result())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, dirty.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = scala.collection.mutable.Map.empty[String, scala.concurrent.Future[Unit]]
+      ordered.foreach { s =>
+        if (dirty(s.name)) {
+          val depFs = s.deps.flatMap(done.get)
+          done(s.name) = scala.concurrent.Future
+            .sequence(depFs)
+            .map { _ =>
+              spark.sparkContext.setJobDescription(s"target: ${s.name}")
+              val ups = s.deps.map(d =>
+                d -> spark.read.parquet(targetPath(rootDir, d))).toMap
+              s.build(spark, ups).write.mode("overwrite")
+                .parquet(targetPath(rootDir, s.name))
+            }
+        }
+      }
+      done.values.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    RunReport(ordered.collect { case s if dirty(s.name) => s.name },
+      ordered.collect { case s if !dirty(s.name) => s.name })
   }
 
   /** Read a (complete) stage target back — the downstream consumer

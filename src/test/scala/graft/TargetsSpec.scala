@@ -109,6 +109,52 @@ class TargetsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == inline)
   }
 
+  test("independent stages run concurrently; deps are never read early") {
+    // diamond with a wide middle: root -> m0..m3 -> join. Each middle
+    // stage records its entry/exit window; the scheduler must overlap
+    // at least two of them (they share no edge), and `join` must see
+    // every middle target COMPLETE (its build asserts on the rows, so
+    // a partial/early read fails the run, not just the assertion).
+    val root = java.nio.file.Files.createTempDirectory("targets").toString
+    val active = new AtomicInteger
+    val maxActive = new AtomicInteger
+    val mids = (0 until 4).map { i =>
+      Stage(s"m$i", Seq("src"), (_, up) => {
+        val now = active.incrementAndGet()
+        maxActive.getAndUpdate(m => math.max(m, now))
+        Thread.sleep(300)
+        active.decrementAndGet()
+        up("src").withColumn("part", lit(i))
+      })
+    }
+    val stages = Stage("src", Nil, (s, _) => {
+      import s.implicits._
+      Seq(1L, 2L, 3L).toDF("id")
+    }) +: mids :+
+      Stage("join", (0 until 4).map(i => s"m$i"), (_, up) => {
+        val u = (0 until 4).map(i => up(s"m$i")).reduce(_ unionByName _)
+        require(u.count() == 12, "a middle target was read incomplete")
+        u.groupBy("part").agg(count(lit(1)).as("n"))
+      })
+    val report = Targets.run(spark, root, stages)
+    assert(report.ran == Seq("src", "m0", "m1", "m2", "m3", "join"))
+    assert(maxActive.get >= 2, s"middle stages never overlapped (max ${maxActive.get})")
+    assert(Targets.read(spark, root, "join").count() == 4)
+  }
+
+  test("a failing stage fails the run and leaves no _SUCCESS on its target") {
+    val root = java.nio.file.Files.createTempDirectory("targets").toString
+    val stages = Seq(
+      Stage("ok", Nil, (s, _) => s.range(3).toDF()),
+      Stage("boom", Seq("ok"), (_, _) => throw new RuntimeException("boom")))
+    val err = intercept[RuntimeException](Targets.run(spark, root, stages))
+    assert(err.getMessage.contains("boom"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      Targets.targetPath(root, "boom") + "/_SUCCESS")))
+  }
+
   test("topoSort orders by dependency regardless of declaration order and rejects cycles") {
     val counters = Seq.fill(3)(new AtomicInteger)
     val shuffled = dag(counters: _*).reverse
