@@ -341,13 +341,35 @@ object Similarity {
     val vecs = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"), sideExpr.as("__x"))
     val sided = cells.join(vecs, "id")
+    // norms are per-VECTOR, not per-pair: materialize them on each
+    // side once (vecNorm = sqrt(native dot) — the identical IEEE ops
+    // VectorFunctions.cosine runs inline), so the pair stage computes
+    // ONE dot per pair instead of re-deriving both norms under the
+    // zero-guard (3-5 dot folds/pair → 1). Bit-identical cosines.
     val xs = sided.filter(col("__x"))
-      .select(col("cid"), col("id").as("x_id"), col("__v").as("__xv"))
+      .select(col("cid"), col("id").as("x_id"), col("__v").as("__xv"),
+        VectorFunctions.vecNorm(col("__v")).as("__xn"))
     val ys = sided.filter(!col("__x"))
-      .select(col("cid"), col("id").as("y_id"), col("__v").as("__yv"))
-    val pairs = xs.join(ys, "cid")
+      .select(col("cid"), col("id").as("y_id"), col("__v").as("__yv"),
+        VectorFunctions.vecNorm(col("__v")).as("__yn"))
+    // allPairs joins every x to every y through the ONE literal cell —
+    // a single-task join (the 1M-pair cosine grind ran serially on one
+    // core, measured 10.4 s of the r18 baseline bench). Spread the
+    // probe side across the session's parallelism with an EXPLICIT
+    // partition count (AQE would coalesce the tiny-by-bytes partitions
+    // right back — the per-pair CPU is invisible to byte-based
+    // coalescing) and broadcast the bounded certification side
+    // (guide §2.5: a single enormous key is skew AQE cannot split).
+    val joined =
+      if (allPairs) {
+        val p = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+        xs.repartition(p, col("x_id")).join(broadcast(ys), "cid")
+      } else xs.join(ys, "cid")
+    val pairs = joined
       .withColumn("cos_ppb",
-        floor(VectorFunctions.cosine(col("__xv"), col("__yv")) * 1e9).cast("long"))
+        floor(when(col("__xn") === 0 || col("__yn") === 0, lit(0.0))
+          .otherwise(VectorFunctions.vecDot(col("__xv"), col("__yv")) /
+            (col("__xn") * col("__yn"))) * 1e9).cast("long"))
       // negative-cosine candidates are never translations; dropping
       // them here also keeps EVERY div operand nonnegative, where
       // Spark's truncating `div` and DuckDB's flooring `//` agree
