@@ -128,8 +128,13 @@ object Infer {
       .agg(map_concat(
         map_from_entries(collect_list(struct(col("__b"), col("__x")))),
         map(lit(-1), lit(1L))).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docFeats.count() // materializes the cache, sizes updates
+      // localCheckpoint (not persist): same materialize-once, but the
+      // LOGICAL plan truncates to a LogicalRDD leaf — every iteration
+      // re-analyzes its step plan from docFeats, and with the full
+      // explode/groupBy build tree under it the driver re-walked that
+      // tree once per iteration (driver-bound per the r18 sampling)
+      .localCheckpoint()
+    val nDocs = docFeats.count() // sizes updates
     require(nDocs > 0, "trainLogistic: no docs with >= 1 token")
     var bias = 0L
     var w = IndexedSeq.fill(buckets)(0L)
@@ -153,7 +158,6 @@ object Infer {
       bias -= grads(-1) / denom
       w = w.indices.map(b => w(b) - grads(b) / denom)
     }
-    docFeats.unpersist()
     (w, bias)
   }
 
@@ -197,7 +201,10 @@ object Infer {
       .agg(map_concat(
         map_from_entries(collect_list(struct(col("__b"), col("__x")))),
         map(lit(-1), lit(1L))).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist — see trainLogistic: iterations
+      // re-analyze their step plan per round, so the shared feature
+      // map must be a plan LEAF, not a cached explode/groupBy subtree
+      .localCheckpoint()
     val nDocs = docFeats.count()
     require(nDocs > 0, "trainOvr: no docs with >= 1 token")
     val classes = docFeats.select("__y").distinct().collect()
@@ -205,14 +212,18 @@ object Infer {
     var model: Map[String, (Long, IndexedSeq[Long])] =
       classes.map(c => c -> (0L, IndexedSeq.fill(buckets)(0L))).toMap
     for (_ <- 1 to iters) {
-      var frame = docFeats
-      classes.zipWithIndex.foreach { case (c, i) =>
+      // all K score columns in ONE projection: the former per-class
+      // withColumn chain re-ran full plan analysis K times per
+      // iteration over a K-deep projection stack (the classic
+      // withColumn-in-a-loop driver tax)
+      val zCols = classes.zipWithIndex.map { case (c, i) =>
         val (b0, w0) = model(c)
         val wArr = (b0 +: w0).toArray
-        frame = frame.withColumn(s"__z$i",
-          aggregate(map_entries(col("__m")), lit(0L),
-            (acc, e) => acc + element_at(lit(wArr), e("key") + lit(2)) * e("value")))
+        aggregate(map_entries(col("__m")), lit(0L),
+          (acc, e) => acc + element_at(lit(wArr), e("key") + lit(2)) * e("value"))
+          .as(s"__z$i")
       }
+      val frame = docFeats.select(col("*") +: zCols: _*)
       val eArr = array(classes.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("ci"),
           (least(lit(1000000L), greatest(lit(0L), lit(500000L) + expr(s"__z$i div 4")))
@@ -234,7 +245,6 @@ object Infer {
           w0.indices.map(b => w0(b) - grads((i, b)) / denom))
       }.toMap
     }
-    docFeats.unpersist()
     classes.map(c => (c, model(c)._2, model(c)._1))
   }
 
@@ -312,7 +322,11 @@ object Infer {
     val sc = col(scoreCol)
     val perScore = scored.groupBy(sc.as("__s"))
       .agg(count(lit(1)).as("n"), sum(when(y, 1L).otherwise(0L)).as("np"))
-    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("__s")
+    // partitionBy(lit(0)): same single partition over the DISTINCT
+    // score groups (score-cardinality-bounded), explicit constant key
+    // so the bounded window doesn't trip WindowExec's "No Partition
+    // Defined" warning (VERDICT r17 #5)
+    val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy("__s")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val r2 = perScore
       .withColumn("cum", coalesce(sum(col("n")).over(wOrd), lit(0L)))

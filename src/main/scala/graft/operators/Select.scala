@@ -89,7 +89,13 @@ object Select {
         s"[select] tokenBudget: $nBuckets distinct score values (> $BucketWindowWarn) — " +
           "scores this fine-grained push the whole corpus through the one-task " +
           "bucket window; quantize to an integer (ppm) domain for bounded work")
-    val bucketWin = Window.orderBy(col(scoreCol).desc)
+    // partitionBy(lit(0)): same single partition (the bucket table is
+    // domain-bounded — the guards above are the real protection), but
+    // an EXPLICIT constant key instead of an empty partition spec, so
+    // the bounded window stops tripping WindowExec's "No Partition
+    // Defined" warning and that warning stays meaningful for real
+    // data-sized windows (VERDICT r17 #5)
+    val bucketWin = Window.partitionBy(lit(0)).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pre = buckets
       .withColumn("__before", coalesce(sum(col("__bw")).over(bucketWin), lit(0L)))
